@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * Scale posture: AQE on (runtime re-planning, skew-join splitting,
+  * dynamic coalescing of shuffle partitions), shuffle width sized for
+  * the local test harness via SPARK_GRAFT_CPUS (a real cluster would
+  * set spark.sql.shuffle.partitions ~ 2-3x total cores and let AQE
+  * coalesce). UTC session timezone for oracle (DuckDB) parity.
+  *
+  * The reference pins spark.sql.shuffle.partitions=2
+  * (fraud_detection_model.py:49) — laptop-scale; we keep it
+  * configurable and AQE-managed instead.
+  */
+object Sessions {
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.streaming.stopGracefullyOnShutdown", "true")
+      .getOrCreate()
+  }
+}
