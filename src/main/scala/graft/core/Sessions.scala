@@ -15,19 +15,24 @@ import org.apache.spark.sql.SparkSession
   * configurable and AQE-managed instead.
   */
 object Sessions {
-  def local(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** Parallelism: SPARK_GRAFT_CPUS if numeric, else all local cores. */
+  def cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+
+  def local(appName: String = "graft"): SparkSession =
     SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no
+      // native type for; read as long nanos (ordering-equivalent).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.streaming.stopGracefullyOnShutdown", "true")
       .getOrCreate()
-  }
 }

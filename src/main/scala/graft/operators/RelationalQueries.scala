@@ -1,0 +1,648 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The relational operator surface of the engine: every projection /
+  * predicate / aggregate / limit operator of the reference
+  * (SURVEY.md §2.2 P1–P10, §2.3 A1–A6, §2.5 L1–L3) plus the standard
+  * algebra the reference never uses but the oracle gate requires
+  * (joins incl. broadcast/semi/anti/outer, set ops, window functions,
+  * rollup/cube, count-distinct exact + approximate).
+  *
+  * Every query is a declarative DataFrame plan — Catalyst pushes the
+  * filters into the parquet scan, prunes columns, and picks
+  * broadcast-hash joins for the dimension tables; nothing here runs
+  * driver-side loops. Scale notes are on each operator.
+  *
+  * Determinism-for-oracle rules (DuckDB must hash-match bit-for-bit):
+  *  - sums over non-integer doubles are order-dependent; we aggregate
+  *    money as `sum(cast(round(x*100) as bigint))` — per-row fp ops
+  *    are identical in both engines and the bigint sum is exact.
+  *  - `l_quantity` is integer-valued, so its double sum/avg is exact
+  *    in any order (all partial sums < 2^53).
+  *  - per-row arithmetic written with the same op order is bit-exact
+  *    across engines (both IEEE 754 doubles).
+  *  - every aggregate is cast to a fixed type in BOTH engines
+  *    (DuckDB's sum(int) is HUGEINT, Spark's is LONG — cast!).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Money aggregate: exact integer cents (see determinism notes). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ===================================================================
+  // §2.1 sources (the SQL-expressible ones)
+  // ===================================================================
+
+  /** S6: local-collection source — `createDataFrame` from driver rows
+    * (reference: postgres_model_inference.py:285 pandas→Spark). */
+  def s6LocalSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1, "PAYMENT", 9839.64),
+      (2, "TRANSFER", 181.0),
+      (3, "CASH_OUT", 181.0),
+      (4, "DEBIT", 5337.77),
+      (5, "CASH_IN", 229133.94)
+    ).toDF("txn_id", "txn_type", "amount")
+  }
+
+  /** S1+S7: CSV sink then CSV scan with explicit schema — the
+    * reference's training-data load (fraud_detection_model.py:76) and
+    * test-split export (fraud_detection_model.py:91-94), round-tripped
+    * so the oracle is the identity projection. Explicit schema rather
+    * than inferSchema: saves the inference scan (SURVEY §4). */
+  def s1CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_csv_roundtrip").toString
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("header", "true")
+      .csv(tmp)
+  }
+
+  // ===================================================================
+  // §2.2 projections / filters (P1–P10)
+  // ===================================================================
+
+  /** P1+P2+P3: bytes → CAST(value AS STRING) → from_json(schema) →
+    * select("data.*") — the reference's Kafka parse chain
+    * (spark_streaming_app.py:419-421) run as a batch round-trip, so
+    * the oracle is the identity projection. */
+  def p2JsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))).cast("binary").as("value"))
+      .selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"))
+        .as("data"))
+      .select("data.*")
+
+  /** P4: equality filter (fraud_detection_model.py:80 `isFraud == 1`).
+    * Pushed into the parquet scan as `PushedFilters: [EqualTo(...)]`. */
+  def p4FilterEq(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+
+  /** P5: compound boolean predicate (fraud_detection_model.py:259-262
+    * shape: `(a==x & b==y) | (c==z & d==w)`). */
+  def p5CompoundPred(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        (col("l_returnflag") === "R" && col("l_quantity") > 45) ||
+        (col("l_discount") < 0.02 && col("l_quantity") < 3))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  /** P6: arithmetic projection — the per-row expression surface
+    * (fraud_detection_model.py:206-209). revenue/charge are the
+    * classic pricing expressions; op order matches the oracle SQL
+    * exactly so the doubles are bit-identical. */
+  def p6ArithProj(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax"))).as("charge"))
+
+  /** P6 (reference shape): the classWeight projection
+    * `label*ratio + (1-label)` ≡ when(label==1, r).otherwise(1.0)
+    * (fraud_detection_model.py:206-209), on o_orderstatus as the
+    * class column. */
+  def p6ClassWeight(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "F", lit(2.5)).otherwise(lit(1.0))
+        .as("class_weight"))
+
+  /** P7: cast + alias (fraud_detection_model.py:397
+    * `prediction.cast("int").alias("fraud_prediction")`). Spark's
+    * double→long cast truncates toward zero. */
+  def p7CastAlias(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("long").as("price_trunc"),
+      col("o_orderstatus").as("status"))
+
+  /** P9: star + extras projection (fraud_detection_model.py:395-399
+    * `select("*", derived...)`), on nation (int/string only). */
+  def p9StarExtras(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      col("*"),
+      (col("n_nationkey") + col("n_regionkey") * 100).as("key_code"),
+      upper(col("n_name")).as("name_upper"))
+
+  /** P10: row→JSON projection — `to_json(struct(*))`, the distributed
+    * replacement for the reference's per-row json.dumps
+    * (transaction_producer.py:133-135). Long+string fields only so
+    * the JSON number formatting matches the oracle. */
+  def p10ToJson(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))).as("payload"))
+
+  // ===================================================================
+  // §2.3 aggregations (A1–A6)
+  // ===================================================================
+
+  /** A1: global count (fraud_detection_model.py:79). */
+  def a1GlobalCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt"))
+
+  /** A2: single-pass conditional aggregation — class counts. The
+    * reference runs one filter+count job per class
+    * (fraud_detection_model.py:80,197-198); at 100 TB that is N full
+    * scans, so we collapse to one scan with sum(when(...)). */
+  def a2ClassCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+        .cast("long").as("n_f"),
+      sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+        .cast("long").as("n_o"),
+      sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L))
+        .cast("long").as("n_p"),
+      count(lit(1)).as("n_total"))
+
+  /** A3: filtered COUNT(*) pushdown (postgres_model_inference.py:201). */
+  def a3FilteredCount(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A2+A4: confusion matrix + derived-ratio metrics in ONE scan.
+    * The reference computes TP/FP/TN/FN as four separate filter+count
+    * jobs then driver-side ratios (fraud_detection_model.py:259-276);
+    * here the four cells are one conditional aggregate and the
+    * accuracy/precision/recall/F1 are exact integer divisions of the
+    * cells (each a single fp op — deterministic). Label/prediction
+    * are a deterministic proxy on `events` (label: error events;
+    * prediction: value > 50). */
+  def a4ConfusionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      when(col("event_type") === "error", 1).otherwise(0).as("label"),
+      when(col("value") > 50.0, 1).otherwise(0).as("pred"))
+    val cells = e.agg(
+      sum(when(col("pred") === 1 && col("label") === 1, 1L)
+        .otherwise(0L)).cast("long").as("tp"),
+      sum(when(col("pred") === 1 && col("label") === 0, 1L)
+        .otherwise(0L)).cast("long").as("fp"),
+      sum(when(col("pred") === 0 && col("label") === 0, 1L)
+        .otherwise(0L)).cast("long").as("tn"),
+      sum(when(col("pred") === 0 && col("label") === 1, 1L)
+        .otherwise(0L)).cast("long").as("fn"))
+    cells.select(
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      ((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("tn") + col("fn")))
+        .as("accuracy"),
+      (col("tp").cast("double") / (col("tp") + col("fp")))
+        .as("precision"),
+      (col("tp").cast("double") / (col("tp") + col("fn")))
+        .as("recall"))
+  }
+
+  /** A5: min/max/avg summaries (spark_streaming_app.py:103-121 done
+    * distributed instead of driver-side). avg(l_quantity) is exact
+    * (integer-valued); money min/max are exact; money sum via cents. */
+  def a5SummaryStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("cnt"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      avg(col("l_quantity")).as("avg_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      sum(cents(col("l_extendedprice"))).cast("long")
+        .as("sum_price_cents"))
+
+  /** A6: running/cumulative totals — the reference accumulates
+    * cross-batch totals in driver dicts (spark_streaming_app.py:169-232);
+    * the distributed equivalent is a cumulative window. ROWS frame +
+    * unique ordering key for determinism; integer cents so the running
+    * sum is exact. Scale: partitioned by o_custkey — no global sort,
+    * shuffle is hash(o_custkey). */
+  def a6RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+  }
+
+  /** Flagship: TPC-H Q1-shaped pricing summary — scan → filter →
+    * groupBy → multi-aggregate. One shuffle on the 6-value group key;
+    * partial aggregation map-side; filter pushed to parquet. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 5.0)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
+        sum(cents(col("l_extendedprice"))).cast("long")
+          .as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("long").as("sum_disc_cents"))
+
+  // ===================================================================
+  // §2.5 sorts / limits (L1–L2)
+  // ===================================================================
+
+  /** L1: top-k — sort + limit (transaction_producer.py:74-75 head()).
+    * Spark plans TakeOrderedAndProject: per-partition top-k then a
+    * k-row merge on the driver — no global sort at any scale. Unique
+    * tie-break (o_orderkey) for determinism. */
+  def l1TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** L2: ORDER BY + LIMIT/OFFSET pagination — the stable replacement
+    * for the reference's order-unstable OFFSET/LIMIT scan
+    * (postgres_model_inference.py:272-275, no ORDER BY — a semantics
+    * bug we do not copy). */
+  def l2LimitOffset(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_orderkey"))
+      .offset(200)
+      .limit(100)
+      .select("o_orderkey", "o_orderstatus")
+
+  // ===================================================================
+  // extension algebra: joins (SURVEY §2.5 notes, §7.1-3)
+  // ===================================================================
+
+  /** Broadcast dimension join: customer ⋈ nation ⋈ region. nation (25
+    * rows) and region (5) are broadcast — no shuffle of the fact side;
+    * at 100 TB this is the only sane plan and we pin it with
+    * broadcast() hints rather than trusting the size estimator. */
+  def j1BroadcastDims(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).cast("long").as("sum_acctbal_cents"))
+
+  /** Fact-to-fact join: orders ⋈ lineitem on orderkey, then aggregate.
+    * Both sides shuffle-hash/sort-merge on the join key; AQE handles
+    * skew. Aggregation keys are low-cardinality → tiny shuffle after. */
+  def j2InnerBig(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+
+  /** Left-semi join: customers having ≥1 order — EXISTS without
+    * materializing the right side's columns. */
+  def j3SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust_with_orders"))
+
+  /** Left-anti join: customers with no in-progress ('P') order (NOT
+    * EXISTS; the right side filtered so the complement is nonempty in
+    * the synthetic data, where every customer has some order). */
+  def j4AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Left-outer join + aggregate: order count per segment, customers
+    * without orders contributing count(o_orderkey)=0 rows. */
+  def j5OuterJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  // ===================================================================
+  // extension algebra: set operations
+  // ===================================================================
+
+  /** UNION (distinct): nation keys present on either side. */
+  def u1UnionDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir)
+        .select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** INTERSECT: nation keys with both customers and suppliers. */
+  def u2Intersect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir)
+        .select(col("s_nationkey").as("nationkey")))
+
+  /** EXCEPT: customers with no in-progress ('P') order, as a set op. */
+  def u3Except(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("custkey")))
+
+  // ===================================================================
+  // extension algebra: window functions
+  // ===================================================================
+
+  /** row_number top-N per group: top-3 customers by balance per
+    * segment. Partition-local sort only; no global sort. */
+  def w1RankTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** lag(): previous event value per user in event-time order —
+    * value column passes through untouched (bit-exact). */
+  def w2Lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"))
+  }
+
+  // ===================================================================
+  // extension algebra: grouping sets
+  // ===================================================================
+
+  /** ROLLUP over (returnflag, linestatus): detail + subtotal + total
+    * rows. sum_qty exact (integer-valued doubles). */
+  def g1Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** CUBE over (orderstatus, orderpriority): all grouping sets. */
+  def g2Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // ===================================================================
+  // extension algebra: distinct counting
+  // ===================================================================
+
+  /** Exact COUNT(DISTINCT) — expands to two-phase hash aggregate. */
+  def d1CountDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** approx_count_distinct (HLL++): the 100 TB path — one pass, fixed
+    * memory, mergeable sketches; no oracle (algorithm-specific values),
+    * driver records a rows-only check. */
+  def d2ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  // ===================================================================
+  // registration
+  // ===================================================================
+
+  val queries: Map[String, Q] = Map(
+    "s6_local_source" -> (s6LocalSource _),
+    "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
+    "p2_json_roundtrip" -> (p2JsonRoundtrip _),
+    "p4_filter_eq" -> (p4FilterEq _),
+    "p5_compound_pred" -> (p5CompoundPred _),
+    "p6_arith_proj" -> (p6ArithProj _),
+    "p6_class_weight" -> (p6ClassWeight _),
+    "p7_cast_alias" -> (p7CastAlias _),
+    "p9_star_extras" -> (p9StarExtras _),
+    "p10_to_json" -> (p10ToJson _),
+    "a1_global_count" -> (a1GlobalCount _),
+    "a2_class_counts" -> (a2ClassCounts _),
+    "a3_filtered_count" -> (a3FilteredCount _),
+    "a4_confusion_metrics" -> (a4ConfusionMetrics _),
+    "a5_summary_stats" -> (a5SummaryStats _),
+    "a6_running_total" -> (a6RunningTotal _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "l1_topk" -> (l1TopK _),
+    "l2_limit_offset" -> (l2LimitOffset _),
+    "j1_broadcast_dims" -> (j1BroadcastDims _),
+    "j2_inner_big" -> (j2InnerBig _),
+    "j3_semi_join" -> (j3SemiJoin _),
+    "j4_anti_join" -> (j4AntiJoin _),
+    "j5_outer_join" -> (j5OuterJoin _),
+    "u1_union_distinct" -> (u1UnionDistinct _),
+    "u2_intersect" -> (u2Intersect _),
+    "u3_except" -> (u3Except _),
+    "w1_rank_topn" -> (w1RankTopN _),
+    "w2_lag" -> (w2Lag _),
+    "g1_rollup" -> (g1Rollup _),
+    "g2_cube" -> (g2Cube _),
+    "d1_count_distinct" -> (d1CountDistinct _),
+    "d2_approx_distinct" -> (d2ApproxDistinct _)
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names and types —
+    * the driver sorts columns by name and hashes values). */
+  val oracle: Map[String, String] = Map(
+    "s6_local_source" ->
+      """SELECT * FROM (VALUES
+        | (1, 'PAYMENT', 9839.64),
+        | (2, 'TRANSFER', 181.0),
+        | (3, 'CASH_OUT', 181.0),
+        | (4, 'DEBIT', 5337.77),
+        | (5, 'CASH_IN', 229133.94)) AS t(txn_id, txn_type, amount)""".stripMargin,
+    "s1_csv_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "p2_json_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "p4_filter_eq" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+    "p5_compound_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE (l_returnflag = 'R' AND l_quantity > 45)
+        |   OR (l_discount < 0.02 AND l_quantity < 3)""".stripMargin,
+    "p6_arith_proj" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) AS revenue,
+        | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+        |FROM lineitem""".stripMargin,
+    "p6_class_weight" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus = 'F' THEN 2.5 ELSE 1.0 END AS class_weight
+        |FROM orders""".stripMargin,
+    "p7_cast_alias" ->
+      """SELECT o_orderkey,
+        | CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
+        | o_orderstatus AS status
+        |FROM orders""".stripMargin,
+    "p9_star_extras" ->
+      """SELECT *,
+        | n_nationkey + n_regionkey * 100 AS key_code,
+        | upper(n_name) AS name_upper
+        |FROM nation""".stripMargin,
+    "p10_to_json" ->
+      """SELECT o_orderkey,
+        | CAST(to_json(struct_pack(
+        |   o_orderkey := o_orderkey,
+        |   o_orderstatus := o_orderstatus,
+        |   o_orderpriority := o_orderpriority)) AS VARCHAR) AS payload
+        |FROM orders""".stripMargin,
+    "a1_global_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "a2_class_counts" ->
+      """SELECT
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        | count(*) AS n_total
+        |FROM orders""".stripMargin,
+    "a3_filtered_count" ->
+      "SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'F'",
+    "a4_confusion_metrics" ->
+      """WITH labeled AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label,
+        |         CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS pred
+        |  FROM events),
+        |cells AS (
+        |  SELECT
+        |   CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |   CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |   CAST(sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |   CAST(sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM labeled)
+        |SELECT tp, fp, tn, fn,
+        | CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) AS accuracy,
+        | CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+        | CAST(tp AS DOUBLE) / (tp + fn) AS recall
+        |FROM cells""".stripMargin,
+    "a5_summary_stats" ->
+      """SELECT count(*) AS cnt,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | avg(l_quantity) AS avg_qty,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem""".stripMargin,
+    "a6_running_total" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS running_cents
+        |FROM orders""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty,
+        | avg(l_quantity) AS avg_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+        |FROM lineitem
+        |WHERE l_quantity > 5.0
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "l1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "l2_limit_offset" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 200""".stripMargin,
+    "j1_broadcast_dims" ->
+      """SELECT r_name, n_name,
+        | count(*) AS n_cust,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "j2_inner_big" ->
+      """SELECT o_orderpriority,
+        | count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "j3_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust_with_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderstatus = 'P')""".stripMargin,
+    "j5_outer_join" ->
+      """SELECT c_mktsegment,
+        | count(o_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "u1_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL
+        | SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+    "u2_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "u3_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderstatus = 'P'""".stripMargin,
+    "w1_rank_topn" ->
+      """SELECT * FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rn
+        | FROM customer)
+        |WHERE rn <= 3""".stripMargin,
+    "w2_lag" ->
+      """SELECT event_id, user_id, value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS prev_value
+        |FROM events""".stripMargin,
+    "g1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "g2_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "d1_count_distinct" ->
+      """SELECT
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin
+    // d2_approx_distinct: intentionally no oracle (HLL++ estimates).
+  )
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Near-duplicate detection + similarity search for the training-data
+  * pipeline: MinHash+LSH, SimHash, n-gram Jaccard, and
+  * approximate-nearest-neighbor over the `embeddings` table
+  * (brute-force cosine as the correctness baseline, sign-LSH buckets
+  * as the 100 TB path).
+  *
+  * Design: everything is codegen'd higher-order array expressions
+  * (transform/aggregate/zip_with) — no UDFs, no driver loops. The
+  * all-pairs stages are bucketed (LSH band join / sign-signature
+  * join) so candidate generation is an equi-join, never a cartesian
+  * product; the exact similarity is only computed inside buckets.
+  * At 100 TB: shuffle keys are fixed-width band hashes; the
+  * brute-force variants exist only as small-side baselines (the query
+  * side is a broadcast of K vectors, so even "brute force" here is a
+  * broadcast nested loop over one row, not an N×N join).
+  *
+  * These are not SQL-expressible in DuckDB at reasonable effort, so
+  * they register as rows-only checks; exact semantics are asserted in
+  * ScalaTest on planted-duplicate fixtures.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Character k-shingles of `textCol` as a distinct array. Built via
+    * expr(): substring with a dynamic start position is SQL-only (the
+    * Scala `substring()` takes literal pos). */
+  private def shingleExpr(textCol: String, k: Int): Column =
+    expr(s"array_distinct(transform(" +
+      s"sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> substring($textCol, i, $k)))")
+
+  /** MinHash signature: per permutation j, min over shingle hashes of
+    * xxhash64(shingle, j). nHashes independent hash fns via seed col. */
+  private def minhashSig(shinglesCol: Column, nHashes: Int): Column =
+    transform(sequence(lit(0), lit(nHashes - 1)),
+      j => array_min(transform(shinglesCol, sh => xxhash64(sh, j))))
+
+  // ===================================================================
+  // MinHash + LSH near-duplicate pairs
+  // ===================================================================
+
+  /** MinHash LSH near-dup candidates → exact Jaccard verify → top
+    * pairs. 16 hashes, 4 bands of 4: docs sharing any band bucket are
+    * candidates (one equi-join on (band, hash-of-band)); Jaccard is
+    * then computed only for candidates via array_intersect/union of
+    * their shingle sets. */
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val nHashes = 16
+    val bands = 4
+    val rows = bands // band width = nHashes / bands
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleExpr("text", 5).as("sh"))
+      .withColumn("sig", minhashSig(col("sh"), nHashes))
+    val banded = docs.select(
+      col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bhash"))))
+        .as("bucket"))
+      .select(col("doc_id"), col("sh"),
+        col("bucket.band"), col("bucket.bhash"))
+    val a = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** SimHash (32-bit) per document: majority vote of shingle-hash
+    * bits, packed to one long — constant-width near-dup key; hamming
+    * distance ≤ r on it approximates cosine similarity of the
+    * shingle sets. Pure array expressions (single pass per row). */
+  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    val bits = 32
+    val votes =
+      s"""aggregate(
+         |  transform(sh, x -> xxhash64(x)),
+         |  array_repeat(0L, $bits),
+         |  (acc, h) -> zip_with(acc,
+         |    transform(sequence(0, ${bits - 1}),
+         |      b -> CASE WHEN (shiftright(h, b) & 1) = 1
+         |           THEN 1L ELSE -1L END),
+         |    (a, v) -> a + v))""".stripMargin
+    val pack =
+      s"""aggregate(
+         |  zip_with(votes, sequence(0, ${bits - 1}),
+         |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
+         |  0L, (acc, x) -> acc + x)""".stripMargin
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingleExpr("text", 5).as("sh"))
+      .withColumn("votes", expr(votes))
+      .select(col("doc_id"), expr(pack).as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity via bucketed self-join: word 3-gram
+    * sets, bucketed by the document's rarest-hash n-gram (min
+    * xxhash64) so candidate pairs share at least that n-gram — an
+    * equi-join, not a cartesian. Top-20 most similar pairs. */
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), grams.as("g"))
+      .withColumn("bucket",
+        array_min(transform(col("g"), x => xxhash64(x))))
+    val a = docs.select(col("bucket"), col("doc_id").as("id_a"),
+      col("g").as("g_a"))
+    val b = docs.select(col("bucket"), col("doc_id").as("id_b"),
+      col("g").as("g_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  // ===================================================================
+  // embedding similarity search
+  // ===================================================================
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
+      (acc, x) => acc + x)
+
+  private def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k (k=10) for one query vector (vec_id=0):
+    * the correctness baseline. The query side is a broadcast single
+    * row, so the "brute force" is a broadcast nested-loop over the
+    * collection — scans the table once, no shuffle. */
+  def simBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (dot(col("e"), col("qe")) /
+          (l2norm(col("e")) * l2norm(col("qe")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Sign-LSH bucketed ANN: 8 deterministic pseudo-random hyperplanes
+    * (plane p, dim i → hash-derived ±1) → 8-bit signature → bucket
+    * equi-join between query and collection → exact cosine inside
+    * buckets only. The scale path: candidate generation is a shuffle
+    * on an 8-bit key instead of an N×K cross join. */
+  def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val planes = 8
+    // signature bit p = sign(sum_i e[i] * plane(p, i)); plane(p,i) is
+    // ±1 from a hash of (p, i) — deterministic, no stored model.
+    val sig =
+      s"""aggregate(
+         |  zip_with(e, sequence(0, size(e) - 1),
+         |    (x, i) -> named_struct('x', x, 'i', i)),
+         |  array_repeat(cast(0.0 as double), $planes),
+         |  (acc, s) -> zip_with(acc, sequence(0, ${planes - 1}),
+         |    (a, p) -> a + s.x * CASE WHEN (xxhash64(s.i, p) & 1) = 1
+         |                        THEN 1.0 ELSE -1.0 END))""".stripMargin
+    val packSig =
+      s"""aggregate(
+         |  zip_with(sigv, sequence(0, ${planes - 1}),
+         |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
+         |  0L, (acc, x) -> acc + x)""".stripMargin
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("sigv", expr(sig))
+      .withColumn("bucket", expr(packSig))
+      .drop("sigv")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("e").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"), col("label"),
+        (dot(col("e"), col("qe")) /
+          (l2norm(col("e")) * l2norm(col("qe")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup: all-pairs via sign-LSH buckets (same
+    * signature → candidate), top-20 most similar pairs. */
+  def ddEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val planes = 12
+    val sig =
+      s"""aggregate(
+         |  zip_with(e, sequence(0, size(e) - 1),
+         |    (x, i) -> named_struct('x', x, 'i', i)),
+         |  array_repeat(cast(0.0 as double), $planes),
+         |  (acc, s) -> zip_with(acc, sequence(0, ${planes - 1}),
+         |    (a, p) -> a + s.x * CASE WHEN (xxhash64(s.i, p) & 1) = 1
+         |                        THEN 1.0 ELSE -1.0 END))""".stripMargin
+    val packSig =
+      s"""aggregate(
+         |  zip_with(sigv, sequence(0, ${planes - 1}),
+         |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
+         |  0L, (acc, x) -> acc + x)""".stripMargin
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("sigv", expr(sig))
+      .withColumn("bucket", expr(packSig))
+      .drop("sigv")
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("e").as("e_a"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("e").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("e_a"), col("e_b")) /
+          (l2norm(col("e_a")) * l2norm(col("e_b")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_embed_neardup" -> (ddEmbedNearDup _),
+    "sim_brute_topk" -> (simBruteTopK _),
+    "sim_lsh_ann" -> (simLshAnn _)
+  )
+
+  /** Not SQL-expressible at reasonable effort → rows-only checks. */
+  val oracle: Map[String, String] = Map()
+}

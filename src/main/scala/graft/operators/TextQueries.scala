@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis + exact-dedup operators for the training-data
+  * pipeline surface (builder brief: dedup, language-ID, quality
+  * scoring, token counting, fingerprinting) over the `documents`
+  * table.
+  *
+  * Everything here is a single-scan declarative plan over codegen'd
+  * string functions — no UDFs, so whole-stage codegen keeps the hot
+  * path fused. At 100 TB: all per-row ops are embarrassingly
+  * parallel; the dedup groupBys shuffle on a hash of the text (or its
+  * digest), which is the minimal possible shuffle for exact dedup.
+  *
+  * Oracle determinism: only integer string ops (length/replace-count)
+  * and md5 digests — identical in Spark and DuckDB. Word/token counts
+  * are defined via space-counting (length - length(replace(' ')))
+  * rather than split(), because regex-split edge semantics differ
+  * across engines.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** #occurrences of substring `pat` in `c` (integer, engine-agnostic). */
+  private def occurrences(c: Column, pat: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
+
+  private def spaceCount(c: Column): Column =
+    (length(c) - length(translate(c, " ", ""))).cast("long")
+
+  // ===================================================================
+  // exact deduplication
+  // ===================================================================
+
+  /** Exact-dup census per language: total docs vs distinct texts
+    * (via md5 so the shuffle key is 16 bytes, not the document). */
+  def ddExactGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** Exact dedup keeping the smallest doc_id per distinct text —
+    * the deterministic version of dropDuplicates("text") (which keeps
+    * an arbitrary row). groupBy(digest).min is one shuffle on a
+    * fixed-width key; at 100 TB this beats shuffling full documents. */
+  def ddExactRows(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text_md5")
+
+  // ===================================================================
+  // text analysis
+  // ===================================================================
+
+  /** Token counting: whitespace tokens = spaces + 1 (single-space
+    * synthetic corpus), plus character length. */
+  def tTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      (spaceCount(col("text")) + 1L).as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      col("n_chars"))
+
+  /** Quality scoring: stopword density + mean token length — the
+    * integer/ratio heuristics of a corpus-quality filter, all exact
+    * integer ops then one final division (deterministic). */
+  def tQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = spaceCount(col("text")) + 1L
+    val stops = occurrences(col("text"), "the") +
+      occurrences(col("text"), "and") + occurrences(col("text"), "of")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      toks.as("n_tokens"),
+      stops.as("n_stopwords"),
+      (stops.cast("double") / toks).as("stopword_ratio"),
+      (length(col("text")).cast("double") / toks).as("mean_token_len"))
+  }
+
+  /** Language-ID heuristic: n-gram/stopword evidence → label. The
+    * classifier is a deterministic CASE over integer counts so the
+    * oracle can replay it; compared against the shipped `lang` truth
+    * column per row. */
+  def tLangId(s: SparkSession, dir: String): DataFrame = {
+    val en = occurrences(col("text"), " the ") +
+      occurrences(col("text"), " and ")
+    val de = occurrences(col("text"), " der ") +
+      occurrences(col("text"), " und ")
+    val fr = occurrences(col("text"), " le ") +
+      occurrences(col("text"), " et ")
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      when(en >= de && en >= fr && en > 0, "en")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown").as("lang_pred"))
+  }
+
+  /** Document fingerprinting: digest of the normalized text — the
+    * constant-width key used for dedup joins at scale. */
+  def tFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      substring(md5(lower(col("text"))), 1, 16).as("fp"),
+      col("source"))
+
+  /** Corpus profile per (lang, source): counts + exact char sums. */
+  def tLangDist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  // ===================================================================
+  // registration
+  // ===================================================================
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact_group" -> (ddExactGroup _),
+    "dd_exact_rows" -> (ddExactRows _),
+    "t_token_count" -> (tTokenCount _),
+    "t_quality_score" -> (tQualityScore _),
+    "t_lang_id" -> (tLangId _),
+    "t_fingerprint" -> (tFingerprint _),
+    "t_lang_dist" -> (tLangDist _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact_group" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY lang""".stripMargin,
+    "dd_exact_rows" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "t_token_count" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc,
+        | n_chars
+        |FROM documents""".stripMargin,
+    "t_quality_score" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3
+        |   + (length(text) - length(replace(text, 'and', ''))) / 3
+        |   + (length(text) - length(replace(text, 'of', ''))) / 2 AS BIGINT) AS n_stopwords,
+        |  CAST(length(text) AS BIGINT) AS len
+        | FROM documents)
+        |SELECT doc_id, n_tokens, n_stopwords,
+        | CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+        | CAST(len AS DOUBLE) / n_tokens AS mean_token_len
+        |FROM t""".stripMargin,
+    "t_lang_id" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+        |   + (length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT) AS en,
+        |  CAST((length(text) - length(replace(text, ' der ', ''))) / 5
+        |   + (length(text) - length(replace(text, ' und ', ''))) / 5 AS BIGINT) AS de,
+        |  CAST((length(text) - length(replace(text, ' le ', ''))) / 4
+        |   + (length(text) - length(replace(text, ' et ', ''))) / 4 AS BIGINT) AS fr
+        | FROM documents)
+        |SELECT doc_id, lang,
+        | CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+        |      WHEN de >= fr AND de > 0 THEN 'de'
+        |      WHEN fr > 0 THEN 'fr'
+        |      ELSE 'unknown' END AS lang_pred
+        |FROM t""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp, source
+        |FROM documents""".stripMargin,
+    "t_lang_dist" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source""".stripMargin
+  )
+}

@@ -7,9 +7,10 @@ import org.apache.spark.sql.types._
   * spark_streaming_app.py:33-45; CSV header in t1/t2/t3.csv; SQL DDL
   * at to_sql.py:13-27).
   *
-  * `txnType` maps to the wire column `type` (reserved word in Scala);
-  * the StructType keeps the wire name. Spelling `oldbalanceOrg` (no
-  * 'i') is the reference's own inconsistency, kept for parity.
+  * The case class keeps the wire column name `type` via Scala
+  * backticks, so `Dataset[Transaction]` round-trips the wire schema
+  * without renames. Spelling `oldbalanceOrg` (no 'i') is the
+  * reference's own inconsistency, kept for parity.
   */
 final case class Transaction(
     step: Int,
