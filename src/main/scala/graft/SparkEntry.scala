@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ml.MlQueries
 import graft.operators.{RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       TextQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++
+      MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++
       TextQueries.oracle ++
-      SimilarityQueries.oracle
+      SimilarityQueries.oracle ++
+      MlQueries.oracle
 }

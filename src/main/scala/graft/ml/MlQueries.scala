@@ -1,0 +1,144 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, OneHotEncoder, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Oracle-able SQL analogues + rows-only drivers for the ML operator
+  * surface (SURVEY §2.4 M1–M9). The estimators run for real (MLlib
+  * fit/transform); where the fitted transform has a closed-form SQL
+  * equivalent (frequency-rank for StringIndexer, case-when for
+  * OneHotEncoder, windowed z-score for StandardScaler) the query gets
+  * a DuckDB oracle; the iterative LR fit is asserted in ScalaTest
+  * (golden metrics) and registered rows-only here.
+  */
+object MlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** M1: StringIndexer (frequencyDesc, ties alphabetical) on
+    * lineitem.l_returnflag — oracle = join against a frequency-ranked
+    * dimension. */
+  def m1StringIndexer(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    new StringIndexer()
+      .setInputCol("l_returnflag").setOutputCol("flag_indexed")
+      .setHandleInvalid("keep")
+      .fit(df).transform(df)
+  }
+
+  /** M2: OneHotEncoder over the indexed column, exploded to (pos,
+    * val) pairs so the oracle does not depend on vector width. */
+  def m2OneHot(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    val indexer = new StringIndexer()
+      .setInputCol("l_returnflag").setOutputCol("flag_indexed")
+      .setHandleInvalid("keep")
+    val encoder = new OneHotEncoder()
+      .setInputCols(Array("flag_indexed"))
+      .setOutputCols(Array("flag_encoded"))
+    val indexed = indexer.fit(df).transform(df)
+    encoder.fit(indexed).transform(indexed)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        posexplode(vector_to_array(col("flag_encoded")))
+          .as(Seq("pos", "val")))
+  }
+
+  /** M3+M4: VectorAssembler + StandardScaler (withMean, withStd) over
+    * two numeric columns — oracle = windowed z-score, rounded to 4dp
+    * on both sides (the scaler's mean/std accumulation differs from
+    * SQL's in final ulps). */
+  def m4Scaler(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice")
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_extendedprice"))
+      .setOutputCol("raw").setHandleInvalid("keep")
+      .transform(df)
+    new StandardScaler()
+      .setInputCol("raw").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true)
+      .fit(assembled).transform(assembled)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(vector_to_array(col("scaled")).getItem(0), 4).as("z_qty"),
+        round(vector_to_array(col("scaled")).getItem(1), 4).as("z_price"))
+  }
+
+  /** M5+M6+M7+M9 (+A4): train the full 5-stage pipeline on the
+    * PaySim-shaped frame derived from `events`, evaluate, and emit
+    * the metrics row. Iterative LBFGS fit → no SQL oracle (golden
+    * metrics asserted in ScalaTest); registered rows-only. */
+  def m5TrainEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txns = Transactions.fromEvents(s, dir)
+    val (train, test) = FraudPipeline.split(txns)
+    val model = FraudPipeline.train(train)
+    Seq(FraudPipeline.evaluate(model, test)).toDF()
+  }
+
+  /** M8: seed-42 randomSplit — split sizes (deterministic per
+    * partitioning; rows-only). */
+  def m8RandomSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txns = Transactions.fromEvents(s, dir)
+    val (train, test) = FraudPipeline.split(txns)
+    Seq((train.count(), test.count())).toDF("train_rows", "test_rows")
+  }
+
+  /** M9: score with a trained model and project fraud_prediction /
+    * fraud_probability (P7/P8) — class distribution of predictions. */
+  def m9Predict(s: SparkSession, dir: String): DataFrame = {
+    val txns = Transactions.fromEvents(s, dir)
+    val (train, test) = FraudPipeline.split(txns)
+    val model = FraudPipeline.train(train)
+    FraudPipeline.predict(model, test)
+      .groupBy(col("fraud_prediction"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("fraud_probability")), 3).as("avg_prob"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m1_string_indexer" -> (m1StringIndexer _),
+    "m2_onehot" -> (m2OneHot _),
+    "m4_scaler" -> (m4Scaler _),
+    "m5_train_eval" -> (m5TrainEval _),
+    "m8_random_split" -> (m8RandomSplit _),
+    "m9_predict" -> (m9Predict _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m1_string_indexer" ->
+      """WITH ranks AS (
+        | SELECT l_returnflag,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, l_returnflag ASC)
+        |       - 1 AS DOUBLE) AS flag_indexed
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |       r.flag_indexed
+        |FROM lineitem l JOIN ranks r USING (l_returnflag)""".stripMargin,
+    "m2_onehot" ->
+      """WITH ranks AS (
+        | SELECT l_returnflag,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, l_returnflag ASC)
+        |       - 1 AS DOUBLE) AS idx
+        | FROM lineitem GROUP BY l_returnflag),
+        |positions AS (SELECT CAST(idx AS INTEGER) AS pos FROM ranks)
+        |SELECT l.l_orderkey, l.l_linenumber, p.pos,
+        |  CASE WHEN r.idx = p.pos THEN 1.0 ELSE 0.0 END AS val
+        |FROM lineitem l
+        |JOIN ranks r USING (l_returnflag)
+        |CROSS JOIN positions p""".stripMargin,
+    "m4_scaler" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round((l_quantity - avg(l_quantity) OVER ())
+        |   / stddev_samp(l_quantity) OVER (), 4) AS z_qty,
+        | round((l_extendedprice - avg(l_extendedprice) OVER ())
+        |   / stddev_samp(l_extendedprice) OVER (), 4) AS z_price
+        |FROM lineitem""".stripMargin
+  )
+}
