@@ -33,6 +33,6 @@ object Transactions {
         col("user_id") + 7).as("nameDest"),
       (col("value") * 500.0).as("oldbalanceDest"),
       (col("value") * 500.0 + col("value") * 1000.0).as("newbalanceDest"),
-      when(col("value") > 400.0, 1).otherwise(0).as("isFraud"),
+      when(col("value") > 100.0, 1).otherwise(0).as("isFraud"),
       lit(0).as("isFlaggedFraud"))
 }

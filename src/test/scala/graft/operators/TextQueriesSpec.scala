@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class TextQueriesSpec extends SparkSpec {
+
+  test("token count equals whitespace-split count on the corpus") {
+    // The synthetic corpus is single-space separated, so
+    // space-counting must agree with an actual split.
+    val mismatches = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (size(split(col("text"), " "))).cast("long").as("via_split"))
+      .join(TextQueries.tTokenCount(spark, sfDir), "doc_id")
+      .filter(col("via_split") =!= col("n_tokens"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("n_chars_calc matches the shipped n_chars column") {
+    val bad = TextQueries.tTokenCount(spark, sfDir)
+      .filter(col("n_chars_calc") =!= col("n_chars")).count()
+    assert(bad == 0)
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val distinctTexts = Tables.documents(spark, sfDir)
+      .select("text").distinct().count()
+    assert(TextQueries.ddExactRows(spark, sfDir).count() == distinctTexts)
+  }
+
+  test("fingerprint is stable and case-insensitive") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello World", "a"), (2L, "hello world", "b"),
+      (3L, "different", "c")).toDF("doc_id", "text", "source")
+    val fps = docs.select(col("doc_id"),
+      substring(md5(lower(col("text"))), 1, 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("single-pass conditional agg equals filtered counts (property)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.zip(Gen.oneOf(0, 1), Gen.oneOf(0, 1)))
+    for (seed <- 1L to 5L) {
+      val pairs = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      val df = pairs.toDF("pred", "label").cache()
+      val one = df.agg(
+        sum(when(col("pred") === 1 && col("label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 0 && col("label") === 1, 1L)
+          .otherwise(0L)).as("fn")).head()
+      val tp = df.filter(col("pred") === 1 && col("label") === 1).count()
+      val fn = df.filter(col("pred") === 0 && col("label") === 1).count()
+      df.unpersist()
+      assert((one.getLong(0), one.getLong(1)) == ((tp, fn)),
+        s"seed $seed")
+    }
+  }
+}
