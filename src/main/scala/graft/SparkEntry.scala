@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     RelationalQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
-      MlQueries.queries
+      MlQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     RelationalQueries.oracle ++
       TextQueries.oracle ++
       SimilarityQueries.oracle ++
-      MlQueries.oracle
+      MlQueries.oracle ++
+      MultimodalQueries.oracle
 }

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Multimodal-column plumbing for the training-data pipeline: media
+  * as opaque `BinaryType` payloads + a typed metadata struct, with
+  * decode / feature-extraction / resize implemented as per-partition
+  * batch transforms.
+  *
+  * The actual codecs (image/audio libs) are NOT in this environment,
+  * so the decode step is a clearly-marked deterministic fake
+  * (`FakeCodec`) — the Spark-side contract (schema, partitioning,
+  * batch shape, binary lifecycle) is real and tested, and swapping
+  * the fake for a JNI/library codec changes one function.
+  *
+  * Scale posture: payload bytes travel executor-side only; metadata
+  * is a narrow struct usable for partition pruning; per-partition
+  * iterators keep the decode batched (mapPartitions — the Scala
+  * analogue of mapInPandas' batch contract) instead of per-row UDF
+  * calls.
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Media asset: payload + metadata struct (the parquet layout a
+    * 100 TB media lake would use; metadata columns first so scans
+    * that only prune on metadata never touch the payload bytes). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)
+    )), nullable = false),
+    StructField("payload", BinaryType, nullable = false)
+  ))
+
+  /** STUB CODEC — deterministic fake standing in for libjpeg/ffmpeg
+    * (not present in this container). Real implementation would
+    * decode `payload`; the fake derives stable pseudo-properties from
+    * the bytes so tests are reproducible. */
+  object FakeCodec {
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      val n = payload.length
+      (256 + (n % 512), 144 + (n % 288))
+    }
+
+    /** "Feature vector" of a media payload: 8 deterministic byte
+      * statistics (real codec would emit an embedding). */
+    def features(payload: Array[Byte]): Array[Double] = {
+      val buckets = new Array[Double](8)
+      var i = 0
+      while (i < payload.length) {
+        buckets(java.lang.Byte.toUnsignedInt(payload(i)) % 8) += 1
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toDouble
+      buckets.map(_ / n)
+    }
+
+    /** "Resize": real codec would re-encode; fake truncates/pads the
+      * byte budget for the target dims (3 bytes/pixel). */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = w * h * 3
+      java.util.Arrays.copyOf(payload, target)
+    }
+
+    /** "Frame sample": every k-th 1 KiB block as a frame payload. */
+    def sampleFrames(payload: Array[Byte], everyK: Int): Seq[Array[Byte]] =
+      payload.grouped(1024).zipWithIndex
+        .collect { case (b, i) if i % everyK == 0 => b }
+        .toSeq
+  }
+
+  /** Build a media-asset frame from the documents table (payload =
+    * utf-8 bytes standing in for encoded media). */
+  def assets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      struct(
+        length(col("text")).cast("long").as("byte_len"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("n_frames")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Metadata-only scan: byte census per media type — the payload
+    * column must not be read (verified via ReadSchema in tests). */
+  def mmMetaOnly(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir)
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("meta.byte_len")).cast("long").as("total_bytes"),
+        max(col("meta.byte_len")).as("max_bytes"))
+
+  /** Decode + feature-extract via per-partition batches
+    * (mapPartitions = the JVM analogue of mapInPandas' batch
+    * contract). Output: narrow analytical columns, payload dropped. */
+  def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("f0", DoubleType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    assets(s, dir)
+      .select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (w, h) = FakeCodec.decodeDims(payload)
+          val feats = FakeCodec.features(payload)
+          val frames = FakeCodec.sampleFrames(payload, 2).size
+          Row(id, w, h, feats(0), frames)
+        }
+      }(enc)
+  }
+
+  /** Binary expression surface that IS oracle-able: payload length +
+    * digest + base64 prefix — exact in both engines. */
+  def mmBinaryOps(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).select(
+      col("asset_id"),
+      length(col("payload")).cast("long").as("payload_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      substring(base64(col("payload")), 1, 24).as("b64_prefix"))
+
+  val queries: Map[String, Q] = Map(
+    "mm_meta_only" -> (mmMetaOnly _),
+    "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_binary_ops" -> (mmBinaryOps _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_meta_only" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        | count(*) AS n_assets,
+        | CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+        | CAST(max(length(text)) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "mm_binary_ops" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+        | md5(text) AS payload_md5,
+        | substr(to_base64(encode(text)), 1, 24) AS b64_prefix
+        |FROM documents""".stripMargin
+    // mm_decode_features: stub codec — rows-only.
+  )
+}

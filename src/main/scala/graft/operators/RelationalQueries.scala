@@ -429,6 +429,46 @@ object RelationalQueries {
       approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
   // ===================================================================
+  // SQL entry point + event-time windows
+  // ===================================================================
+
+  /** The `spark.sql` entry point over registered views — a TPC-H
+    * Q3-shaped shipping-priority query (3-way join, filter on both
+    * fact sides, group, top-k). Catalyst broadcast-joins the filtered
+    * customer side; revenue aggregated as exact cents. */
+  def q3SqlShipping(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | year(o_orderdate) AS order_year
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, year(o_orderdate)
+        |ORDER BY revenue_cents DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** Event-time tumbling window (1 h) over the events stream table —
+    * the batch analogue of a windowed streaming aggregation. Bucket
+    * key by exact integer division of the nano timestamp (the nanos
+    * column is read as long; see Sessions). */
+  def e1EventWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("ts div 3600000000000").as("hour_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(cents(col("value"))).cast("long").as("sum_value_cents"))
+
+  // ===================================================================
   // registration
   // ===================================================================
 
@@ -465,7 +505,9 @@ object RelationalQueries {
     "g1_rollup" -> (g1Rollup _),
     "g2_cube" -> (g2Cube _),
     "d1_count_distinct" -> (d1CountDistinct _),
-    "d2_approx_distinct" -> (d2ApproxDistinct _)
+    "d2_approx_distinct" -> (d2ApproxDistinct _),
+    "q3_sql_shipping" -> (q3SqlShipping _),
+    "e1_event_window" -> (e1EventWindow _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names and types —
@@ -642,7 +684,28 @@ object RelationalQueries {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
     // d2_approx_distinct: intentionally no oracle (HLL++ estimates).
+    "q3_sql_shipping" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | CAST(year(o_orderdate) AS INTEGER) AS order_year
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, year(o_orderdate)
+        |ORDER BY revenue_cents DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "e1_event_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+        | count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
