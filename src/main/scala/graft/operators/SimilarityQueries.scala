@@ -36,47 +36,85 @@ object SimilarityQueries {
       s"sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
       s"i -> substring($textCol, i, $k)))")
 
-  /** MinHash signature: per permutation j, min over shingle hashes of
-    * xxhash64(shingle, j). nHashes independent hash fns via seed col. */
-  private def minhashSig(shinglesCol: Column, nHashes: Int): Column =
+  /** Word k-gram shingles over a pre-split `wordsCol` array. The
+    * split MUST be materialized once per row first — `split()`
+    * inlined into the per-element lambda is O(words²) per document. */
+  private def wordGramExpr(wordsCol: String, k: Int): Column =
+    expr(s"array_distinct(transform(" +
+      s"sequence(1, greatest(size($wordsCol) - ${k - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice($wordsCol, i, $k))))")
+
+  /** MinHash signature from PRE-HASHED shingles (array<long>): per
+    * permutation j, min over xxhash64(h, j). Hashing the string
+    * shingle once and deriving the permutations from the long keeps
+    * per-element work constant. */
+  private def minhashSig(hashesCol: Column, nHashes: Int): Column =
     transform(sequence(lit(0), lit(nHashes - 1)),
-      j => array_min(transform(shinglesCol, sh => xxhash64(sh, j))))
+      j => array_min(transform(hashesCol, h => xxhash64(h, j))))
 
   // ===================================================================
   // MinHash + LSH near-duplicate pairs
   // ===================================================================
 
   /** MinHash LSH near-dup candidates → exact Jaccard verify → top
-    * pairs. 16 hashes, 4 bands of 4: docs sharing any band bucket are
-    * candidates (one equi-join on (band, hash-of-band)); Jaccard is
-    * then computed only for candidates via array_intersect/union of
-    * their shingle sets. */
+    * pairs.
+    *
+    * Shingles are word 3-grams (hashed once to longs): on a
+    * small-vocabulary corpus, character shingles give random doc
+    * pairs Jaccard ≈ 0.5+ and EVERY bucket goes hot — word n-grams
+    * keep baseline similarity near zero while near-dups (an edit or
+    * two) still share most shingles. 32 hashes in 4 bands of 8: the
+    * collision curve is steep at Jaccard ≈ 0.9 and ≈ 0 at 0.5.
+    *
+    * Scale hygiene: (1) candidate generation is SLIM — only (band,
+    * bhash, doc_id) shuffles, shingle arrays are joined back after
+    * the pair set is deduplicated; (2) buckets larger than
+    * `maxBucket` are dropped before pairing — an oversize LSH bucket
+    * is non-discriminative by definition and quadratic to expand
+    * (the standard hot-bucket cap; at 100 TB this is the difference
+    * between a bounded join and a runaway one). */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val nHashes = 16
+    val nHashes = 32
     val bands = 4
-    val rows = bands // band width = nHashes / bands
+    val rows = nHashes / bands
+    val maxBucket = 50
+    // localCheckpoint: both intermediates are slim (ids + hashes) but
+    // expensive to derive, and each is consumed by 3+ downstream
+    // subplans (bucket census, both self-join sides, array fetch) —
+    // without materialization the shingle/signature computation runs
+    // once PER CONSUMER.
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleExpr("text", 5).as("sh"))
-      .withColumn("sig", minhashSig(col("sh"), nHashes))
-    val banded = docs.select(
-      col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bhash"))))
-        .as("bucket"))
-      .select(col("doc_id"), col("sh"),
-        col("bucket.band"), col("bucket.bhash"))
-    val a = banded.select(col("band"), col("bhash"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bhash"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        transform(wordGramExpr("words", 3), g => xxhash64(g)).as("hs"))
+      .localCheckpoint()
+    val banded = docs
+      .withColumn("sig", minhashSig(col("hs"), nHashes))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
+              .as("bhash")))).as("bucket"))
+      .select(col("doc_id"), col("bucket.band"), col("bucket.bhash"))
+      .localCheckpoint()
+    val smallBuckets = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("band", "bhash")
+    val pruned = banded.join(smallBuckets, Seq("band", "bhash"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"), Seq("band", "bhash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b")))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
@@ -89,7 +127,7 @@ object SimilarityQueries {
     val bits = 32
     val votes =
       s"""aggregate(
-         |  transform(sh, x -> xxhash64(x)),
+         |  hs,
          |  array_repeat(0L, $bits),
          |  (acc, h) -> zip_with(acc,
          |    transform(sequence(0, ${bits - 1}),
@@ -102,27 +140,34 @@ object SimilarityQueries {
          |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
          |  0L, (acc, x) -> acc + x)""".stripMargin
     Tables.documents(s, dir)
-      .select(col("doc_id"), shingleExpr("text", 5).as("sh"))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        transform(wordGramExpr("words", 3), g => xxhash64(g)).as("hs"))
       .withColumn("votes", expr(votes))
       .select(col("doc_id"), expr(pack).as("simhash"))
   }
 
   /** n-gram Jaccard similarity via bucketed self-join: word 3-gram
-    * sets, bucketed by the document's rarest-hash n-gram (min
-    * xxhash64) so candidate pairs share at least that n-gram — an
-    * equi-join, not a cartesian. Top-20 most similar pairs. */
+    * sets (hashed to longs), bucketed by the document's rarest-hash
+    * n-gram (min xxhash64) so candidate pairs share at least that
+    * n-gram — an equi-join, not a cartesian, with the same hot-bucket
+    * cap as MinHash LSH. Top-20 most similar pairs. */
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-        |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+    val maxBucket = 50
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), grams.as("g"))
-      .withColumn("bucket",
-        array_min(transform(col("g"), x => xxhash64(x))))
-    val a = docs.select(col("bucket"), col("doc_id").as("id_a"),
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        transform(wordGramExpr("words", 3), g => xxhash64(g)).as("g"))
+      .withColumn("bucket", array_min(col("g")))
+      .localCheckpoint() // consumed by census + both join sides
+    val smallBuckets = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("bucket")
+    val pruned = docs.join(smallBuckets, Seq("bucket"))
+    val a = pruned.select(col("bucket"), col("doc_id").as("id_a"),
       col("g").as("g_a"))
-    val b = docs.select(col("bucket"), col("doc_id").as("id_b"),
+    val b = pruned.select(col("bucket"), col("doc_id").as("id_b"),
       col("g").as("g_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -223,6 +268,7 @@ object SimilarityQueries {
       .withColumn("sigv", expr(sig))
       .withColumn("bucket", expr(packSig))
       .drop("sigv")
+      .localCheckpoint() // consumed by both self-join sides
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
       col("e").as("e_a"))
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
