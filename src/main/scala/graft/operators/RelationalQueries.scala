@@ -425,8 +425,8 @@ object RelationalQueries {
     * driver records a rows-only check. */
   def d2ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
   // ===================================================================
   // SQL entry point + event-time windows

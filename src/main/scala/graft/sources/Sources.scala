@@ -28,17 +28,17 @@ object Sources {
 
   /** S3: Kafka stream source with the reference's options
     * (spark_streaming_app.py:409-416): earliest offsets, tolerant of
-    * data loss (T7). Requires the spark-sql-kafka connector on the
-    * runtime classpath (not shipped in this image — validated in
-    * integration, not unit tests). */
+    * data loss (T7). Returns the configured reader — call `.load()`
+    * where the spark-sql-kafka connector is on the classpath (it is
+    * not shipped in this image, so source resolution is deferred to
+    * the caller and validated in integration, not unit tests). */
   def kafkaStream(spark: SparkSession, bootstrapServers: String,
-      topic: String): DataFrame =
+      topic: String): org.apache.spark.sql.streaming.DataStreamReader =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .option("failOnDataLoss", "false")
-      .load()
 
   /** S4: partitioned JDBC scan — replaces the reference's manual
     * OFFSET/LIMIT pagination (postgres_model_inference.py:272-275),
