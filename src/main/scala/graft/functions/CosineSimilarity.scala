@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native codegen'd cosine similarity over two double arrays.
+  *
+  * Why a custom Catalyst Expression (SURVEY §7.4's "first real
+  * candidate for custom Catalyst work"): the composable alternative —
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)` —
+  * runs on Spark's INTERPRETED higher-order-function path: one
+  * closure dispatch + boxed java.lang.Double per element, and it
+  * breaks the surrounding WholeStageCodegen span. This expression
+  * compiles to a tight primitive loop inside the generated code, so
+  * a 64-dim cosine is ~64 fused multiply-adds instead of ~192 boxed
+  * lambda calls.
+  *
+  * Semantics: null if either side is null (nullSafeEval contract);
+  * NaN when either vector has zero norm (same as the composed
+  * expression). Inputs must be equal length (vectors from the same
+  * embedding column by construction).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects (array<double>, array<double>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv;
+         |  $nx += $xv * $xv;
+         |  $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  val ident: FunctionIdentifier = FunctionIdentifier("cosine_sim")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "cosine_sim")
+
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"cosine_sim expects 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
+  /** SparkSessionExtensions hook:
+    * `.withExtensions(CosineSimilarity.register)` on the builder. */
+  def register(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((ident, info, builder))
+
+  /** Imperative registration for an existing session (tests,
+    * Verify/Bench mains). */
+  def registerTo(registry: FunctionRegistry): Unit =
+    registry.registerFunction(ident, info, builder)
+}

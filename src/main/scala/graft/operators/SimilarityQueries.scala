@@ -188,6 +188,13 @@ object SimilarityQueries {
 
   private def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine via the native codegen'd expression
+    * (graft.functions.CosineSimilarity, registered through
+    * SparkSessionExtensions) — the composed HOF version above is kept
+    * for the equivalence test. */
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_sim($a, $b)")
+
   /** Brute-force cosine top-k (k=10) for one query vector (vec_id=0):
     * the correctness baseline. The query side is a broadcast single
     * row, so the "brute force" is a broadcast nested-loop over the
@@ -201,8 +208,7 @@ object SimilarityQueries {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        (dot(col("e"), col("qe")) /
-          (l2norm(col("e")) * l2norm(col("qe")))).as("cosine"))
+        cosine("e", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
@@ -240,8 +246,7 @@ object SimilarityQueries {
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(q), Seq("bucket"))
       .select(col("vec_id"), col("label"),
-        (dot(col("e"), col("qe")) /
-          (l2norm(col("e")) * l2norm(col("qe")))).as("cosine"))
+        cosine("e", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
@@ -276,8 +281,7 @@ object SimilarityQueries {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("e_a"), col("e_b")) /
-          (l2norm(col("e_a")) * l2norm(col("e_b")))).as("cosine"))
+        cosine("e_a", "e_b").as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
