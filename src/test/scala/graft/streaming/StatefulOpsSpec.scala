@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.schema.Transaction
+
+class StatefulOpsSpec extends SparkSpec {
+
+  private def txn(step: Int, orig: String, oldBal: Double,
+      newBal: Double, fraud: Int = 0): Transaction =
+    Transaction(step, "TRANSFER", oldBal - newBal, orig, oldBal, newBal,
+      "C999", 0.0, 0.0, fraud, 0)
+
+  test("running balance accumulates per account across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val updates = StatefulOps.runningBalance(input.toDS())
+    val q = updates.writeStream.format("memory")
+      .queryName("balance_sink").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(txn(1, "A", 100.0, 60.0), txn(1, "B", 50.0, 50.0))
+      q.processAllAvailable()
+      input.addData(txn(2, "A", 60.0, 10.0))
+      q.processAllAvailable()
+      // Last update per account reflects the accumulated state.
+      val last = spark.table("balance_sink")
+        .groupBy("account")
+        .agg(max(struct(col("txnCount"), col("netFlow"))).as("s"))
+        .select(col("account"), col("s.txnCount"), col("s.netFlow"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(last("A") == ((2L, -90.0))) // -40 then -50
+      assert(last("B") == ((1L, 0.0)))
+    } finally q.stop()
+  }
+
+  test("windowed type counts aggregate by event-time hour") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val windowed = StatefulOps.windowedTypeCounts(input.toDF())
+    val q = windowed.writeStream.format("memory")
+      .queryName("window_sink").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        txn(1, "A", 100.0, 50.0, fraud = 1),
+        txn(1, "B", 10.0, 5.0),
+        txn(2, "C", 30.0, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("window_sink")
+        .select(col("window.start").cast("string").as("w"),
+          col("n_txns"), col("n_fraud"))
+        .collect()
+      val byWindow = rows.map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(byWindow("2024-01-01 01:00:00") == ((2L, 1L)))
+      assert(byWindow("2024-01-01 02:00:00") == ((1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("windowed aggregation works identically on the batch table") {
+    val parsed = graft.ml.Transactions.fromEvents(spark, sfDir)
+    val agg = StatefulOps.windowedTypeCounts(parsed)
+    assert(!agg.isStreaming)
+    val total = agg.agg(sum(col("n_txns"))).head().getLong(0)
+    assert(total == parsed.count())
+  }
+}
