@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsofJoin, ExtendedQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,9 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       MlQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      AsofJoin.queries ++
+      ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +36,7 @@ object SparkEntry {
       TextQueries.oracle ++
       SimilarityQueries.oracle ++
       MlQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++
+      AsofJoin.oracle ++
+      ExtendedQueries.oracle
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Second-ring relational surface: pivot, scalar subqueries, HAVING,
+  * string/date scalar functions — all oracle-checked. Determinism
+  * rules follow RelationalQueries (exact thresholds, integer outputs,
+  * casts pinned on both engines).
+  */
+object ExtendedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** PIVOT: order counts per year × status (explicit pivot values →
+    * stable schema at any scale; an unpinned pivot needs an extra
+    * distinct pass to discover columns). */
+  def x2Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+
+  /** Scalar subquery: orders above half the global max price. The
+    * threshold is max/2 (exact fp) — never a mean, whose
+    * accumulation order would make the boundary nondeterministic. */
+  def x3ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_ss")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders_ss
+        |WHERE o_totalprice >
+        |  (SELECT max(o_totalprice) FROM orders_ss) / 2""".stripMargin)
+  }
+
+  /** HAVING: customers with more than 3 orders (post-aggregation
+    * filter — Catalyst runs it after the partial+final agg). */
+  def x4Having(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 3)
+
+  /** String scalar functions over nation (small, all-deterministic):
+    * upper/lower/substring/concat/replace/lpad/trim/length. */
+  def x5StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      col("n_nationkey"),
+      upper(col("n_name")).as("up"),
+      lower(col("n_name")).as("lo"),
+      substring(col("n_name"), 1, 3).as("pre3"),
+      concat_ws("-", col("n_name"), col("n_regionkey")).as("joined"),
+      regexp_replace(col("n_name"), "a", "@").as("replaced"),
+      lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
+      length(col("n_name")).cast("long").as("name_len"))
+
+  /** Date/time scalar functions over orders: year/month/day
+    * extraction + integer month code (yyyyMM). */
+  def x6DateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("ym_code"))
+
+  /** NULL-handling functions via the lag frame: coalesce / nullif /
+    * null-aware equality on the previous event value per user. */
+  def x7NullFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev"))
+      .select(
+        col("event_id"),
+        coalesce(col("prev"), lit(0.0)).as("prev_or_zero"),
+        nullif(col("value"), col("prev")).as("value_if_changed"),
+        col("prev").isNull.as("is_first"),
+        (col("value") <=> col("prev")).as("same_as_prev"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x2_pivot" -> (x2Pivot _),
+    "x3_scalar_subquery" -> (x3ScalarSubquery _),
+    "x4_having" -> (x4Having _),
+    "x5_string_funcs" -> (x5StringFuncs _),
+    "x6_date_funcs" -> (x6DateFuncs _),
+    "x7_null_funcs" -> (x7NullFuncs _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x2_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+        |FROM orders GROUP BY 1""".stripMargin,
+    "x3_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+    "x4_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING count(*) > 3""".stripMargin,
+    "x5_string_funcs" ->
+      """SELECT n_nationkey,
+        | upper(n_name) AS up,
+        | lower(n_name) AS lo,
+        | substr(n_name, 1, 3) AS pre3,
+        | concat_ws('-', n_name, n_regionkey) AS joined,
+        | replace(n_name, 'a', '@') AS replaced,
+        | lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+        | CAST(length(n_name) AS BIGINT) AS name_len
+        |FROM nation""".stripMargin,
+    "x6_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS d,
+        | CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+        |   AS ym_code
+        |FROM orders""".stripMargin,
+    "x7_null_funcs" ->
+      """WITH lagged AS (
+        | SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events)
+        |SELECT event_id,
+        | coalesce(prev, 0.0) AS prev_or_zero,
+        | nullif(value, prev) AS value_if_changed,
+        | prev IS NULL AS is_first,
+        | value IS NOT DISTINCT FROM prev AS same_as_prev
+        |FROM lagged""".stripMargin
+  )
+}
