@@ -286,13 +286,57 @@ object SimilarityQueries {
       .limit(20)
   }
 
+  /** IVF (inverted-file) ANN: KMeans coarse quantizer (k=16, seed
+    * 42) partitions the collection into cells; the query probes only
+    * its `nprobe`=2 nearest cells and computes exact cosine there.
+    * The centroid table is index METADATA — 16×64 doubles — so
+    * picking probe cells on the driver is the correct topology (it is
+    * what a 100 TB vector index stores in its root node); the data
+    * path stays distributed and scans only probed cells (partition
+    * pruning on the cluster id at scale). */
+  def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("fv", array_to_vector(col("e")))
+    val model = new KMeans().setK(16).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb)
+    val query = assigned.filter(col("vec_id") === 0)
+      .select("e").head().getSeq[Double](0).toArray
+    val nprobe = 2
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        var d = 0.0
+        var j = 0
+        while (j < arr.length) {
+          val diff = arr(j) - query(j); d += diff * diff; j += 1
+        }
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    assigned
+      .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        expr(s"cosine_sim(e, cast(array(${query.mkString(",")}) " +
+          "as array<double>))").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_neardup" -> (ddEmbedNearDup _),
     "sim_brute_topk" -> (simBruteTopK _),
-    "sim_lsh_ann" -> (simLshAnn _)
+    "sim_lsh_ann" -> (simLshAnn _),
+    "sim_ivf_ann" -> (simIvfAnn _)
   )
 
   /** Not SQL-expressible at reasonable effort → rows-only checks. */

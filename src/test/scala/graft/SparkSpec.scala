@@ -15,6 +15,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fresh warehouse per JVM: saveAsTable leftovers from a previous
+    // run would collide with a new (empty) in-memory metastore
+    .config("spark.sql.warehouse.dir", java.nio.file.Files
+      .createTempDirectory("graft_warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Storage-layout posture tests: partitioned writes (partition
+  * pruning) and bucketed tables (co-located, shuffle-free joins) —
+  * the two layout levers a 100 TB deployment lives on.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("partitionBy layout prunes partitions on read") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part").toString
+    Tables.documents(spark, sfDir)
+      .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("lang") === "en")
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").count()
+    assert(pruned.count() == expected)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition filter in:\n$plan")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Tables.orders(spark, sfDir)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, sfDir)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // The join itself must consume the bucketing: no Exchange between
+    // the scans and the join (the post-agg exchange is fine).
+    val joinSection = plan.split("HashAggregate").head
+    assert(!joinSection.contains("Exchange"),
+      s"bucketed join should be shuffle-free:\n$plan")
+    // Sanity: same result as the plain join.
+    val expected = RelationalQueries.j2InnerBig(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("IVF ANN probes beat random: high overlap with brute force") {
+    val brute = SimilarityQueries.simBruteTopK(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SimilarityQueries.simIvfAnn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty)
+    // nprobe=2/16 on random vectors: expect meaningful recall, not
+    // necessarily full.
+    assert((brute intersect ivf).nonEmpty,
+      s"IVF found none of the brute-force top-k: $ivf vs $brute")
+  }
+}
