@@ -120,6 +120,45 @@ object TextQueries {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Top-5 terms per language by frequency: explode word arrays →
+    * two-level aggregation → windowed top-k. The explode fan-out is
+    * the classic corpus-statistics shape; the shuffle key is (lang,
+    * word) so partial aggregation absorbs the fan-out map-side. */
+  def tTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("word"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("word"), col("n"), col("rk"))
+  }
+
+  /** TF-IDF via the MLlib text stages (Tokenizer → HashingTF → IDF).
+    * Hash-bucketed term indices are algorithm-specific → rows-only
+    * (invariants asserted in ScalaTest); output is the document's
+    * top TF-IDF weight + vector sparsity. */
+  def tTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val tokens = new Tokenizer()
+      .setInputCol("text").setOutputCol("tokens").transform(docs)
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
+      .setNumFeatures(1024).transform(tokens)
+    val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf")
+      .fit(tf)
+    idfModel.transform(tf)
+      .select(col("doc_id"),
+        vector_to_array(col("tfidf")).as("v"))
+      .select(col("doc_id"),
+        round(array_max(col("v")), 6).as("top_weight"),
+        size(filter(col("v"), x => x > 0.0)).as("n_active_terms"))
+  }
+
   // ===================================================================
   // registration
   // ===================================================================
@@ -131,7 +170,9 @@ object TextQueries {
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
-    "t_lang_dist" -> (tLangDist _)
+    "t_lang_dist" -> (tLangDist _),
+    "t_top_terms" -> (tTopTerms _),
+    "t_tfidf" -> (tTfidf _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,6 +225,20 @@ object TextQueries {
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM documents GROUP BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "t_top_terms" ->
+      """WITH words AS (
+        | SELECT lang, unnest(string_split(text, ' ')) AS word
+        | FROM documents),
+        |counts AS (
+        | SELECT lang, word, count(*) AS n FROM words
+        | GROUP BY lang, word),
+        |ranked AS (
+        | SELECT lang, word, n,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, word ASC) AS INTEGER) AS rk
+        | FROM counts)
+        |SELECT lang, word, n, rk FROM ranked WHERE rk <= 5""".stripMargin
+    // t_tfidf: hash-bucketed features — rows-only.
   )
 }

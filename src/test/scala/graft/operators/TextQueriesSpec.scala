@@ -44,6 +44,51 @@ class TextQueriesSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("tf-idf: stopword-heavy docs get lower top weights than rare-term docs") {
+    import spark.implicits._
+    // "the" appears in EVERY doc → idf = ln((N+1)/(df+1)) = ln(1) = 0;
+    // each doc's unique second term has df=1 → idf = ln(2).
+    val docs = Seq(
+      (1L, "the apple"), (2L, "the banana"), (3L, "the cherry")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    import org.apache.spark.ml.functions.vector_to_array
+    val tokens = new Tokenizer()
+      .setInputCol("text").setOutputCol("tokens").transform(docs)
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
+      .setNumFeatures(1024).transform(tokens)
+    val out = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
+      .transform(tf)
+      .select(col("doc_id"),
+        array_max(vector_to_array(col("tfidf"))).as("top"),
+        size(filter(vector_to_array(col("tfidf")), x => x > 0.0))
+          .as("n_active"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    out.values.foreach { case (top, nActive) =>
+      assert(math.abs(top - math.log(2.0)) < 1e-9,
+        s"unique term weight should be ln 2, got $top")
+      assert(nActive == 1,
+        "the ubiquitous term must be zero-weighted (idf 0)")
+    }
+  }
+
+  test("top terms per lang are the actual most frequent words") {
+    val top = TextQueries.tTopTerms(spark, sfDir)
+    val counts = top.groupBy("lang").count().collect()
+    assert(counts.forall(_.getLong(1) == 5L), "5 terms per lang")
+    // rank 1 term count must equal the max word count for that lang
+    val r1 = top.filter(col("rk") === 1)
+      .select("lang", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxCounts = graft.core.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").count()
+      .groupBy("lang").agg(max("count").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == maxCounts)
+  }
+
   test("single-pass conditional agg equals filtered counts (property)") {
     import spark.implicits._
     val gen = Gen.listOfN(60, Gen.zip(Gen.oneOf(0, 1), Gen.oneOf(0, 1)))
