@@ -468,6 +468,32 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"),
         sum(cents(col("value"))).cast("long").as("sum_value_cents"))
 
+  /** Gap-based sessionization: a new session starts when a user is
+    * idle > 30 min; session id = cumulative count of session starts
+    * (lag + conditional sum — the batch formulation of a session
+    * window). Output: per-user session census. All-integer math on
+    * the long nano timestamps → deterministic. */
+  def e2Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapNs = 30L * 60 * 1000000000L
+    val flagged = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
   // ===================================================================
   // registration
   // ===================================================================
@@ -507,7 +533,8 @@ object RelationalQueries {
     "d1_count_distinct" -> (d1CountDistinct _),
     "d2_approx_distinct" -> (d2ApproxDistinct _),
     "q3_sql_shipping" -> (q3SqlShipping _),
-    "e1_event_window" -> (e1EventWindow _)
+    "e1_event_window" -> (e1EventWindow _),
+    "e2_sessionize" -> (e2Sessionize _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names and types —
@@ -706,6 +733,19 @@ object RelationalQueries {
         | count(DISTINCT user_id) AS n_users,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |   AS sum_value_cents
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "e2_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id,
+        |  CASE WHEN lag(epoch_ns(ts), 1) OVER w IS NULL
+        |        OR epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER w
+        |           > 1800000000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id,
+        | CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM flagged GROUP BY user_id""".stripMargin
   )
 }

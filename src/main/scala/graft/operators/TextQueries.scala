@@ -159,6 +159,35 @@ object TextQueries {
         size(filter(col("v"), x => x > 0.0)).as("n_active_terms"))
   }
 
+  /** End-to-end corpus-cleaning pipeline — the composed
+    * training-data flow: exact-dedup (keep min doc_id per text) →
+    * quality gate (length + stopword-density) → language gate
+    * (computed lang-id, not the trusted column) → per-source census.
+    * One declarative plan: the dedup groupBy is the only wide
+    * shuffle; the gates are pushed scans. */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, "doc_id")
+    val toks = spaceCount(col("text")) + 1L
+    val stops = occurrences(col("text"), "the") +
+      occurrences(col("text"), "and") + occurrences(col("text"), "of")
+    val en = occurrences(col("text"), " the ") +
+      occurrences(col("text"), " and ")
+    kept
+      .withColumn("n_tokens", toks)
+      .withColumn("stop_ratio", stops.cast("double") / toks)
+      .withColumn("is_en", en > 0)
+      .filter(col("n_tokens") >= 20 && col("stop_ratio") < 0.5 &&
+        col("is_en"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+  }
+
   // ===================================================================
   // registration
   // ===================================================================
@@ -172,7 +201,8 @@ object TextQueries {
     "t_fingerprint" -> (tFingerprint _),
     "t_lang_dist" -> (tLangDist _),
     "t_top_terms" -> (tTopTerms _),
-    "t_tfidf" -> (tTfidf _)
+    "t_tfidf" -> (tTfidf _),
+    "t_corpus_clean" -> (corpusClean _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -238,7 +268,29 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY n DESC, word ASC) AS INTEGER) AS rk
         | FROM counts)
-        |SELECT lang, word, n, rk FROM ranked WHERE rk <= 5""".stripMargin
+        |SELECT lang, word, n, rk FROM ranked WHERE rk <= 5""".stripMargin,
     // t_tfidf: hash-bucketed features — rows-only.
+    "t_corpus_clean" ->
+      """WITH kept AS (
+        | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |scored AS (
+        | SELECT d.source,
+        |  CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+        |    AS BIGINT) AS n_tokens,
+        |  CAST((length(d.text) - length(replace(d.text, 'the', ''))) / 3
+        |   + (length(d.text) - length(replace(d.text, 'and', ''))) / 3
+        |   + (length(d.text) - length(replace(d.text, 'of', ''))) / 2
+        |    AS BIGINT) AS n_stops,
+        |  CAST((length(d.text) - length(replace(d.text, ' the ', ''))) / 5
+        |   + (length(d.text) - length(replace(d.text, ' and ', ''))) / 5
+        |    AS BIGINT) AS en
+        | FROM documents d JOIN kept k ON d.doc_id = k.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM scored
+        |WHERE n_tokens >= 20
+        |  AND CAST(n_stops AS DOUBLE) / n_tokens < 0.5
+        |  AND en > 0
+        |GROUP BY source""".stripMargin
   )
 }
