@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV (k-minimum-values) distinct-count sketch as a typed
+  * `Aggregator` — the mergeable-sketch surface from SURVEY §7.4:
+  * unlike `approx_count_distinct`'s opaque HLL buffer, a KMV buffer
+  * is a plain sorted array of the k smallest hash values, so sketches
+  * can be persisted as ordinary columns, merged across days/tables,
+  * and intersected (Jaccard over minhashes) — the shapes a 100 TB
+  * incremental pipeline needs.
+  *
+  * Estimator: with the k-th smallest of n distinct uniform hashes at
+  * normalized position p = kth/2^64, E[distinct] ≈ (k-1)/p. Error
+  * ~ 1/sqrt(k) (k=256 → ~6%).
+  *
+  * The buffer is bounded (k longs), merge is a sorted-array merge —
+  * both map-side combinable, so the shuffle carries k longs per
+  * group, independent of input size.
+  */
+object KmvSketch {
+  val K = 256
+
+  /** Buffer: ascending array of the k smallest (unsigned-compared)
+    * xxhash64 values seen. */
+  final case class Buf(mins: Array[Long])
+
+  private def unsignedLt(a: Long, b: Long): Boolean =
+    java.lang.Long.compareUnsigned(a, b) < 0
+
+  private def insert(buf: Buf, h: Long): Buf = {
+    val m = buf.mins
+    if (m.length >= K && !unsignedLt(h, m(m.length - 1))) buf
+    else {
+      // binary search by unsigned order; skip duplicates
+      var lo = 0
+      var hi = m.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (unsignedLt(m(mid), h)) lo = mid + 1 else hi = mid
+      }
+      if (lo < m.length && m(lo) == h) buf
+      else {
+        val out = new Array[Long](math.min(m.length + 1, K))
+        System.arraycopy(m, 0, out, 0, lo)
+        if (lo < out.length) {
+          out(lo) = h
+          System.arraycopy(m, lo, out, lo + 1,
+            math.min(m.length - lo, out.length - lo - 1))
+        }
+        Buf(out)
+      }
+    }
+  }
+
+  private def mergeSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, K))
+    var i = 0
+    var j = 0
+    var n = 0
+    var last = 0L
+    var hasLast = false
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length ||
+        (i < a.length && unsignedLt(a(i), b(j)))
+      val v = if (takeA) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (!hasLast || v != last) {
+        out(n) = v; n += 1; last = v; hasLast = true
+      }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** The typed aggregator: IN = already-hashed long (hash with
+    * xxhash64(col) before aggregating so the sketch is
+    * column-type-agnostic). */
+  val aggregator: Aggregator[Long, Buf, Long] =
+    new Aggregator[Long, Buf, Long] {
+      override def zero: Buf = Buf(Array.empty)
+      override def reduce(b: Buf, h: Long): Buf = insert(b, h)
+      override def merge(a: Buf, b: Buf): Buf =
+        Buf(mergeSorted(a.mins, b.mins))
+      override def finish(b: Buf): Long = {
+        val m = b.mins
+        if (m.length < K) m.length.toLong
+        else {
+          // p = kth value as a fraction of the unsigned 64-bit space
+          val kth = m(m.length - 1)
+          val frac = kth.toDouble / 1.8446744073709552e19
+          val p = if (kth < 0) frac + 1.0 else frac
+          math.round((K - 1) / p)
+        }
+      }
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
+  /** Column API: approx distinct of a pre-hashed long column. */
+  def approxDistinct(hashed: Column): Column =
+    udaf(aggregator, Encoders.scalaLong).apply(hashed)
+}

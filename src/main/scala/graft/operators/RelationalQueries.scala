@@ -468,6 +468,17 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"),
         sum(cents(col("value"))).cast("long").as("sum_value_cents"))
 
+  /** KMV mergeable distinct sketch (graft.functions.KmvSketch, a
+    * typed Aggregator) — the persistable/mergeable alternative to
+    * HLL for incremental pipelines. Estimates; rows-only check,
+    * error bound asserted in KmvSketchSpec. */
+  def d3KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      graft.functions.KmvSketch
+        .approxDistinct(xxhash64(col("l_partkey"))).as("kmv_parts"),
+      graft.functions.KmvSketch
+        .approxDistinct(xxhash64(col("l_suppkey"))).as("kmv_supps"))
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle > 30 min; session id = cumulative count of session starts
     * (lag + conditional sum — the batch formulation of a session
@@ -534,7 +545,8 @@ object RelationalQueries {
     "d2_approx_distinct" -> (d2ApproxDistinct _),
     "q3_sql_shipping" -> (q3SqlShipping _),
     "e1_event_window" -> (e1EventWindow _),
-    "e2_sessionize" -> (e2Sessionize _)
+    "e2_sessionize" -> (e2Sessionize _),
+    "d3_kmv_distinct" -> (d3KmvDistinct _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names and types —

@@ -41,6 +41,27 @@ object ScoringStream {
       .select(from_json(col("json"), Transaction.schema).as("data"))
       .select("data.*")
 
+  /** Parse with dead-letter routing: `from_json` yields a null
+    * struct for malformed payloads (the reference silently turns
+    * them into all-null rows, spark_streaming_app.py:420 — a data
+    * bug at any scale). Returns the tagged frame; split with
+    * `validRows` / `corruptRows`. */
+  def parseTagged(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS json")
+      .select(col("json"),
+        from_json(col("json"), Transaction.schema).as("data"))
+
+  /** Well-formed rows, flattened to Transaction shape. */
+  def validRows(tagged: DataFrame): DataFrame =
+    tagged.filter(col("data").isNotNull &&
+      col("data.type").isNotNull).select("data.*")
+
+  /** Malformed payloads for the dead-letter sink (original bytes
+    * preserved for replay). */
+  def corruptRows(tagged: DataFrame): DataFrame =
+    tagged.filter(col("data").isNull || col("data.type").isNull)
+      .select(col("json").as("corrupt_payload"))
+
   /** S9 payload: fraud rows → JSON alert records, computed on
     * executors. */
   def alerts(scored: DataFrame): DataFrame =

@@ -87,6 +87,27 @@ class ScoringStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("malformed payloads route to the dead-letter path, not nulls") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val tagged = ScoringStream.parseTagged(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val goodQ = ScoringStream.validRows(tagged)
+      .writeStream.format("memory").queryName("dlq_good").start()
+    val badQ = ScoringStream.corruptRows(tagged)
+      .writeStream.format("memory").queryName("dlq_bad").start()
+    try {
+      input.addData(wireJson(5) ++ Seq("{not json at all", "42"))
+      goodQ.processAllAvailable()
+      badQ.processAllAvailable()
+      assert(spark.table("dlq_good").count() == 5)
+      val bad = spark.table("dlq_bad").collect()
+        .map(_.getString(0)).toSet
+      assert(bad == Set("{not json at all", "42"))
+    } finally { goodQ.stop(); badQ.stop() }
+  }
+
   test("empty batches are guarded (T3): no stats recorded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
