@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The engine's oracle determinism claim, tested directly: results
+  * must be IDENTICAL (not just close) under different input
+  * partitionings — the property that makes hash-compare correctness
+  * possible across cluster sizes (a 1000-executor run partitions
+  * nothing like local[4]).
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d) // bitwise
+      case x => x
+    }.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("cents-sum aggregates are bitwise stable across partitionings") {
+    def run(parts: Int) = canon(
+      Tables.lineitem(spark, sfDir).repartition(parts)
+        .filter(col("l_quantity") > 5.0)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          avg(col("l_quantity")).as("avg_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cents")))
+    assert(run(2) == run(17))
+  }
+
+  test("a raw double sum is NOT stable — the trap the cents trick avoids") {
+    def rawSum(parts: Int) =
+      Tables.lineitem(spark, sfDir).repartition(parts)
+        .agg(sum(col("l_extendedprice"))).head().getDouble(0)
+    // Not asserted unstable (it can coincide), but the exact cents
+    // path must be invariant while this one is merely approximately
+    // equal — document the contrast.
+    val a = rawSum(2)
+    val b = rawSum(17)
+    assert(math.abs(a - b) / math.abs(a) < 1e-9,
+      "raw sums should at least be close")
+  }
+
+  test("windowed running totals are stable across partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    def run(parts: Int) = canon {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(spark, sfDir).repartition(parts)
+        .select(col("o_orderkey"),
+          sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+            .as("rc"))
+    }
+    assert(run(3) == run(13))
+  }
+}
