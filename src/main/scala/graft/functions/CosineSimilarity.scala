@@ -115,4 +115,14 @@ object CosineSimilarity {
     * Verify/Bench mains). */
   def registerTo(registry: FunctionRegistry): Unit =
     registry.registerFunction(ident, info, builder)
+
+  /** Idempotent registration into any session — lets queries run in
+    * sessions built without `.withExtensions` (e.g. an external
+    * harness's own SparkSession). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry =
+      org.apache.spark.sql.GraftSqlShims.functionRegistry(spark)
+    if (registry.lookupFunctionBuilder(ident).isEmpty)
+      registerTo(registry)
+  }
 }

@@ -200,6 +200,7 @@ object SimilarityQueries {
     * row, so the "brute force" is a broadcast nested-loop over the
     * collection — scans the table once, no shuffle. */
   def simBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
@@ -219,6 +220,7 @@ object SimilarityQueries {
     * buckets only. The scale path: candidate generation is a shuffle
     * on an 8-bit key instead of an N×K cross join. */
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
     val planes = 8
     // signature bit p = sign(sum_i e[i] * plane(p, i)); plane(p,i) is
     // ±1 from a hash of (p, i) — deterministic, no stored model.
@@ -254,6 +256,7 @@ object SimilarityQueries {
   /** Embedding-cosine near-dup: all-pairs via sign-LSH buckets (same
     * signature → candidate), top-20 most similar pairs. */
   def ddEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
     val planes = 12
     val sig =
       s"""aggregate(
@@ -295,6 +298,7 @@ object SimilarityQueries {
     * path stays distributed and scans only probed cells (partition
     * pruning on the cluster id at scale). */
   def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(s, dir)

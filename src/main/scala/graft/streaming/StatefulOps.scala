@@ -57,6 +57,26 @@ object StatefulOps {
       expr("timestamp'2024-01-01 00:00:00' + " +
         "make_interval(0, 0, 0, 0, step, 0, 0)"))
 
+  /** Watermarked stream-stream inner join: each left event pairs
+    * with right events of the same key whose event time falls in
+    * [left - maxDelay, left]. Both sides carry watermarks so the
+    * join state store can evict rows older than the time bound —
+    * without the range condition + watermarks a stream-stream join
+    * buffers both streams forever. Columns: left must have
+    * (key, eventTime, ...); right (key, eventTime, ...); right's
+    * are prefixed `r_` in the output. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      key: String, maxDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("eventTime", maxDelay)
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+      .withWatermark("r_eventTime", maxDelay)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_eventTime") >= col("eventTime") -
+          expr(s"INTERVAL $maxDelay") &&
+        col("r_eventTime") <= col("eventTime"))
+  }
+
   /** Watermarked tumbling-window aggregation: per (1h window, type)
     * transaction count / volume / fraud count; 2h watermark bounds
     * state and admits the late data a replayed feed produces. */

@@ -63,6 +63,32 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs events within the time bound only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(minute: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val l = purchases.toDF().toDF("user_id", "eventTime", "p_id")
+    val r = clicks.toDF().toDF("user_id", "eventTime", "c_id")
+    val joined = StatefulOps.streamStreamJoin(l, r, "user_id")
+      .select(col("p_id"), col("r_c_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join_sink").start()
+    try {
+      clicks.addData((1L, ts(0), "c_early"), (1L, ts(30), "c_in"),
+        (2L, ts(45), "c_other_user"))
+      purchases.addData((1L, ts(50), "p1"))
+      q.processAllAvailable()
+      val got = spark.table("ss_join_sink").collect()
+        .map(rr => (rr.getString(0), rr.getString(1))).toSet
+      // c_in (20 min before) joins; c_early (50 min before) also
+      // within the 1h bound; user 2's click must not.
+      assert(got == Set(("p1", "c_early"), ("p1", "c_in")))
+    } finally q.stop()
+  }
+
   test("windowed aggregation works identically on the batch table") {
     val parsed = graft.ml.Transactions.fromEvents(spark, sfDir)
     val agg = StatefulOps.windowedTypeCounts(parsed)
