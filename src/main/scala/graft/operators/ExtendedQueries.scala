@@ -82,13 +82,50 @@ object ExtendedQueries {
         (col("value") <=> col("prev")).as("same_as_prev"))
   }
 
+  /** Exact percentiles (linear interpolation at rank p·(n-1) — the
+    * same definition in Spark's `percentile` and DuckDB's
+    * `quantile_cont`; the interpolation is one arithmetic op on two
+    * exact stored values → deterministic). */
+  def x8Percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+
+  /** IN-subquery → left-semi join after Catalyst rewrite. */
+  def x9InSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_in")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_in")
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders_in
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer_in
+        |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+  }
+
+  /** Correlated scalar subquery — decorrelated by Catalyst into an
+    * outer-join + aggregate. */
+  def x10Correlated(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_corr")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_corr")
+    s.sql(
+      """SELECT c_custkey,
+        | (SELECT count(*) FROM orders_corr
+        |  WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer_corr""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "x2_pivot" -> (x2Pivot _),
     "x3_scalar_subquery" -> (x3ScalarSubquery _),
     "x4_having" -> (x4Having _),
     "x5_string_funcs" -> (x5StringFuncs _),
     "x6_date_funcs" -> (x6DateFuncs _),
-    "x7_null_funcs" -> (x7NullFuncs _)
+    "x7_null_funcs" -> (x7NullFuncs _),
+    "x8_percentile" -> (x8Percentile _),
+    "x9_in_subquery" -> (x9InSubquery _),
+    "x10_correlated" -> (x10Correlated _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,6 +171,21 @@ object ExtendedQueries {
         | nullif(value, prev) AS value_if_changed,
         | prev IS NULL AS is_first,
         | value IS NOT DISTINCT FROM prev AS same_as_prev
-        |FROM lagged""".stripMargin
+        |FROM lagged""".stripMargin,
+    "x8_percentile" ->
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.5) AS median_price,
+        | quantile_cont(o_totalprice, 0.9) AS p90_price,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "x9_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "x10_correlated" ->
+      """SELECT c_custkey,
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer""".stripMargin
   )
 }
