@@ -25,7 +25,8 @@ object ExplainAudit {
       case None => Seq("q1_pricing_summary", "q3_sql_shipping",
         "j1_broadcast_dims", "j2_inner_big", "l1_topk",
         "dd_minhash_lsh", "sim_lsh_ann", "mm_meta_only",
-        "p4_filter_eq", "e1_event_window")
+        "p4_filter_eq", "e1_event_window", "x1_asof_join",
+        "x10_correlated")
     }
     names.foreach { name =>
       println(s"\n========== $name ==========")
