@@ -382,6 +382,25 @@ object RelationalQueries {
       .filter(col("rn") <= 3)
   }
 
+  /** The full ranking-function family over one partition-local sort:
+    * dense_rank / ntile / percent_rank / cume_dist / first / last.
+    * percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
+    * divisions of exact integers → deterministic doubles. */
+  def w3RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val wFrame = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.customer(s, dir).select(
+      col("c_mktsegment"), col("c_custkey"),
+      dense_rank().over(w).as("drk"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("prk"),
+      cume_dist().over(w).as("cd"),
+      first(col("c_custkey")).over(wFrame).as("top_cust"),
+      last(col("c_custkey")).over(wFrame).as("bottom_cust"))
+  }
+
   /** lag(): previous event value per user in event-time order —
     * value column passes through untouched (bit-exact). */
   def w2Lag(s: SparkSession, dir: String): DataFrame = {
@@ -539,6 +558,7 @@ object RelationalQueries {
     "u3_except" -> (u3Except _),
     "w1_rank_topn" -> (w1RankTopN _),
     "w2_lag" -> (w2Lag _),
+    "w3_rank_family" -> (w3RankFamily _),
     "g1_rollup" -> (g1Rollup _),
     "g2_cube" -> (g2Cube _),
     "d1_count_distinct" -> (d1CountDistinct _),
@@ -709,6 +729,21 @@ object RelationalQueries {
         | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |   AS prev_value
         |FROM events""".stripMargin,
+    "w3_rank_family" ->
+      """SELECT c_mktsegment, c_custkey,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drk,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | percent_rank() OVER w AS prk,
+        | cume_dist() OVER w AS cd,
+        | first_value(c_custkey) OVER wf AS top_cust,
+        | last_value(c_custkey) OVER wf AS bottom_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC),
+        |       wf AS (PARTITION BY c_mktsegment
+        |              ORDER BY c_acctbal DESC, c_custkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND UNBOUNDED FOLLOWING)""".stripMargin,
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS cnt, sum(l_quantity) AS sum_qty
