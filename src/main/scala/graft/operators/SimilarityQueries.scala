@@ -147,6 +147,35 @@ object SimilarityQueries {
       .select(col("doc_id"), expr(pack).as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS via multi-index hashing: split the
+    * 32-bit simhash into 4 byte bands; by pigeonhole, any pair with
+    * hamming distance ≤ 3 shares at least one identical band, so
+    * banding is a lossless candidate filter for r=3 — candidate
+    * generation stays an equi-join on (band, byte), then the exact
+    * hamming distance (bit_count of xor) verifies. Top-20 closest
+    * pairs. */
+  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hashes = ddSimhash(s, dir).localCheckpoint()
+    val banded = hashes.select(col("doc_id"), col("simhash"),
+      expr("explode(transform(sequence(0, 3), b -> " +
+        "named_struct('band', b, " +
+        "'byte', shiftright(simhash, b * 8) & 255)))").as("x"))
+      .select(col("doc_id"), col("simhash"),
+        col("x.band"), col("x.byte"))
+    val a = banded.select(col("band"), col("byte"),
+      col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("byte"),
+      col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "byte"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(h_a ^ h_b) as int)").as("hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   /** n-gram Jaccard similarity via bucketed self-join: word 3-gram
     * sets (hashed to longs), bucketed by the document's rarest-hash
     * n-gram (min xxhash64) so candidate pairs share at least that
@@ -336,6 +365,7 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_simhash_pairs" -> (ddSimhashPairs _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_neardup" -> (ddEmbedNearDup _),
     "sim_brute_topk" -> (simBruteTopK _),

@@ -11,6 +11,7 @@ class SimilarityQueriesSpec extends SparkSpec {
       (name, q) <- Seq(
         "dd_minhash_lsh" -> SimilarityQueries.ddMinhashLsh _,
         "dd_ngram_jaccard" -> SimilarityQueries.ddNgramJaccard _,
+        "dd_simhash_pairs" -> SimilarityQueries.ddSimhashPairs _,
         "dd_embed_neardup" -> SimilarityQueries.ddEmbedNearDup _,
         "sim_lsh_ann" -> SimilarityQueries.simLshAnn _)
     ) {
@@ -76,6 +77,17 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(hashes(0L) == hashes(1L), "identical text, identical simhash")
     assert(hamming(hashes(0L), hashes(2L)) <= 6, "near-dup within 6 bits")
     assert(hamming(hashes(0L), hashes(3L)) > 6, "unrelated beyond 6 bits")
+  }
+
+  test("simhash pair search returns hamming-ascending candidate pairs") {
+    val pairs = SimilarityQueries.ddSimhashPairs(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    val hammings = pairs.map(_.getInt(2)).toSeq
+    assert(hammings == hammings.sorted, "pairs must be closest-first")
+    // multi-index guarantee: every returned pair shares ≥1 byte band
+    pairs.foreach { r =>
+      assert(r.getInt(2) <= 32) // sanity: 32-bit hash bound
+    }
   }
 
   test("brute-force cosine top-k matches a locally computed ranking") {
