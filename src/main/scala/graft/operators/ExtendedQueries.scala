@@ -116,6 +116,32 @@ object ExtendedQueries {
         |FROM customer_corr""".stripMargin)
   }
 
+  /** Deterministic string aggregation: collect_set is unordered, so
+    * the only hash-safe form is sort-then-join — emitted as one
+    * string per group. */
+  def g3StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("n_name"))))
+          .as("nations"),
+        countDistinct(col("n_name")).as("n_nations"))
+
+  /** Regexp extraction + LIKE filtering (patterns kept to the
+    * portable subset — digit classes and anchors behave identically
+    * in Java regex and RE2). */
+  def x11Regexp(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority").like("%-%"))
+      .select(
+        col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1)
+          .as("priority_num"),
+        regexp_extract(col("o_orderpriority"), "-(\\w+)$", 1)
+          .as("priority_word"))
+
   val queries: Map[String, Q] = Map(
     "x2_pivot" -> (x2Pivot _),
     "x3_scalar_subquery" -> (x3ScalarSubquery _),
@@ -125,7 +151,9 @@ object ExtendedQueries {
     "x7_null_funcs" -> (x7NullFuncs _),
     "x8_percentile" -> (x8Percentile _),
     "x9_in_subquery" -> (x9InSubquery _),
-    "x10_correlated" -> (x10Correlated _)
+    "x10_correlated" -> (x10Correlated _),
+    "g3_string_agg" -> (g3StringAgg _),
+    "x11_regexp" -> (x11Regexp _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,6 +214,19 @@ object ExtendedQueries {
       """SELECT c_custkey,
         | (SELECT count(*) FROM orders
         |  WHERE o_custkey = c_custkey) AS n_orders
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    "g3_string_agg" ->
+      """SELECT r_name,
+        | array_to_string(list_sort(list(DISTINCT n_name)), ',')
+        |   AS nations,
+        | count(DISTINCT n_name) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "x11_regexp" ->
+      """SELECT o_orderkey,
+        | regexp_extract(o_orderpriority, '^(\d+)', 1) AS priority_num,
+        | regexp_extract(o_orderpriority, '-(\w+)$', 1) AS priority_word
+        |FROM orders
+        |WHERE o_orderpriority LIKE '%-%'""".stripMargin
   )
 }
