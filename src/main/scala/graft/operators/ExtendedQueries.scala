@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -142,6 +142,60 @@ object ExtendedQueries {
         regexp_extract(col("o_orderpriority"), "-(\\w+)$", 1)
           .as("priority_word"))
 
+  /** Tukey-fence outlier census — the standard numeric-cleaning gate
+    * for training data: flag rows outside [q1-1.5·IQR, q3+1.5·IQR].
+    * Exact percentiles (same interpolation both engines) keep the
+    * fence values deterministic. */
+  def x12OutlierFence(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_of")
+    s.sql(
+      """WITH q AS (
+        |  SELECT percentile(o_totalprice, 0.25) AS q1,
+        |         percentile(o_totalprice, 0.75) AS q3
+        |  FROM orders_of)
+        |SELECT
+        |  CAST(sum(CASE WHEN o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+        |                  OR o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_total
+        |FROM orders_of CROSS JOIN q""".stripMargin)
+  }
+
+  /** Column profiling — the df.summary() capability as a
+    * deterministic relational query: per-column null count, distinct
+    * count, and (for numerics) exact min/max. */
+  def p11Profile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def profile(c: String, distinct: Column, minc: Column,
+        maxc: Column): DataFrame =
+      o.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_nulls"),
+        distinct.as("n_distinct"),
+        minc.as("min_str"), maxc.as("max_str"))
+    profile("o_orderstatus", countDistinct(col("o_orderstatus")),
+      min(col("o_orderstatus")), max(col("o_orderstatus")))
+      .unionByName(profile("o_orderpriority",
+        countDistinct(col("o_orderpriority")),
+        min(col("o_orderpriority")), max(col("o_orderpriority"))))
+      .unionByName(profile("o_custkey",
+        countDistinct(col("o_custkey")),
+        min(col("o_custkey")).cast("string"),
+        max(col("o_custkey")).cast("string")))
+  }
+
+  /** L3: stratified sampling (`sampleBy`) — per-class fractions with
+    * a fixed seed; Bernoulli draws are engine-specific → rows-only,
+    * bounds asserted in ExtendedQueriesSpec. */
+  def l3Stratified(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .stat.sampleBy("o_orderstatus",
+        Map("F" -> 0.5, "O" -> 0.1, "P" -> 1.0), 42L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"))
+
   val queries: Map[String, Q] = Map(
     "x2_pivot" -> (x2Pivot _),
     "x3_scalar_subquery" -> (x3ScalarSubquery _),
@@ -153,7 +207,10 @@ object ExtendedQueries {
     "x9_in_subquery" -> (x9InSubquery _),
     "x10_correlated" -> (x10Correlated _),
     "g3_string_agg" -> (g3StringAgg _),
-    "x11_regexp" -> (x11Regexp _)
+    "x11_regexp" -> (x11Regexp _),
+    "x12_outlier_fence" -> (x12OutlierFence _),
+    "p11_profile" -> (p11Profile _),
+    "l3_stratified" -> (l3Stratified _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -227,6 +284,39 @@ object ExtendedQueries {
         | regexp_extract(o_orderpriority, '^(\d+)', 1) AS priority_num,
         | regexp_extract(o_orderpriority, '-(\w+)$', 1) AS priority_word
         |FROM orders
-        |WHERE o_orderpriority LIKE '%-%'""".stripMargin
+        |WHERE o_orderpriority LIKE '%-%'""".stripMargin,
+    "x12_outlier_fence" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |         quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders)
+        |SELECT
+        |  CAST(sum(CASE WHEN o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+        |                  OR o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_total
+        |FROM orders CROSS JOIN q""".stripMargin,
+    "p11_profile" ->
+      """SELECT 'o_orderstatus' AS "column", count(*) AS n_rows,
+        | CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_nulls,
+        | count(DISTINCT o_orderstatus) AS n_distinct,
+        | min(o_orderstatus) AS min_str, max(o_orderstatus) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        | CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        | count(DISTINCT o_orderpriority),
+        | min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        | count(DISTINCT o_custkey),
+        | CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders""".stripMargin
+    // l3_stratified: Bernoulli draws are engine-specific — rows-only.
   )
 }

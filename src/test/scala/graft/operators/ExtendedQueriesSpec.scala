@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class ExtendedQueriesSpec extends SparkSpec {
+
+  test("stratified sample respects per-class fractions (within slack)") {
+    val sampled = ExtendedQueries.l3Stratified(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // P is sampled at 1.0 → exact; F at 0.5 and O at 0.1 →
+    // binomial, allow generous slack on the small fixture.
+    assert(sampled("P") == totals("P"))
+    val fFrac = sampled("F").toDouble / totals("F")
+    assert(fFrac > 0.3 && fFrac < 0.7, s"F fraction $fFrac")
+    val oFrac = sampled.getOrElse("O", 0L).toDouble / totals("O")
+    assert(oFrac < 0.25, s"O fraction $oFrac")
+  }
+
+  test("stratified sample is deterministic for a fixed seed") {
+    val a = ExtendedQueries.l3Stratified(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = ExtendedQueries.l3Stratified(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("outlier fence counts are sane") {
+    val r = ExtendedQueries.x12OutlierFence(spark, sfDir).head()
+    val (outliers, total) = (r.getLong(0), r.getLong(1))
+    assert(total == Tables.orders(spark, sfDir).count())
+    assert(outliers >= 0 && outliers < total / 4,
+      s"Tukey fence should flag a minority: $outliers/$total")
+  }
+
+  test("profile reports one row per profiled column, zero nulls") {
+    val rows = ExtendedQueries.p11Profile(spark, sfDir).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(2) == 0L)) // synthetic data: no nulls
+    val statusRow = rows.find(_.getString(0) == "o_orderstatus").get
+    assert(statusRow.getLong(3) == 3L)
+  }
+}
