@@ -163,27 +163,38 @@ object ExtendedQueries {
 
   /** Column profiling — the df.summary() capability as a
     * deterministic relational query: per-column null count, distinct
-    * count, and (for numerics) exact min/max. */
+    * count, and exact min/max. ONE scan: all per-column aggregates in
+    * a single agg (Catalyst's Expand handles the multiple distincts),
+    * then stack() unpivots to one row per column — at 100 TB a
+    * profile must never cost one scan per column. */
   def p11Profile(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    def profile(c: String, distinct: Column, minc: Column,
-        maxc: Column): DataFrame =
-      o.agg(
-        lit(c).as("column"),
+    def nulls(c: String): Column =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+    Tables.orders(s, dir)
+      .agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
-          .as("n_nulls"),
-        distinct.as("n_distinct"),
-        minc.as("min_str"), maxc.as("max_str"))
-    profile("o_orderstatus", countDistinct(col("o_orderstatus")),
-      min(col("o_orderstatus")), max(col("o_orderstatus")))
-      .unionByName(profile("o_orderpriority",
-        countDistinct(col("o_orderpriority")),
-        min(col("o_orderpriority")), max(col("o_orderpriority"))))
-      .unionByName(profile("o_custkey",
-        countDistinct(col("o_custkey")),
-        min(col("o_custkey")).cast("string"),
-        max(col("o_custkey")).cast("string")))
+        nulls("o_orderstatus").as("nulls_status"),
+        countDistinct(col("o_orderstatus")).as("dist_status"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_orderstatus")).as("max_status"),
+        nulls("o_orderpriority").as("nulls_prio"),
+        countDistinct(col("o_orderpriority")).as("dist_prio"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"),
+        nulls("o_custkey").as("nulls_cust"),
+        countDistinct(col("o_custkey")).as("dist_cust"),
+        min(col("o_custkey")).cast("string").as("min_cust"),
+        max(col("o_custkey")).cast("string").as("max_cust"))
+      .selectExpr(
+        """stack(3,
+          | 'o_orderstatus', n_rows, nulls_status, dist_status,
+          |   min_status, max_status,
+          | 'o_orderpriority', n_rows, nulls_prio, dist_prio,
+          |   min_prio, max_prio,
+          | 'o_custkey', n_rows, nulls_cust, dist_cust,
+          |   min_cust, max_cust)
+          |AS (column, n_rows, n_nulls, n_distinct, min_str, max_str)
+          |""".stripMargin)
   }
 
   /** L3: stratified sampling (`sampleBy`) — per-class fractions with
