@@ -475,6 +475,36 @@ object RelationalQueries {
         |LIMIT 10""".stripMargin)
   }
 
+  /** TPC-H Q5-shaped local-supplier revenue: the canonical 6-way
+    * join-reorder stress (two fact tables, four dimensions, selective
+    * region + date predicates). Declared flat; Catalyst reorders and
+    * broadcasts the filtered dims, AQE re-plans the fact joins at
+    * runtime. Revenue as exact cents. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    s.sql(
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin)
+  }
+
   /** Event-time tumbling window (1 h) over the events stream table —
     * the batch analogue of a windowed streaming aggregation. Bucket
     * key by exact integer division of the nano timestamp (the nanos
@@ -564,6 +594,7 @@ object RelationalQueries {
     "d1_count_distinct" -> (d1CountDistinct _),
     "d2_approx_distinct" -> (d2ApproxDistinct _),
     "q3_sql_shipping" -> (q3SqlShipping _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
     "d3_kmv_distinct" -> (d3KmvDistinct _)
@@ -781,6 +812,22 @@ object RelationalQueries {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |   AS sum_value_cents
         |FROM events GROUP BY 1""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
     "e2_sessionize" ->
       """WITH flagged AS (
         | SELECT user_id, event_id,
