@@ -5,14 +5,41 @@ import graft.SparkSpec
 class MultimodalQueriesSpec extends SparkSpec {
 
   test("metadata-only scan does not read the payload column") {
-    val df = MultimodalQueries.mmMetaOnly(spark, sfDir)
-    val scan = df.queryExecution.executedPlan.toString
-    // The parquet scan must project only the columns the metadata
-    // aggregation needs — never `text` payload-wide reads... the fake
-    // payload derives from `text`, so here we assert the aggregate
-    // reads doc_id + text only (no props/source/lang).
-    assert(!scan.contains("lang"), s"pruning failed:\n$scan")
-    df.collect()
+    // Materialize the media table first (payload as a real stored
+    // binary column), then prove the metadata aggregation's parquet
+    // scan prunes it — THE property that makes metadata queries on a
+    // 100 TB media lake cheap.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_media").toString
+    MultimodalQueries.assets(spark, sfDir)
+      .write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    val metaQuery = stored
+      .groupBy(org.apache.spark.sql.functions.col("media_type"))
+      .agg(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.col("meta.byte_len"))
+        .as("total_bytes"))
+    val scan = metaQuery.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("payload"),
+      s"payload must be pruned from the scan: $readSchema")
+    assert(metaQuery.collect().nonEmpty)
+  }
+
+  test("schema evolution: mergeSchema unions old and new layouts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    // v1 files lack the column added in v2.
+    Seq((1L, "a")).toDF("id", "v1col")
+      .write.parquet(s"$tmp/part=1")
+    Seq((2L, "b", 3.5)).toDF("id", "v1col", "v2col")
+      .write.parquet(s"$tmp/part=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.toSet == Set("id", "v1col", "v2col", "part"))
+    val v1row = merged.filter($"id" === 1L).head()
+    assert(v1row.isNullAt(v1row.fieldIndex("v2col")))
   }
 
   test("decode/feature batch transform has the declared schema") {
