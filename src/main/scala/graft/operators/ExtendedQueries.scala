@@ -207,6 +207,19 @@ object ExtendedQueries {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** Unpivot (melt): wide → long over the four balance columns of
+    * the lineitem pricing measures — the inverse of x2's pivot,
+    * via the native Dataset.unpivot operator. */
+  def p12Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+
   val queries: Map[String, Q] = Map(
     "x2_pivot" -> (x2Pivot _),
     "x3_scalar_subquery" -> (x3ScalarSubquery _),
@@ -221,7 +234,8 @@ object ExtendedQueries {
     "x11_regexp" -> (x11Regexp _),
     "x12_outlier_fence" -> (x12OutlierFence _),
     "p11_profile" -> (p11Profile _),
-    "l3_stratified" -> (l3Stratified _)
+    "l3_stratified" -> (l3Stratified _),
+    "p12_unpivot" -> (p12Unpivot _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -327,7 +341,21 @@ object ExtendedQueries {
         |   AS BIGINT),
         | count(DISTINCT o_custkey),
         | CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
     // l3_stratified: Bernoulli draws are engine-specific — rows-only.
+    "p12_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value
+        |FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |        l_quantity AS value FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |        l_extendedprice FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        | FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        | FROM lineitem)""".stripMargin
   )
 }
