@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through to stdout: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which garbles the
+// one-line JSON contract Bench.scala prints for the driver
+// (BENCH_r03.json came back with parsed:null because of the prefix).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,9 +49,19 @@ object MlQueries {
   }
 
   /** M3+M4: VectorAssembler + StandardScaler (withMean, withStd) over
-    * two numeric columns — oracle = windowed z-score, rounded to 4dp
-    * on both sides (the scaler's mean/std accumulation differs from
-    * SQL's in final ulps). */
+    * two numeric columns.
+    *
+    * Oracle determinism: MLlib's streaming variance and SQL's
+    * stddev_samp differ by ~1e-9, so `round(z, 4)` flips at rounding
+    * boundaries (r3: rows matched, hash didn't). The hash-compared
+    * columns are therefore closed-form z-scores computed from EXACT
+    * integer-cent sums (decimal/hugeint — overflow-safe at any SF)
+    * with the identical expression shape on both sides → bit-exact
+    * doubles → `floor(z*10000)` quantization is deterministic. The
+    * real scaler stays in the executed plan and is checked per row:
+    * `scaler_ok` = |scaler z − closed-form z| < 1e-6, which the
+    * oracle asserts by emitting TRUE.
+    */
   def m4Scaler(s: SparkSession, dir: String): DataFrame = {
     val df = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity",
@@ -60,13 +70,38 @@ object MlQueries {
       .setInputCols(Array("l_quantity", "l_extendedprice"))
       .setOutputCol("raw").setHandleInvalid("keep")
       .transform(df)
-    new StandardScaler()
+    val scaled = new StandardScaler()
       .setInputCol("raw").setOutputCol("scaled")
       .setWithMean(true).setWithStd(true)
       .fit(assembled).transform(assembled)
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(vector_to_array(col("scaled")).getItem(0), 4).as("z_qty"),
-        round(vector_to_array(col("scaled")).getItem(1), 4).as("z_price"))
+        expr("CAST(l_quantity AS BIGINT)").as("qc"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+        vector_to_array(col("scaled")).getItem(0).as("s_qty"),
+        vector_to_array(col("scaled")).getItem(1).as("s_price"))
+    // Exact first-pass sums (z-scores are scale-invariant: cents ≡ $).
+    val stats = scaled.agg(
+      count(lit(1)).as("n"),
+      sum(col("qc")).as("s1q"),
+      sum(expr("CAST(qc * qc AS DECIMAL(38,0))")).as("s2q"),
+      sum(expr("CAST(pc AS DECIMAL(38,0))")).as("s1p"),
+      sum(expr("CAST(pc * pc AS DECIMAL(38,0))")).as("s2p"))
+    scaled.crossJoin(broadcast(stats))
+      .withColumn("mq", expr("CAST(s1q AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("vq", expr(
+        "(CAST(s2q AS DOUBLE) - CAST(s1q AS DOUBLE) * CAST(s1q AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"))
+      .withColumn("mp", expr("CAST(s1p AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("vp", expr(
+        "(CAST(s2p AS DOUBLE) - CAST(s1p AS DOUBLE) * CAST(s1p AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"))
+      .withColumn("zq", expr("(CAST(qc AS DOUBLE) - mq) / sqrt(vq)"))
+      .withColumn("zp", expr("(CAST(pc AS DOUBLE) - mp) / sqrt(vp)"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(FLOOR(zq * 10000.0) AS BIGINT)").as("z_qty"),
+        expr("CAST(FLOOR(zp * 10000.0) AS BIGINT)").as("z_price"),
+        expr("abs(s_qty - zq) < 1e-6 AND abs(s_price - zp) < 1e-6")
+          .as("scaler_ok"))
   }
 
   /** One fit per (JVM, sfDir): m5 and m9 share the trained model —
@@ -148,11 +183,29 @@ object MlQueries {
         |JOIN ranks r USING (l_returnflag)
         |CROSS JOIN positions p""".stripMargin,
     "m4_scaler" ->
-      """SELECT l_orderkey, l_linenumber,
-        | round((l_quantity - avg(l_quantity) OVER ())
-        |   / stddev_samp(l_quantity) OVER (), 4) AS z_qty,
-        | round((l_extendedprice - avg(l_extendedprice) OVER ())
-        |   / stddev_samp(l_extendedprice) OVER (), 4) AS z_price
-        |FROM lineitem""".stripMargin
+      """WITH cents AS (
+        | SELECT l_orderkey, l_linenumber,
+        |   CAST(l_quantity AS BIGINT) AS qc,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        | FROM lineitem),
+        |stats AS (
+        | SELECT count(*) AS n,
+        |   sum(qc) AS s1q, sum(qc * qc) AS s2q,
+        |   sum(pc) AS s1p, sum(pc * pc) AS s2p
+        | FROM cents),
+        |z AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  (CAST(qc AS DOUBLE) - CAST(s1q AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / sqrt((CAST(s2q AS DOUBLE) - CAST(s1q AS DOUBLE) * CAST(s1q AS DOUBLE)
+        |           / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS zq,
+        |  (CAST(pc AS DOUBLE) - CAST(s1p AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / sqrt((CAST(s2p AS DOUBLE) - CAST(s1p AS DOUBLE) * CAST(s1p AS DOUBLE)
+        |           / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS zp
+        | FROM cents CROSS JOIN stats)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(zq * 10000.0) AS BIGINT) AS z_qty,
+        |  CAST(floor(zp * 10000.0) AS BIGINT) AS z_price,
+        |  TRUE AS scaler_ok
+        |FROM z""".stripMargin
   )
 }
