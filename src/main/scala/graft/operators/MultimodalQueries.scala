@@ -157,7 +157,20 @@ object MultimodalQueries {
         | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
         | md5(text) AS payload_md5,
         | substr(to_base64(encode(text)), 1, 24) AS b64_prefix
+        |FROM documents""".stripMargin,
+    // mm_decode_features: the stub codec is deterministic byte math
+    // over an ASCII payload, so DuckDB can mirror it per char:
+    // dims from payload length, f0 = share of bytes ≡ 0 (mod 8),
+    // frames = every 2nd 1 KiB block.
+    "mm_decode_features" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(256 + length(text) % 512 AS INTEGER) AS width,
+        | CAST(144 + length(text) % 288 AS INTEGER) AS height,
+        | CAST(len(list_filter(range(1, length(text) + 1),
+        |        i -> ord(text[i]) % 8 = 0)) AS DOUBLE)
+        |   / length(text) AS f0,
+        | CAST((CAST(ceil(length(text) / 1024.0) AS BIGINT) + 1) // 2
+        |   AS INTEGER) AS n_frames
         |FROM documents""".stripMargin
-    // mm_decode_features: stub codec — rows-only.
   )
 }

@@ -21,9 +21,17 @@ import graft.core.Tables
   * side is a broadcast of K vectors, so even "brute force" here is a
   * broadcast nested loop over one row, not an N×N join).
   *
-  * These are not SQL-expressible in DuckDB at reasonable effort, so
-  * they register as rows-only checks; exact semantics are asserted in
-  * ScalaTest on planted-duplicate fixtures.
+  * Oracle posture (r4): `sim_brute_topk` and `sim_exact_pairs` are
+  * bitwise-exact vs DuckDB `list_cosine_similarity` (verified: the
+  * sequential dot/norm accumulation matches ulp-for-ulp), and the
+  * Jaccard pair searches (`dd_minhash_lsh`, `dd_ngram_jaccard`) are
+  * hash-compared against the EXACT all-pairs top-20 — the hashes are
+  * deterministic, so "the approximate path achieves full recall on
+  * this corpus" is a stable regression property, and a stronger check
+  * than rows-only. The remaining entries (`dd_simhash*` — xxhash64
+  * not replicable in SQL; `sim_lsh_ann`/`sim_ivf_ann`/
+  * `dd_embed_neardup` — approximate by design with partial recall on
+  * random vectors) stay rows-only with ScalaTest invariants.
   */
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -362,6 +370,26 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Exact all-pairs cosine top-20: the small-scale correctness
+    * baseline for the bucketed near-dup paths. Deliberately a
+    * cartesian pair join — this query exists to pin exact semantics
+    * at oracle scale; the 100 TB path is the LSH/IVF variants above
+    * (documented trade: exactness here, boundedness there). */
+  def simExactPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .localCheckpoint() // consumed by both self-join sides
+    val a = emb.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("e").as("e_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine("e_a", "e_b").as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
@@ -369,10 +397,43 @@ object SimilarityQueries {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_neardup" -> (ddEmbedNearDup _),
     "sim_brute_topk" -> (simBruteTopK _),
+    "sim_exact_pairs" -> (simExactPairs _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _)
   )
 
-  /** Not SQL-expressible at reasonable effort → rows-only checks. */
-  val oracle: Map[String, String] = Map()
+  /** Exact all-pairs word-3gram Jaccard top-20 in DuckDB — the oracle
+    * for BOTH approximate pair searches (they must and do achieve
+    * full recall on the oracle corpus; hashes are deterministic so
+    * this is stable round over round). */
+  private val exactJaccardSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+      |          i -> array_to_string(w[i:i+2], ' '))) AS g
+      |      FROM w)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dd_minhash_lsh" -> exactJaccardSql,
+    "dd_ngram_jaccard" -> exactJaccardSql,
+    "sim_brute_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label, list_cosine_similarity(e, qe) AS cosine
+        |FROM e CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_exact_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.e, b.e) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin
+  )
 }

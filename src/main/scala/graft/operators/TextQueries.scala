@@ -159,6 +159,33 @@ object TextQueries {
         size(filter(col("v"), x => x > 0.0)).as("n_active_terms"))
   }
 
+  /** Exact TF-IDF over word terms (no hash bucketing, unlike
+    * `t_tfidf`'s HashingTF path): tf = per-(doc, word) count, idf =
+    * ln((N+1)/(df+1)) — MLlib's IDF formula — weight = tf·idf.
+    * Fully SQL-expressible → DuckDB oracle. The top weight is
+    * quantized (floor·1e6) because ln() may differ by an ulp across
+    * engines. Plan shape: two hash aggregations + a broadcast of the
+    * word→df dimension-sized side and the 1-row corpus count — at
+    * 100 TB the words→df agg is the only big shuffle and it is
+    * map-side combined. */
+  def tTfidfExact(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("w", expr(
+        "CAST(tf AS DOUBLE) * ln((CAST(n AS DOUBLE) + 1.0)" +
+          " / (CAST(df AS DOUBLE) + 1.0))"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("CAST(FLOOR(max(w) * 1000000.0) AS BIGINT)")
+          .as("top_weight_q"),
+        count(lit(1)).as("n_terms"))
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composed
     * training-data flow: exact-dedup (keep min doc_id per text) →
     * quality gate (length + stopword-density) → language gate
@@ -202,6 +229,7 @@ object TextQueries {
     "t_lang_dist" -> (tLangDist _),
     "t_top_terms" -> (tTopTerms _),
     "t_tfidf" -> (tTfidf _),
+    "t_tfidf_exact" -> (tTfidfExact _),
     "t_corpus_clean" -> (corpusClean _)
   )
 
@@ -270,6 +298,21 @@ object TextQueries {
         | FROM counts)
         |SELECT lang, word, n, rk FROM ranked WHERE rk <= 5""".stripMargin,
     // t_tfidf: hash-bucketed features — rows-only.
+    "t_tfidf_exact" ->
+      """WITH words AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        | FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM words GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id,
+        | CAST(floor(max(CAST(tf.tf AS DOUBLE)
+        |   * ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)))
+        |   * 1000000.0) AS BIGINT) AS top_weight_q,
+        | count(*) AS n_terms
+        |FROM tf JOIN df USING (word) CROSS JOIN n
+        |GROUP BY tf.doc_id""".stripMargin,
     "t_corpus_clean" ->
       """WITH kept AS (
         | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
