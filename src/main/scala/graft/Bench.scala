@@ -21,9 +21,35 @@ object Bench {
     def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // Warmup: JIT + codegen + parquet footer caches.
-    try runNoop(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
-    catch { case _: Throwable => () }
+    // Warmup: JIT + codegen + parquet footer caches, plus the engine's
+    // lazily-initialized function paths — the first use of a case-map
+    // function (collation/ICU), JSON codec, regexp, or MLlib stage
+    // pays ~1-2 s of one-time class/data loading that would otherwise
+    // be billed to whichever query alphabetically hits it first
+    // (measured: p9_star_extras 4.6 s in r3 vs 0.25 s steady-state).
+    def warm(f: => Unit): Unit =
+      try f catch { case _: Throwable => () }
+    import org.apache.spark.sql.functions.{expr, row_number}
+    import spark.implicits._
+    warm(runNoop(SparkEntry.queries("q1_pricing_summary")(spark, sfDir)))
+    val tiny = Seq(("Abc dEf", 1), ("ghi Jkl", 2)).toDF("s", "i")
+    warm(runNoop(tiny.selectExpr(
+      "upper(s)", "lower(s)", "initcap(s)",
+      "regexp_replace(s, 'a', '@')", "split(s, ' ')",
+      "to_json(struct(s, i))",
+      "from_json(to_json(struct(s, i)), 's string, i int')",
+      "transform(split(s, ' '), x -> length(x))",
+      "aggregate(array(1.0d, 2.0d), 0.0d, (a, x) -> a + x)",
+      "xxhash64(s)", "md5(s)", "base64(encode(s, 'UTF-8'))",
+      "date_add(date'2026-01-01', i)")))
+    warm(runNoop(tiny.groupBy("i").agg(expr("percentile(i, 0.5)"))))
+    warm {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("i").orderBy("s")
+      runNoop(tiny.withColumn("rn", row_number().over(w)))
+    }
+    warm(new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol("s").setOutputCol("si").fit(tiny))
 
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>

@@ -79,6 +79,9 @@ object MlQueries {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
         vector_to_array(col("scaled")).getItem(0).as("s_qty"),
         vector_to_array(col("scaled")).getItem(1).as("s_price"))
+      // Consumed by the stats agg AND the final join — without
+      // materialization the assembler+scaler transform runs twice.
+      .localCheckpoint()
     // Exact first-pass sums (z-scores are scale-invariant: cents ≡ $).
     val stats = scaled.agg(
       count(lit(1)).as("n"),
