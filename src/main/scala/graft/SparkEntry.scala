@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, ExtendedQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsofJoin, DedupCluster, ExtendedQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,6 +27,7 @@ object SparkEntry {
       MlQueries.queries ++
       MultimodalQueries.queries ++
       AsofJoin.queries ++
+      DedupCluster.queries ++
       ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       MlQueries.oracle ++
       MultimodalQueries.oracle ++
       AsofJoin.oracle ++
+      DedupCluster.oracle ++
       ExtendedQueries.oracle
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Near-duplicate CLUSTERING for the training-data pipeline: the step
+  * after pair detection — fold near-dup pairs into connected
+  * components so each cluster keeps one representative (the standard
+  * MinHash→LSH→CC dedup flow, cf. the public descriptions of
+  * C4/RefinedWeb-style corpus dedup).
+  *
+  * Algorithm: LSH candidate pairs (8 bands × 4 rows — steeper recall
+  * curve at J≥0.85 than the 4×8 layout used for top-k search) →
+  * exact Jaccard filter ≥ 0.85 → iterative min-label propagation to
+  * a fixpoint. Iteration control lives on the driver (one summed
+  * label per iteration); label state stays distributed, and each
+  * iteration is one equi-join + one map-side-combinable groupBy on
+  * fixed-width long keys. Near-dup components have tiny diameters, so
+  * convergence is 2-4 iterations; the `localCheckpoint` per round
+  * cuts the otherwise-exponential lineage (r3 lesson).
+  *
+  * At 100 TB: candidate generation shuffles only (band, bhash, id)
+  * longs; label propagation shuffles (id, lbl) longs — both minimal.
+  * The driver sees ONE scalar per iteration (the label sum), never
+  * data.
+  *
+  * Oracle: DuckDB recursive-CTE transitive closure over the exact
+  * all-pairs edge set — full-recall candidate generation on the
+  * oracle corpus is part of the contract (deterministic hashes make
+  * it stable).
+  */
+object DedupCluster {
+  type Q = (SparkSession, String) => DataFrame
+
+  def ddClusterCc(s: SparkSession, dir: String): DataFrame = {
+    val nHashes = 32
+    val bands = 8
+    val rows = nHashes / bands
+    val maxBucket = 50
+    val thresh = 0.85
+    val docs = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("transform(array_distinct(transform(" +
+          "sequence(1, greatest(size(words) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(words, i, 3)))), g -> xxhash64(g))")
+          .as("hs"))
+      .localCheckpoint()
+    val banded = docs
+      .withColumn("sig",
+        transform(sequence(lit(0), lit(nHashes - 1)),
+          j => array_min(transform(col("hs"), h => xxhash64(h, j)))))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
+              .as("bhash")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
+      .localCheckpoint()
+    val smallBuckets = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("band", "bhash")
+    val pruned = banded.join(smallBuckets, Seq("band", "bhash"))
+    val cand = pruned.as("a").join(pruned.as("b"), Seq("band", "bhash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        "id_b")
+      .filter(
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))) >= thresh)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    // Min-label propagation: labels only decrease, so the label sum is
+    // a monotone convergence witness (one scalar per iteration).
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      labels = labels
+        .join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"), least(col("lbl"),
+          coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val sumNow = labels.agg(sum(col("lbl"))).head().getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd_cluster_cc" -> (ddClusterCc _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd_cluster_cc" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+        |          i -> array_to_string(w[i:i+2], ' '))) AS g
+        |      FROM w),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.g, b.g))) >= 0.85),
+        |e AS (SELECT ia AS s, ib AS d FROM p
+        |      UNION ALL SELECT ib, ia FROM p),
+        |reach AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |FROM reach GROUP BY s""".stripMargin
+  )
+}

@@ -186,6 +186,60 @@ object TextQueries {
         count(lit(1)).as("n_terms"))
   }
 
+  /** Gopher/C4-style quality signals: token count, mean word length,
+    * and top-word share (the word-repetition rule), plus the
+    * composite gate. All integer string math + exact int/int double
+    * division → deterministic across engines. The top-word share is
+    * the only shuffle (per-(doc, word) count, map-side combined); at
+    * 100 TB it shuffles (doc_id, word-hash) pairs, nothing wider. */
+  def tQualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(
+      col("doc_id"),
+      (spaceCount(col("text")) + 1L).as("n_tokens"),
+      (length(col("text")).cast("long") - spaceCount(col("text")))
+        .as("n_letters"))
+    val topWord = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_word_n"))
+    base.join(topWord, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_word_n"),
+        expr("CAST(FLOOR(CAST(n_letters AS DOUBLE) / CAST(n_tokens AS DOUBLE)" +
+          " * 1000000.0) AS BIGINT)").as("mean_word_len_q"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 500 &&
+          col("top_word_n") * 5 <= col("n_tokens")).as("passes_gate"))
+  }
+
+  /** PII redaction: scrub emails and IPv4 addresses, count hits. The
+    * corpus is synthetic word soup with no PII, so the query plants
+    * deterministic PII inline (same construction in the oracle) and
+    * redacts it — the machinery (dialect-portable regexes, global
+    * replace, count via match extraction) is what's under test.
+    * Single narrow projection, no shuffle; at 100 TB this is a pure
+    * map over the corpus. */
+  def tPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    Tables.documents(s, dir)
+      .withColumn("pii_text", expr(
+        "concat(substring(text, 1, 40), ' contact user', doc_id," +
+          " '@example.com or 10.0.', doc_id % 256, '.7 end')"))
+      .select(
+        col("doc_id"),
+        // functions API, not expr(): SQL string literals would eat the
+        // regex backslashes ('\d' parses to 'd').
+        regexp_count(col("pii_text"), lit(emailPat)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("pii_text"), lit(ipPat)).cast("long")
+          .as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("pii_text"),
+          emailPat, "<EMAIL>"), ipPat, "<IP>"))
+          .as("redacted_md5"))
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composed
     * training-data flow: exact-dedup (keep min doc_id per text) →
     * quality gate (length + stopword-density) → language gate
@@ -230,6 +284,8 @@ object TextQueries {
     "t_top_terms" -> (tTopTerms _),
     "t_tfidf" -> (tTfidf _),
     "t_tfidf_exact" -> (tTfidfExact _),
+    "t_quality_gopher" -> (tQualityGopher _),
+    "t_pii_redact" -> (tPiiRedact _),
     "t_corpus_clean" -> (corpusClean _)
   )
 
@@ -313,6 +369,42 @@ object TextQueries {
         | count(*) AS n_terms
         |FROM tf JOIN df USING (word) CROSS JOIN n
         |GROUP BY tf.doc_id""".stripMargin,
+    "t_quality_gopher" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters
+        | FROM documents),
+        |tw AS (
+        | SELECT doc_id, max(n) AS top_word_n FROM (
+        |  SELECT doc_id, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY doc_id, word)
+        | GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, tw.top_word_n,
+        | CAST(floor(CAST(n_letters AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |   * 1000000.0) AS BIGINT) AS mean_word_len_q,
+        | (b.n_tokens >= 20 AND b.n_tokens <= 500
+        |   AND tw.top_word_n * 5 <= b.n_tokens) AS passes_gate
+        |FROM base b JOIN tw USING (doc_id)""".stripMargin,
+    "t_pii_redact" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  concat(substr(text, 1, 40), ' contact user', doc_id,
+        |    '@example.com or 10.0.', doc_id % 256, '.7 end') AS pii_text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(pii_text,
+        |   '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(pii_text,
+        |   '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        | md5(regexp_replace(regexp_replace(pii_text,
+        |   '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'))
+        |   AS redacted_md5
+        |FROM p""".stripMargin,
     "t_corpus_clean" ->
       """WITH kept AS (
         | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupClusterSpec extends SparkSpec {
+
+  /** Build a documents.parquet fixture in a temp dir so the operator
+    * runs against a corpus with KNOWN near-dup structure. */
+  private def corpusDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // 60 distinct words → 58 trigrams; editing ONE word flips ≤3 of
+  // them → pairwise Jaccard ≈ 0.90 (≥ 0.85 edge threshold).
+  private val baseWords: IndexedSeq[String] =
+    (0 until 60).map(i => s"w$i")
+
+  test("transitive near-dups collapse into one cluster under min label") {
+    // B = A with the last word edited (J≈0.90 → edge A–B).
+    // C = B with a word near the front edited (J≈0.90 → edge B–C),
+    // but A–C differs in TWO words (J≈0.81 < 0.85 → NO direct edge).
+    // Connected components must still put all three together — that
+    // closure step is exactly what dd_cluster_cc adds over pair
+    // detection.
+    val a = baseWords.mkString(" ")
+    val b = baseWords.updated(59, "edited59").mkString(" ")
+    val c = baseWords.updated(59, "edited59").updated(5, "edited5")
+      .mkString(" ")
+    val d = (0 until 60).map(i => s"zz$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      (10L, a, "s"), (11L, b, "s"), (12L, c, "s"), (13L, d, "s")))
+
+    val out = DedupCluster.ddClusterCc(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(10L, 11L, 12L),
+      "only docs with at least one near-dup edge are labeled")
+    assert(out.values.toSet == Set(10L),
+      "min-label propagation converges to the component minimum")
+  }
+
+  test("unrelated documents never share a cluster") {
+    // Two independent pairs → two components with their own minima.
+    val a = baseWords.mkString(" ")
+    val a2 = baseWords.updated(0, "x0").mkString(" ")
+    val b = (0 until 60).map(i => s"q$i").mkString(" ")
+    val b2 = (0 until 60).map(i => s"q$i").updated(30, "qx").mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, a, "s"), (2L, a2, "s"), (7L, b, "s"), (8L, b2, "s")))
+
+    val out = DedupCluster.ddClusterCc(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("sf0.001 corpus: representative of each cluster is its own minimum") {
+    val out = DedupCluster.ddClusterCc(spark, sfDir)
+    val badRep = out.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("min_id"))
+      .filter(col("cluster_id") =!= col("min_id")).count()
+    assert(badRep == 0)
+    assert(out.filter(col("cluster_id") > col("doc_id")).count() == 0)
+  }
+}
