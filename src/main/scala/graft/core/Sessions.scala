@@ -23,7 +23,7 @@ object Sessions {
   def local(appName: String = "graft"): SparkSession =
     SparkSession
       .builder()
-      .withExtensions(graft.functions.CosineSimilarity.register)
+      .withExtensions(graft.functions.GraftFunctions.register)
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Single registration point for all graft Catalyst functions —
+  * `.withExtensions(GraftFunctions.register)` on a builder, or
+  * `GraftFunctions.ensureRegistered(spark)` on a session the harness
+  * built without extensions. */
+object GraftFunctions {
+  def register(ext: SparkSessionExtensions): Unit = {
+    CosineSimilarity.register(ext)
+    MinhashSig.register(ext)
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    CosineSimilarity.ensureRegistered(spark)
+    MinhashSig.ensureRegistered(spark)
+  }
+}

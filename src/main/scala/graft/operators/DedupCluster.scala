@@ -35,6 +35,7 @@ object DedupCluster {
   type Q = (SparkSession, String) => DataFrame
 
   def ddClusterCc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinhashSig.ensureRegistered(s)
     val nHashes = 32
     val bands = 8
     val rows = nHashes / bands
@@ -50,8 +51,7 @@ object DedupCluster {
       .localCheckpoint()
     val banded = docs
       .withColumn("sig",
-        transform(sequence(lit(0), lit(nHashes - 1)),
-          j => array_min(transform(col("hs"), h => xxhash64(h, j)))))
+        call_function("minhash_sig", col("hs"), lit(nHashes)))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -81,8 +81,14 @@ object DedupCluster {
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Init fused with the first propagation step: edges carry both
+    // directions, so grouping by src enumerates every labeled node
+    // AND applies one round of min(self, neighbors) in the same
+    // shuffle — typical near-dup components (size 2) converge here,
+    // making the loop below a single confirming pass.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
       .localCheckpoint()
     // Min-label propagation: labels only decrease, so the label sum is
     // a monotone convergence witness (one scalar per iteration).

@@ -55,8 +55,16 @@ object SimilarityQueries {
   /** MinHash signature from PRE-HASHED shingles (array<long>): per
     * permutation j, min over xxhash64(h, j). Hashing the string
     * shingle once and deriving the permutations from the long keeps
-    * per-element work constant. */
+    * per-element work constant. Computed by the native codegen'd
+    * expression (graft.functions.MinhashSig); [[minhashSigHof]] is
+    * the composed-HOF reference it is tested bit-equal against. */
   private def minhashSig(hashesCol: Column, nHashes: Int): Column =
+    call_function("minhash_sig", hashesCol, lit(nHashes))
+
+  /** Reference implementation for the equivalence spec — the
+    * interpreted higher-order composition minhash_sig replaces. */
+  private[graft] def minhashSigHof(hashesCol: Column,
+      nHashes: Int): Column =
     transform(sequence(lit(0), lit(nHashes - 1)),
       j => array_min(transform(hashesCol, h => xxhash64(h, j))))
 
@@ -82,6 +90,7 @@ object SimilarityQueries {
     * (the standard hot-bucket cap; at 100 TB this is the difference
     * between a bounded join and a runaway one). */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinhashSig.ensureRegistered(s)
     val nHashes = 32
     val bands = 4
     val rows = nHashes / bands

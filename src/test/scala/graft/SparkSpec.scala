@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession
     .builder()
-    .withExtensions(graft.functions.CosineSimilarity.register)
+    .withExtensions(graft.functions.GraftFunctions.register)
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
