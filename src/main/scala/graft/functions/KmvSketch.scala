@@ -74,11 +74,15 @@ object KmvSketch {
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
-  /** The typed aggregator: IN = already-hashed long (hash with
-    * xxhash64(col) before aggregating so the sketch is
-    * column-type-agnostic). */
-  val aggregator: Aggregator[Long, Buf, Long] =
+  /** The typed aggregator: IN = already-hashed long (hash before
+    * aggregating so the sketch is column-type-agnostic). `bits` is
+    * the hash width the estimator normalizes by: 64 for xxhash64
+    * (unsigned wraparound handled), 60 for the engine-portable md5
+    * hash (graft.core.PortableHash) — with the portable hash the
+    * ESTIMATE itself is reproducible in the SQL oracle. */
+  def aggregatorBits(bits: Int): Aggregator[Long, Buf, Long] =
     new Aggregator[Long, Buf, Long] {
+      private val norm = math.pow(2.0, bits)
       override def zero: Buf = Buf(Array.empty)
       override def reduce(b: Buf, h: Long): Buf = insert(b, h)
       override def merge(a: Buf, b: Buf): Buf =
@@ -87,9 +91,9 @@ object KmvSketch {
         val m = b.mins
         if (m.length < K) m.length.toLong
         else {
-          // p = kth value as a fraction of the unsigned 64-bit space
+          // p = kth value as a fraction of the hash space
           val kth = m(m.length - 1)
-          val frac = kth.toDouble / 1.8446744073709552e19
+          val frac = kth.toDouble / norm
           val p = if (kth < 0) frac + 1.0 else frac
           math.round((K - 1) / p)
         }
@@ -98,7 +102,9 @@ object KmvSketch {
       override def outputEncoder: Encoder[Long] = Encoders.scalaLong
     }
 
+  val aggregator: Aggregator[Long, Buf, Long] = aggregatorBits(64)
+
   /** Column API: approx distinct of a pre-hashed long column. */
-  def approxDistinct(hashed: Column): Column =
-    udaf(aggregator, Encoders.scalaLong).apply(hashed)
+  def approxDistinct(hashed: Column, bits: Int = 64): Column =
+    udaf(aggregatorBits(bits), Encoders.scalaLong).apply(hashed)
 }

@@ -197,13 +197,22 @@ object ExtendedQueries {
           |""".stripMargin)
   }
 
-  /** L3: stratified sampling (`sampleBy`) — per-class fractions with
-    * a fixed seed; Bernoulli draws are engine-specific → rows-only,
-    * bounds asserted in ExtendedQueriesSpec. */
+  /** L3: stratified sampling via the engine-portable hash — keep a
+    * row iff md5-60(key) mod 1e6 falls under the stratum's fraction.
+    * Unlike seeded Bernoulli `sampleBy` (whose draws depend on the
+    * PARTITION LAYOUT — a different file split yields a different
+    * sample), the hash sample is a property of the DATA: reproducible
+    * across engines, partitionings, and re-runs, which is what a
+    * 100 TB training-data split actually requires, and what lets the
+    * oracle verify it exactly. */
   def l3Stratified(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .stat.sampleBy("o_orderstatus",
-        Map("F" -> 0.5, "O" -> 0.1, "P" -> 1.0), 42L)
+      .withColumn("h",
+        graft.core.PortableHash.md5Hash60(col("o_orderkey")) % 1000000L)
+      .filter(
+        (col("o_orderstatus") === "F" && col("h") < 500000L) ||
+          (col("o_orderstatus") === "O" && col("h") < 100000L) ||
+          col("o_orderstatus") === "P")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_sampled"))
 
@@ -342,7 +351,17 @@ object ExtendedQueries {
         | count(DISTINCT o_custkey),
         | CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
         |FROM orders""".stripMargin,
-    // l3_stratified: Bernoulli draws are engine-specific — rows-only.
+    "l3_stratified" ->
+      """WITH t AS (SELECT o_orderstatus,
+        |  ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+        |    % 1000000 AS h
+        | FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_sampled
+        |FROM t
+        |WHERE (o_orderstatus = 'F' AND h < 500000)
+        |   OR (o_orderstatus = 'O' AND h < 100000)
+        |   OR o_orderstatus = 'P'
+        |GROUP BY o_orderstatus""".stripMargin,
     "p12_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, value
         |FROM (

@@ -519,14 +519,19 @@ object RelationalQueries {
 
   /** KMV mergeable distinct sketch (graft.functions.KmvSketch, a
     * typed Aggregator) — the persistable/mergeable alternative to
-    * HLL for incremental pipelines. Estimates; rows-only check,
-    * error bound asserted in KmvSketchSpec. */
+    * HLL for incremental pipelines. Keyed on the engine-portable
+    * md5-60 hash, so the ESTIMATE (k-th minimum formula included) is
+    * bit-reproducible in the DuckDB oracle — an exactly-verified
+    * approximate sketch. Error bound additionally asserted in
+    * KmvSketchSpec. */
   def d3KmvDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
       graft.functions.KmvSketch
-        .approxDistinct(xxhash64(col("l_partkey"))).as("kmv_parts"),
+        .approxDistinct(graft.core.PortableHash.md5Hash60(col("l_partkey")),
+          graft.core.PortableHash.Bits).as("kmv_parts"),
       graft.functions.KmvSketch
-        .approxDistinct(xxhash64(col("l_suppkey"))).as("kmv_supps"))
+        .approxDistinct(graft.core.PortableHash.md5Hash60(col("l_suppkey")),
+          graft.core.PortableHash.Bits).as("kmv_supps"))
 
   /** Gap-based sessionization: a new session starts when a user is
     * idle > 30 min; session id = cumulative count of session starts
@@ -603,6 +608,28 @@ object RelationalQueries {
   /** DuckDB-equivalent SQL per query (same column names and types —
     * the driver sorts columns by name and hashes values). */
   val oracle: Map[String, String] = Map(
+    // KMV estimate replicated exactly: distinct portable hashes,
+    // 256th minimum, round(255 / (kth / 2^60)) — same IEEE double
+    // rounding in both engines. The supplier column has < 256
+    // distinct keys at oracle scale, exercising the exact branch.
+    "d3_kmv_distinct" ->
+      """WITH hp AS (SELECT DISTINCT
+        |   ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |hs AS (SELECT DISTINCT
+        |   ('0x' || substr(md5(l_suppkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem)
+        |SELECT
+        | CASE WHEN (SELECT count(*) FROM hp) < 256
+        |  THEN (SELECT count(*) FROM hp)
+        |  ELSE CAST(round(255.0 /
+        |    ((SELECT h FROM hp ORDER BY h OFFSET 255 LIMIT 1)::DOUBLE
+        |      / 1152921504606846976.0)) AS BIGINT) END AS kmv_parts,
+        | CASE WHEN (SELECT count(*) FROM hs) < 256
+        |  THEN (SELECT count(*) FROM hs)
+        |  ELSE CAST(round(255.0 /
+        |    ((SELECT h FROM hs ORDER BY h OFFSET 255 LIMIT 1)::DOUBLE
+        |      / 1152921504606846976.0)) AS BIGINT) END AS kmv_supps""".stripMargin,
     "s6_local_source" ->
       """SELECT * FROM (VALUES
         | (1, 'PAYMENT', 9839.64),

@@ -28,8 +28,11 @@ import graft.core.Tables
   * hash-compared against the EXACT all-pairs top-20 — the hashes are
   * deterministic, so "the approximate path achieves full recall on
   * this corpus" is a stable regression property, and a stronger check
-  * than rows-only. The remaining entries (`dd_simhash*` — xxhash64
-  * not replicable in SQL; `sim_lsh_ann`/`sim_ivf_ann`/
+  * than rows-only. The simhash family uses the engine-portable md5-60
+  * gram hash (graft.core.PortableHash) so the whole bit-vote pipeline
+  * is replicated in SQL, and the pair query returns the COMPLETE
+  * radius-3 set (banding is lossless there by pigeonhole) — both
+  * hash-verified. The remaining entries (`sim_lsh_ann`/`sim_ivf_ann`/
   * `dd_embed_neardup` — approximate by design with partial recall on
   * random vectors) stay rows-only with ScalaTest invariants.
   */
@@ -139,7 +142,10 @@ object SimilarityQueries {
   /** SimHash (32-bit) per document: majority vote of shingle-hash
     * bits, packed to one long — constant-width near-dup key; hamming
     * distance ≤ r on it approximates cosine similarity of the
-    * shingle sets. Pure array expressions (single pass per row). */
+    * shingle sets. Pure array expressions (single pass per row).
+    * Gram hashes use the engine-portable md5-60 hash
+    * (graft.core.PortableHash) so the full bit-vote is replicated in
+    * the DuckDB oracle. */
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     val bits = 32
     val votes =
@@ -159,7 +165,8 @@ object SimilarityQueries {
     Tables.documents(s, dir)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"),
-        transform(wordGramExpr("words", 3), g => xxhash64(g)).as("hs"))
+        transform(wordGramExpr("words", 3),
+          g => graft.core.PortableHash.md5Hash60(g)).as("hs"))
       .withColumn("votes", expr(votes))
       .select(col("doc_id"), expr(pack).as("simhash"))
   }
@@ -167,10 +174,12 @@ object SimilarityQueries {
   /** SimHash near-dup PAIRS via multi-index hashing: split the
     * 32-bit simhash into 4 byte bands; by pigeonhole, any pair with
     * hamming distance ≤ 3 shares at least one identical band, so
-    * banding is a lossless candidate filter for r=3 — candidate
+    * banding is a LOSSLESS candidate filter for r = 3 — candidate
     * generation stays an equi-join on (band, byte), then the exact
-    * hamming distance (bit_count of xor) verifies. Top-20 closest
-    * pairs. */
+    * hamming distance (bit_count of xor) verifies. Output is the
+    * complete radius-3 pair set — identical by construction to the
+    * oracle's all-pairs scan, which is what makes an LSH-indexed
+    * query hash-verifiable. */
   def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = ddSimhash(s, dir).localCheckpoint()
     val banded = hashes.select(col("doc_id"), col("simhash"),
@@ -187,10 +196,10 @@ object SimilarityQueries {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("cast(bit_count(h_a ^ h_b) as int)").as("hamming"))
+      .filter(col("hamming") <= 3)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
       .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
-      .limit(20)
   }
 
   /** n-gram Jaccard similarity via bucketed self-join: word 3-gram
@@ -427,7 +436,35 @@ object SimilarityQueries {
       |FROM g a JOIN g b ON a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
 
+  /** Shared DuckDB CTE replicating the full simhash construction —
+    * word 3-grams, portable md5-60 gram hash, per-bit majority vote,
+    * bit packing — bit-for-bit. */
+  private val simhashCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_distinct(list_transform(
+      |          range(1, greatest(len(w) - 2, 1) + 1),
+      |          i -> array_to_string(w[i:i+2], ' ')))) AS g
+      |      FROM w),
+      |h AS (SELECT doc_id,
+      |        ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g),
+      |v AS (SELECT doc_id, bb.b AS b,
+      |        sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |      FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bb
+      |      GROUP BY doc_id, bb.b),
+      |sim AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+      |                    ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM v GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dd_simhash" -> (simhashCte + "\nSELECT doc_id, simhash FROM sim"),
+    "dd_simhash_pairs" -> (simhashCte +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
     "dd_minhash_lsh" -> exactJaccardSql,
     "dd_ngram_jaccard" -> exactJaccardSql,
     "sim_brute_topk" ->
