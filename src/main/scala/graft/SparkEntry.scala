@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, DedupCluster, ExtendedQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsofJoin, DedupCluster, ExtendedQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
       MultimodalQueries.queries ++
       AsofJoin.queries ++
       DedupCluster.queries ++
+      MergeOps.queries ++
       ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++
       AsofJoin.oracle ++
       DedupCluster.oracle ++
+      MergeOps.oracle ++
       ExtendedQueries.oracle
 }

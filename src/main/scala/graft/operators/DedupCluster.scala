@@ -112,29 +112,58 @@ object DedupCluster {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** The end step of fuzzy dedup: drop every non-representative
+    * cluster member, keep the rest of the corpus; per-source census
+    * of the kept set. The duplicate list is the cluster table minus
+    * its representatives — tiny relative to the corpus, so the
+    * left-anti join broadcasts at any scale (only near-DUPLICATES
+    * are enumerated, never the corpus). */
+  def ddClusterDedup(s: SparkSession, dir: String): DataFrame = {
+    val dups = ddClusterCc(s, dir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    Tables.documents(s, dir)
+      .join(dups, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "dd_cluster_cc" -> (ddClusterCc _)
+    "dd_cluster_cc" -> (ddClusterCc _),
+    "dd_cluster_dedup" -> (ddClusterDedup _)
   )
+
+  /** Transitive closure over the exact all-pairs edge set — the
+    * shared base of both cluster oracles. */
+  private val ccCte =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+      |          i -> array_to_string(w[i:i+2], ' '))) AS g
+      |      FROM w),
+      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |              / len(list_distinct(list_concat(a.g, b.g))) >= 0.85),
+      |e AS (SELECT ia AS s, ib AS d FROM p
+      |      UNION ALL SELECT ib, ia FROM p),
+      |reach AS (
+      |  SELECT s, d FROM e
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+      |lbl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      |        FROM reach GROUP BY s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_cluster_cc" ->
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |        list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-        |          i -> array_to_string(w[i:i+2], ' '))) AS g
-        |      FROM w),
-        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |              / len(list_distinct(list_concat(a.g, b.g))) >= 0.85),
-        |e AS (SELECT ia AS s, ib AS d FROM p
-        |      UNION ALL SELECT ib, ia FROM p),
-        |reach AS (
-        |  SELECT s, d FROM e
-        |  UNION
-        |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
-        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-        |FROM reach GROUP BY s""".stripMargin
+      (ccCte + "\nSELECT doc_id, cluster_id FROM lbl"),
+    "dd_cluster_dedup" -> (ccCte +
+      """
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT doc_id FROM lbl WHERE cluster_id <> doc_id)
+        |GROUP BY source""".stripMargin)
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -216,6 +217,66 @@ object ExtendedQueries {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** Array-function surface over grouped data: collect_set → sorted
+    * array, size / membership / slice. Sorting the collected set is
+    * what makes a set-valued column deterministic (collect order is
+    * partition-dependent; the sorted ARRAY is a property of the
+    * data). */
+  def x13ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+      .select(col("o_orderpriority"),
+        // array columns serialize to strings for the compare harness
+        // (the hash compare can't digest list cells); the array ops
+        // themselves still run in-plan.
+        concat_ws(",", col("statuses")).as("statuses_csv"),
+        size(col("statuses")).as("n_statuses"),
+        array_contains(col("statuses"), "F").as("has_f"),
+        concat_ws(",", slice(col("statuses"), 1, 2)).as("first_two_csv"))
+
+  /** GROUPING SETS with grouping flags — finer than rollup/cube:
+    * exactly the requested aggregation levels in ONE pass (Spark
+    * plans a single Expand + aggregate, so N levels cost one shuffle,
+    * not N scans). */
+  def g4GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("sum_cents"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+
+  /** Sliding-frame window aggregation: per-supplier 7-row moving sum
+    * and integer moving mean over ship-date-ordered lineitems. ROWS
+    * frame with a unique tie-break (default RANGE frames include
+    * peers — playbook rule); integer-cent math end to end. */
+  def w4MovingAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("mov_sum_cents", sum(col("cents")).over(w))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_avg_cents", expr("mov_sum_cents div mov_n"))
+      .drop("cents", "l_shipdate")
+  }
+
+  /** Positional explode (LATERAL VIEW posexplode): token index within
+    * document — the array-to-rows direction with ordinal, the shape
+    * token-level NLP features need. */
+  def x15Posexplode(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+
   /** Unpivot (melt): wide → long over the four balance columns of
     * the lineitem pricing measures — the inverse of x2's pivot,
     * via the native Dataset.unpivot operator. */
@@ -244,7 +305,11 @@ object ExtendedQueries {
     "x12_outlier_fence" -> (x12OutlierFence _),
     "p11_profile" -> (p11Profile _),
     "l3_stratified" -> (l3Stratified _),
-    "p12_unpivot" -> (p12Unpivot _)
+    "p12_unpivot" -> (p12Unpivot _),
+    "x13_array_funcs" -> (x13ArrayFuncs _),
+    "g4_grouping_sets" -> (g4GroupingSets _),
+    "w4_moving_agg" -> (w4MovingAgg _),
+    "x15_posexplode" -> (x15Posexplode _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -375,6 +440,44 @@ object ExtendedQueries {
         | FROM lineitem
         | UNION ALL
         | SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
-        | FROM lineitem)""".stripMargin
+        | FROM lineitem)""".stripMargin,
+    "x13_array_funcs" ->
+      """WITH t AS (SELECT o_orderpriority,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        | array_to_string(statuses, ',') AS statuses_csv,
+        | CAST(len(statuses) AS INTEGER) AS n_statuses,
+        | list_contains(statuses, 'F') AS has_f,
+        | array_to_string(statuses[1:2], ',') AS first_two_csv
+        |FROM t""".stripMargin,
+    "g4_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents,
+        | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "w4_moving_agg" ->
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(sum(cents) OVER w AS BIGINT) AS mov_sum_cents,
+        | CAST(count(*) OVER w AS BIGINT) AS mov_n,
+        | CAST(sum(cents) OVER w AS BIGINT)
+        |   // CAST(count(*) OVER w AS BIGINT) AS mov_avg_cents
+        |FROM t
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "x15_posexplode" ->
+      """SELECT doc_id,
+        | CAST(generate_subscripts(w, 1) - 1 AS INTEGER) AS pos,
+        | unnest(w) AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents)""".stripMargin
   )
 }

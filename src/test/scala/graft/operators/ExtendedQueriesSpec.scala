@@ -45,4 +45,38 @@ class ExtendedQueriesSpec extends SparkSpec {
     val statusRow = rows.find(_.getString(0) == "o_orderstatus").get
     assert(statusRow.getLong(3) == 3L)
   }
+
+  test("grouping sets emits exactly the requested levels") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.orders(spark, sfDir)
+    val nStatus = orders.select("o_orderstatus").distinct().count()
+    val nPrio = orders.select("o_orderpriority").distinct().count()
+    val out = ExtendedQueries.g4GroupingSets(spark, sfDir).cache()
+    assert(out.count() == nStatus + nPrio + 1)
+    // the grand-total row aggregates everything
+    val total = out.filter(col("g_status") === 1 && col("g_priority") === 1)
+    assert(total.count() == 1)
+    assert(total.head().getAs[Long]("n_orders") == orders.count())
+  }
+
+  test("moving frame never exceeds 7 rows and sum matches at frame start") {
+    import org.apache.spark.sql.functions.col
+    val out = ExtendedQueries.w4MovingAgg(spark, sfDir).cache()
+    assert(out.filter(col("mov_n") < 1 || col("mov_n") > 7).count() == 0)
+    // first row of each partition: moving sum == its own value is
+    // implied by mov_n == 1 and avg == sum
+    assert(out.filter(col("mov_n") === 1)
+      .filter(col("mov_avg_cents") =!= col("mov_sum_cents")).count() == 0)
+  }
+
+  test("posexplode ordinal count matches token count per document") {
+    import org.apache.spark.sql.functions.{col, max, size, split}
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val got = ExtendedQueries.x15Posexplode(spark, sfDir)
+      .groupBy("doc_id")
+      .agg((max(col("pos")) + 1).as("n_got"))
+    assert(expected.join(got, "doc_id")
+      .filter(col("n") =!= col("n_got")).count() == 0)
+  }
 }
