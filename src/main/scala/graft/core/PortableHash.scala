@@ -19,8 +19,17 @@ object PortableHash {
   val Bits = 60
 
   /** Hash of the value's canonical string form (cast to string
-    * first so int/bigint keys agree with the oracle's ::VARCHAR). */
+    * first so int/bigint keys agree with the oracle's ::VARCHAR).
+    * Resolves to the native graft.functions.Md5Hash60 expression —
+    * callers must have graft functions registered (queries call
+    * `GraftFunctions.ensureRegistered(s)`; [[md5Hash60Composed]] is
+    * the builtin-only reference form it is tested equal to). */
   def md5Hash60(c: Column): Column =
+    call_function("md5_hash60", c.cast("string"))
+
+  /** Reference spelling from builtins only — what the DuckDB oracle
+    * mirrors and what Md5Hash60Spec pins the native form against. */
+  def md5Hash60Composed(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** DuckDB spelling of [[md5Hash60]] over SQL expression `e`. */

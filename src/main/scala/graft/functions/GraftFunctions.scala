@@ -10,10 +10,12 @@ object GraftFunctions {
   def register(ext: SparkSessionExtensions): Unit = {
     CosineSimilarity.register(ext)
     MinhashSig.register(ext)
+    Md5Hash60.register(ext)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {
     CosineSimilarity.ensureRegistered(spark)
     MinhashSig.ensureRegistered(spark)
+    Md5Hash60.ensureRegistered(spark)
   }
 }

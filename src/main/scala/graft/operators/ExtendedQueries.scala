@@ -206,7 +206,8 @@ object ExtendedQueries {
     * across engines, partitionings, and re-runs, which is what a
     * 100 TB training-data split actually requires, and what lets the
     * oracle verify it exactly. */
-  def l3Stratified(s: SparkSession, dir: String): DataFrame =
+  def l3Stratified(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.orders(s, dir)
       .withColumn("h",
         graft.core.PortableHash.md5Hash60(col("o_orderkey")) % 1000000L)
@@ -216,6 +217,7 @@ object ExtendedQueries {
           col("o_orderstatus") === "P")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_sampled"))
+  }
 
   /** Array-function surface over grouped data: collect_set → sorted
     * array, size / membership / slice. Sorting the collected set is

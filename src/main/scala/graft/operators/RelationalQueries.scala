@@ -524,7 +524,8 @@ object RelationalQueries {
     * bit-reproducible in the DuckDB oracle — an exactly-verified
     * approximate sketch. Error bound additionally asserted in
     * KmvSketchSpec. */
-  def d3KmvDistinct(s: SparkSession, dir: String): DataFrame =
+  def d3KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.lineitem(s, dir).agg(
       graft.functions.KmvSketch
         .approxDistinct(graft.core.PortableHash.md5Hash60(col("l_partkey")),
@@ -532,6 +533,7 @@ object RelationalQueries {
       graft.functions.KmvSketch
         .approxDistinct(graft.core.PortableHash.md5Hash60(col("l_suppkey")),
           graft.core.PortableHash.Bits).as("kmv_supps"))
+  }
 
   /** Gap-based sessionization: a new session starts when a user is
     * idle > 30 min; session id = cumulative count of session starts

@@ -147,6 +147,7 @@ object SimilarityQueries {
     * (graft.core.PortableHash) so the full bit-vote is replicated in
     * the DuckDB oracle. */
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val bits = 32
     val votes =
       s"""aggregate(
