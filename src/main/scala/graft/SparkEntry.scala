@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, DedupCluster, ExtendedQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsofJoin, DedupCluster, ExtendedQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, SketchQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +29,7 @@ object SparkEntry {
       AsofJoin.queries ++
       DedupCluster.queries ++
       MergeOps.queries ++
+      SketchQueries.queries ++
       ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       AsofJoin.oracle ++
       DedupCluster.oracle ++
       MergeOps.oracle ++
+      SketchQueries.oracle ++
       ExtendedQueries.oracle
 }

@@ -123,7 +123,7 @@ object DedupCluster {
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
     Tables.documents(s, dir)
-      .join(dups, Seq("doc_id"), "left_anti")
+      .join(broadcast(dups), Seq("doc_id"), "left_anti")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"))
   }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{PortableHash, Tables}
+
+/** Count-Min Sketch expressed RELATIONALLY: the sketch is a (row,
+  * bucket, count) table, not an opaque binary buffer.
+  *
+  * Why this shape at 100 TB: building it is one explode + one
+  * map-side-combinable groupBy over fixed-width keys (the only
+  * shuffle carries D×W partial cells per map task); the result is a
+  * D×W-row table that can be WRITTEN TO PARQUET, unioned with
+  * yesterday's sketch and re-grouped to merge (counter addition is
+  * commutative — merge order can't change the answer, so unlike
+  * Misra-Gries-style heavy-hitter summaries the estimates are
+  * partition- and merge-invariant), and probed with a plain join.
+  * Point estimate = min over the D cells a key hashes to;
+  * overcounts only (never under), error ≤ N/W per row with high
+  * probability.
+  *
+  * Bucket hashes use the engine-portable md5-60 hash with the row
+  * index as salt, so the ENTIRE sketch — and therefore every
+  * estimate — is bit-reproducible in the DuckDB oracle: an exactly
+  * verified approximate structure.
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sketch depth (hash rows) and width (buckets per row). */
+  val D = 3
+  val W = 256
+
+  /** Probe set: high-frequency function words of the synthetic
+    * corpus — fixed so the query shape is static. */
+  val Probes: Seq[String] = Seq("the", "of", "and", "a", "to")
+
+  private def bucket(j: org.apache.spark.sql.Column,
+      word: org.apache.spark.sql.Column) =
+    pmod(PortableHash.md5Hash60(
+      concat(j.cast("string"), lit(":"), word)), lit(W.toLong))
+
+  /** The CMS table for the corpus token stream: (j, bucket, c),
+    * D×W rows. */
+  def cmsTable(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(sequence(lit(0), lit(D - 1))).as("j"), col("w"))
+      .select(col("j"), bucket(col("j"), col("w")).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for the probe words: min over the D cells each
+    * word hashes to. The sketch side is D×W rows — broadcast. */
+  def d4CmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import s.implicits._
+    val sketch = cmsTable(s, dir)
+    val probes = Probes.toDF("word")
+      .select(col("word"),
+        explode(sequence(lit(0), lit(D - 1))).as("j"))
+      .withColumn("bucket", bucket(col("j"), col("word")))
+    probes.join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("word"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d4_cms_estimate" -> (d4CmsEstimate _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d4_cms_estimate" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |probes AS (SELECT unnest(['the','of','and','a','to']) AS word),
+        |pj AS (SELECT word, jj.j AS j,
+        |        ('0x' || substr(md5(jj.j::VARCHAR || ':' || word),
+        |          1, 15))::BIGINT % 256 AS pb
+        |       FROM probes CROSS JOIN
+        |         (SELECT unnest(range(3)) AS j) jj),
+        |cell AS (SELECT pj.word, pj.j,
+        |          sum(CASE WHEN
+        |            ('0x' || substr(md5(pj.j::VARCHAR || ':' || cnt.w),
+        |              1, 15))::BIGINT % 256 = pj.pb
+        |            THEN cnt.c ELSE 0 END) AS s
+        |         FROM pj CROSS JOIN cnt GROUP BY pj.word, pj.j)
+        |SELECT word, CAST(min(s) AS BIGINT) AS est_count
+        |FROM cell GROUP BY word""".stripMargin
+  )
+}

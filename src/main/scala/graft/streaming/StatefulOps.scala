@@ -88,4 +88,22 @@ object StatefulOps {
         count(lit(1)).as("n_txns"),
         sum(col("amount")).as("volume"),
         sum(col("isFraud")).as("n_fraud"))
+
+  /** Streaming exact dedup bounded by the watermark: drop re-deliveries
+    * of the same logical transaction (at-least-once sources replay —
+    * the reference's Kafka feed has no dedup at all, so every replay
+    * double-counts). `dropDuplicatesWithinWatermark` keys the state
+    * store on the dedup key and EVICTS entries once the watermark
+    * passes them — bounded state, unlike a plain `dropDuplicates` on
+    * a stream, which retains every key forever. The key is the
+    * transaction's content hash, so the op needs no producer-assigned
+    * ids. */
+  def dedupWithinWatermark(parsed: DataFrame,
+      horizon: String = "2 hours"): DataFrame =
+    withEventTime(parsed)
+      .withColumn("txn_key",
+        xxhash64(col("step"), col("type"), col("nameOrig"),
+          col("nameDest"), col("amount")))
+      .withWatermark("eventTime", horizon)
+      .dropDuplicatesWithinWatermark("txn_key")
 }

@@ -96,4 +96,28 @@ class StatefulOpsSpec extends SparkSpec {
     val total = agg.agg(sum(col("n_txns"))).head().getLong(0)
     assert(total == parsed.count())
   }
+
+  test("dedup-within-watermark drops replayed transactions across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val deduped = StatefulOps.dedupWithinWatermark(input.toDF())
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_sink").outputMode(OutputMode.Append()).start()
+    try {
+      val a = txn(1, "A", 100.0, 60.0)
+      val b = txn(1, "B", 50.0, 50.0)
+      // duplicate within the same batch AND replayed in the next one
+      input.addData(a, a, b)
+      q.processAllAvailable()
+      input.addData(a, txn(2, "A", 60.0, 10.0))
+      q.processAllAvailable()
+      val names = spark.table("dedup_sink")
+        .select(col("step"), col("nameOrig")).collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(names.length == 3, s"got ${names.mkString(",")}")
+      assert(names.toSet ==
+        Set((1, "A"), (1, "B"), (2, "A")))
+    } finally q.stop()
+  }
 }
