@@ -271,6 +271,21 @@ object ExtendedQueries {
       .drop("cents", "l_shipdate")
   }
 
+  /** Top-3 lineitems per supplier by price — runs on the custom
+    * whole-operator path (graft.plans.TopKPerGroup: logical node +
+    * Strategy + partial/final physical exec with bounded per-group
+    * heaps) instead of window(row_number) → filter. Same answer as
+    * the window formulation (pinned by TopKPerGroupSpec AND this
+    * oracle), different physical plan: no Sort, ≤ k rows per group
+    * per map task shuffled. */
+  def w5TopkGroup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    graft.plans.TopKPerGroup(base, Seq("l_suppkey"), "cents",
+      descending = true, Seq("l_orderkey", "l_linenumber"), 3)
+  }
+
   /** Positional explode (LATERAL VIEW posexplode): token index within
     * document — the array-to-rows direction with ordinal, the shape
     * token-level NLP features need. */
@@ -311,6 +326,7 @@ object ExtendedQueries {
     "x13_array_funcs" -> (x13ArrayFuncs _),
     "g4_grouping_sets" -> (g4GroupingSets _),
     "w4_moving_agg" -> (w4MovingAgg _),
+    "w5_topk_group" -> (w5TopkGroup _),
     "x15_posexplode" -> (x15Posexplode _)
   )
 
@@ -475,6 +491,15 @@ object ExtendedQueries {
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w5_topk_group" ->
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |        ORDER BY cents DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM t)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, cents
+        |FROM r WHERE rn <= 3""".stripMargin,
     "x15_posexplode" ->
       """SELECT doc_id,
         | CAST(generate_subscripts(w, 1) - 1 AS INTEGER) AS pos,
