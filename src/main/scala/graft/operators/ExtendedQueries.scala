@@ -286,6 +286,67 @@ object ExtendedQueries {
       descending = true, Seq("l_orderkey", "l_linenumber"), 3)
   }
 
+  /** Bucketed RANGE JOIN: events contained in incident time windows
+    * with NO equi-key — the query people write as a cartesian +
+    * filter. Scale path: quantize time into buckets the size of the
+    * interval, explode each interval to the ≤2 buckets it covers,
+    * equi-join on the bucket, then filter the exact containment —
+    * candidate generation becomes a hash join on a fixed-width key
+    * and each probe row meets only its time-locality, never the
+    * whole table. Incidents are every 100th event; windows are
+    * [t0, t0 + 10 min). All integer nano math (playbook: never
+    * double-divide nanos). */
+  def x16RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bucketNs = 600L * 1000000000L // 10 min, == interval length
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"))
+    val incidents = ev.filter(col("event_id") % 100 === 0)
+      .select(col("event_id").as("incident_id"), col("ts").as("t0"),
+        (col("ts") + bucketNs).as("t1"))
+    val ib = incidents.select(col("incident_id"), col("t0"), col("t1"),
+      explode(sequence(expr(s"t0 div $bucketNs"),
+        expr(s"(t1 - 1) div $bucketNs"))).as("bucket"))
+    val eb = ev.select(col("event_id"), col("ts"),
+      expr(s"ts div $bucketNs").as("bucket"))
+    ib.join(eb, "bucket")
+      .filter(col("ts") >= col("t0") && col("ts") < col("t1"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Semi-structured extraction: pull a typed field out of a JSON
+    * string column (`events.props`) and aggregate it — the
+    * schema-on-read path. `get_json_object` evaluates per row inside
+    * codegen; no full `from_json` struct materialization for a
+    * single field. */
+  def x17JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** Fuzzy dimension matching: nearest region name by edit distance
+    * for misspelled probes — the broadcast nested-loop shape is
+    * CORRECT here (the dim side is 5 rows; a fuzzy theta-join has no
+    * equi-key by definition, and at 100 TB the fact side streams
+    * past the broadcast dim once). Unique (dist, name) ordering
+    * makes the argmin deterministic. */
+  def x18FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq("AFRIKA", "EUROP", "ASIA!", "AMERCA", "MIDLE EAST")
+      .toDF("probe")
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("dist"), col("r_name"))
+    probes.crossJoin(broadcast(Tables.region(s, dir).select(col("r_name"))))
+      .withColumn("dist", levenshtein(col("probe"), col("r_name")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** Positional explode (LATERAL VIEW posexplode): token index within
     * document — the array-to-rows direction with ordinal, the shape
     * token-level NLP features need. */
@@ -327,7 +388,10 @@ object ExtendedQueries {
     "g4_grouping_sets" -> (g4GroupingSets _),
     "w4_moving_agg" -> (w4MovingAgg _),
     "w5_topk_group" -> (w5TopkGroup _),
-    "x15_posexplode" -> (x15Posexplode _)
+    "x15_posexplode" -> (x15Posexplode _),
+    "x16_range_join" -> (x16RangeJoin _),
+    "x17_json_extract" -> (x17JsonExtract _),
+    "x18_fuzzy_match" -> (x18FuzzyMatch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -500,6 +564,32 @@ object ExtendedQueries {
         |      FROM t)
         |SELECT l_suppkey, l_orderkey, l_linenumber, cents
         |FROM r WHERE rn <= 3""".stripMargin,
+    "x16_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts FROM events),
+        |inc AS (SELECT event_id AS incident_id, ts AS t0,
+        |         ts + 600000000000 AS t1
+        |        FROM ev WHERE event_id % 100 = 0)
+        |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM inc JOIN ev ON ev.ts >= inc.t0 AND ev.ts < inc.t1
+        |GROUP BY incident_id""".stripMargin,
+    "x17_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS sum_k,
+        | CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS min_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "x18_fuzzy_match" ->
+      """WITH p AS (SELECT unnest(
+        |    ['AFRIKA','EUROP','ASIA!','AMERCA','MIDLE EAST']) AS probe),
+        |d AS (SELECT probe, r_name,
+        |        CAST(levenshtein(probe, r_name) AS INTEGER) AS dist
+        |      FROM p CROSS JOIN region),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe
+        |        ORDER BY dist, r_name) AS rn FROM d)
+        |SELECT probe, r_name, dist FROM r WHERE rn = 1""".stripMargin,
     "x15_posexplode" ->
       """SELECT doc_id,
         | CAST(generate_subscripts(w, 1) - 1 AS INTEGER) AS pos,

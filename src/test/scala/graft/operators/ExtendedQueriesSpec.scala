@@ -69,6 +69,22 @@ class ExtendedQueriesSpec extends SparkSpec {
       .filter(col("mov_avg_cents") =!= col("mov_sum_cents")).count() == 0)
   }
 
+  test("range join plans as an equi-join on the bucket, never a cartesian") {
+    val plan = ExtendedQueries.x16RangeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("every incident window contains at least its own event") {
+    import org.apache.spark.sql.functions.col
+    val out = ExtendedQueries.x16RangeJoin(spark, sfDir)
+    assert(out.filter(col("n_events") < 1).count() == 0)
+    val nIncidents = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 100 === 0).count()
+    assert(out.count() == nIncidents)
+  }
+
   test("posexplode ordinal count matches token count per document") {
     import org.apache.spark.sql.functions.{col, max, size, split}
     val expected = Tables.documents(spark, sfDir)
