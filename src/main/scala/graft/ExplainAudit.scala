@@ -26,7 +26,8 @@ object ExplainAudit {
         "j1_broadcast_dims", "j2_inner_big", "l1_topk",
         "dd_minhash_lsh", "sim_lsh_ann", "mm_meta_only",
         "p4_filter_eq", "e1_event_window", "x1_asof_join",
-        "x10_correlated")
+        "x10_correlated", "w5_topk_group", "x16_range_join",
+        "m10_merge_upsert", "dd_cluster_dedup", "d4_cms_estimate")
     }
     names.foreach { name =>
       println(s"\n========== $name ==========")
