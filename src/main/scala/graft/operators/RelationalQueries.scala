@@ -561,6 +561,27 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Time-series gap filling (resample): per-type hourly event
+    * counts with ZERO-filled buckets across the whole span — the
+    * calendar is generated (`sequence`), not scanned, so downstream
+    * window/trend math sees a dense series. The calendar × types
+    * frame is tiny (hours × distinct types) and broadcast into the
+    * left join; integer nano math per the playbook. */
+  def e3GapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), expr(s"ts div $hourNs").as("hour"))
+    val counts = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val types = ev.select("event_type").distinct()
+    broadcast(types.crossJoin(hours))
+      .join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   // ===================================================================
   // registration
   // ===================================================================
@@ -604,12 +625,27 @@ object RelationalQueries {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
+    "e3_gap_fill" -> (e3GapFill _),
     "d3_kmv_distinct" -> (d3KmvDistinct _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names and types —
     * the driver sorts columns by name and hashes values). */
   val oracle: Map[String, String] = Map(
+    "e3_gap_fill" ->
+      """WITH ev AS (SELECT event_type,
+        |        epoch_ns(ts) // 3600000000000 AS hour FROM events),
+        |span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+        |hours AS (SELECT unnest(generate_series(
+        |           (SELECT h0 FROM span), (SELECT h1 FROM span))) AS hour),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |cnt AS (SELECT event_type, hour, count(*) AS n
+        |        FROM ev GROUP BY event_type, hour)
+        |SELECT t.event_type, h.hour,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM types t CROSS JOIN hours h
+        |LEFT JOIN cnt c ON c.event_type = t.event_type
+        |              AND c.hour = h.hour""".stripMargin,
     // KMV estimate replicated exactly: distinct portable hashes,
     // 256th minimum, round(255 / (kth / 2^60)) — same IEEE double
     // rounding in both engines. The supplier column has < 256
