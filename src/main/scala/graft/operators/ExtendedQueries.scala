@@ -347,6 +347,20 @@ object ExtendedQueries {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Histogram / binning: fixed-width price buckets with a top
+    * catch-all, pure integer-cent math (`div`), one
+    * map-side-combined groupBy — the single-pass distribution scan a
+    * profiler runs at any scale. */
+  def x19Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(least(expr("cents div 5000000"), lit(11L)).as("bucket"),
+        col("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+
   /** Positional explode (LATERAL VIEW posexplode): token index within
     * document — the array-to-rows direction with ordinal, the shape
     * token-level NLP features need. */
@@ -391,7 +405,8 @@ object ExtendedQueries {
     "x15_posexplode" -> (x15Posexplode _),
     "x16_range_join" -> (x16RangeJoin _),
     "x17_json_extract" -> (x17JsonExtract _),
-    "x18_fuzzy_match" -> (x18FuzzyMatch _)
+    "x18_fuzzy_match" -> (x18FuzzyMatch _),
+    "x19_histogram" -> (x19Histogram _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -572,6 +587,14 @@ object ExtendedQueries {
         |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM inc JOIN ev ON ev.ts >= inc.t0 AND ev.ts < inc.t1
         |GROUP BY incident_id""".stripMargin,
+    "x19_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |             AS cents FROM orders)
+        |SELECT least(cents // 5000000, 11) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(cents) AS BIGINT) AS min_cents,
+        | CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM c GROUP BY 1""".stripMargin,
     "x17_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
