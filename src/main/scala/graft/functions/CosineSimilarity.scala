@@ -20,10 +20,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * a 64-dim cosine is ~64 fused multiply-adds instead of ~192 boxed
   * lambda calls.
   *
-  * Semantics: null if either side is null (nullSafeEval contract);
-  * NaN when either vector has zero norm (same as the composed
-  * expression). Inputs must be equal length (vectors from the same
-  * embedding column by construction).
+  * Semantics: null if either side is null (nullSafeEval contract) OR
+  * if the lengths differ — a prefix-truncated cosine is a
+  * plausible-looking wrong answer, and the function is registered
+  * session-wide where any SQL caller can reach it, so the length
+  * contract is enforced, not assumed. NaN when either vector has
+  * zero norm (same as the composed expression).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,12 +45,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable regardless of child nullability: mismatched lengths
+  // yield null (the codegen writes ev.isNull, which must be a real
+  // variable, not the constant `false` of a non-nullable expr).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -75,17 +83,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv;
-         |  $nx += $xv * $xv;
-         |  $ny += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv;
+         |    $nx += $xv * $xv;
+         |    $ny += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot /
+         |    (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

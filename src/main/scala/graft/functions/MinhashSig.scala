@@ -30,6 +30,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Semantics: null in → null out; an EMPTY shingle array → null (the
   * HOF version yields an all-null array there — no caller produces
   * empty shingle sets, the shingle builders floor at one element).
+  * Null ELEMENTS are skipped as if absent — a deliberate deviation
+  * from the HOF composition, whose xxhash64(null, j) degenerates to
+  * hashing just the permutation index (a bug, not a contract); the
+  * shingle builders never emit null elements, so the bit-equality
+  * spec is unaffected.
   */
 case class MinhashSig(child: Expression, nHashes: Int)
     extends UnaryExpression {
@@ -57,12 +62,14 @@ case class MinhashSig(child: Expression, nHashes: Int)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     while (i < m) {
-      val base = XXH64.hashLong(hs.getLong(i), 42L)
-      var j = 0
-      while (j < nHashes) {
-        val v = XXH64.hashInt(j, base)
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      if (!hs.isNullAt(i)) {
+        val base = XXH64.hashLong(hs.getLong(i), 42L)
+        var j = 0
+        while (j < nHashes) {
+          val v = XXH64.hashInt(j, base)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -88,6 +95,7 @@ case class MinhashSig(child: Expression, nHashes: Int)
          |  long[] $sig = new long[$nHashes];
          |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($a.isNullAt($i)) continue;
          |    long $base = $xxh.hashLong($a.getLong($i), 42L);
          |    for (int $j = 0; $j < $nHashes; $j++) {
          |      long $v = $xxh.hashInt($j, $base);

@@ -116,10 +116,11 @@ object MlQueries {
 
   private def trainedModel(s: SparkSession,
       dir: String): org.apache.spark.ml.PipelineModel =
-    modelCache.getOrElseUpdate(dir, {
-      val (train, _) = FraudPipeline.split(Transactions.fromEvents(s, dir))
-      FraudPipeline.train(train)
-    })
+    modelCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":" + dir, {
+        val (train, _) = FraudPipeline.split(Transactions.fromEvents(s, dir))
+        FraudPipeline.train(train)
+      })
 
   /** M5+M6+M7+M9 (+A4): train the full 5-stage pipeline on the
     * PaySim-shaped frame derived from `events`, evaluate, and emit

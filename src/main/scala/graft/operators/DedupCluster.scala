@@ -34,65 +34,46 @@ import graft.core.Tables
 object DedupCluster {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One clustering per (JVM, sfDir): the cluster table feeds both
-    * dd_cluster_cc and dd_cluster_dedup — the computation is
+  /** One clustering per (application, sfDir): the cluster table feeds
+    * both dd_cluster_cc and dd_cluster_dedup — the computation is
     * identical and deterministic, so re-running it per query would
     * only double bench/verify wall time (same pattern as the shared
-    * trained model in MlQueries). The cached frame is a
-    * localCheckpoint, so lineage is already truncated. */
+    * trained model in MlQueries). Keyed by applicationId so a new
+    * SparkContext in the same JVM never sees a frame whose
+    * checkpoint blocks died with the previous context. */
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def ddClusterCc(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate(dir, computeClusterCc(s, dir))
+    ccCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":" + dir,
+      computeClusterCc(s, dir))
+
+  private val maxIters = 20
 
   private def computeClusterCc(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.MinhashSig.ensureRegistered(s)
-    val nHashes = 32
-    val bands = 8
-    val rows = nHashes / bands
-    val maxBucket = 50
     val thresh = 0.85
-    val docs = Tables.documents(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"),
-        expr("transform(array_distinct(transform(" +
-          "sequence(1, greatest(size(words) - 2, 1)), " +
-          "i -> concat_ws(' ', slice(words, i, 3)))), g -> xxhash64(g))")
-          .as("hs"))
-      .localCheckpoint()
-    val banded = docs
-      .withColumn("sig",
-        call_function("minhash_sig", col("hs"), lit(nHashes)))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
-              .as("bhash")))).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
-      .localCheckpoint()
-    val smallBuckets = banded.groupBy(col("band"), col("bhash"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2 && col("n") <= maxBucket)
-      .select("band", "bhash")
-    val pruned = banded.join(smallBuckets, Seq("band", "bhash"))
-    val cand = pruned.as("a").join(pruned.as("b"), Seq("band", "bhash"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val pairs = cand
-      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
-        "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
-        "id_b")
-      .filter(
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))) >= thresh)
+    // Shared shingle/LSH machinery (SimilarityQueries): 8 bands × 4
+    // rows — steeper recall at J≥0.85 than the 4×8 search layout —
+    // and star-connected hot buckets, so huge duplicate clusters
+    // stay CONNECTED (bounded O(n) candidates) instead of silently
+    // surviving dedup under a drop-the-bucket cap.
+    val docs = SimilarityQueries.hashedShingleDocs(s, dir)
+    val cand = SimilarityQueries.lshCandidatePairs(s, docs,
+      nHashes = 32, bands = 8, maxBucket = 50, starHotBuckets = true)
+    val pairs = SimilarityQueries.jaccardPairs(docs, cand)
+      .filter(col("jaccard") >= thresh)
       .select(col("id_a"), col("id_b"))
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
       .localCheckpoint()
+    // Label sum as the convergence witness; coalesce makes the empty
+    // edge set (a corpus with no near-dups) a first-class case — sum
+    // over zero rows is null, and the correct answer is an empty
+    // cluster table, not an NPE.
+    def lblSum(lbls: DataFrame): Long = lbls
+      .agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     // Init fused with the first propagation step: edges carry both
     // directions, so grouping by src enumerates every labeled node
     // AND applies one round of min(self, neighbors) in the same
@@ -104,10 +85,10 @@ object DedupCluster {
       .localCheckpoint()
     // Min-label propagation: labels only decrease, so the label sum is
     // a monotone convergence witness (one scalar per iteration).
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
@@ -116,11 +97,18 @@ object DedupCluster {
         .select(col("id"), least(col("lbl"),
           coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val sumNow = labels.agg(sum(col("lbl"))).head().getLong(0)
+      val sumNow = lblSum(labels)
       converged = sumNow == prevSum
       prevSum = sumNow
       iter += 1
     }
+    if (!converged)
+      // A component with diameter > maxIters (a long drift chain)
+      // would return non-minimal labels; make that loud instead of
+      // shipping a silently-partial clustering.
+      throw new IllegalStateException(
+        s"dd_cluster_cc: label propagation did not converge within " +
+          s"$maxIters iterations — component diameter exceeds the cap")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

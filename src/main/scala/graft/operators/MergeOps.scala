@@ -17,8 +17,9 @@ import graft.core.{PortableHash, Tables}
   *
   * The delta is derived deterministically from the base table via the
   * engine-portable hash (updates: h%10 < 3 re-priced; inserts: h%10 =
-  * 0 under shifted keys), so the merged result is exactly
-  * reproducible in the SQL oracle.
+  * 0 under negated keys — disjoint from the positive key space at
+  * any scale), so the merged result is exactly reproducible in the
+  * SQL oracle.
   */
 object MergeOps {
   type Q = (SparkSession, String) => DataFrame
@@ -32,8 +33,11 @@ object MergeOps {
       .select(col("o_orderkey"), cents.as("price_cents"))
     val updates = withH.filter(col("h") < 3)
       .select(col("o_orderkey"), (cents + 10000L).as("price_cents"))
+    // Insert keys are NEGATED (orderkeys are positive), so the
+    // synthetic new keys are disjoint from the base at ANY scale — a
+    // fixed offset would collide once max(o_orderkey) crossed it.
     val inserts = withH.filter(col("h") === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((-col("o_orderkey") - 1L).as("o_orderkey"),
         cents.as("price_cents"))
     val delta = updates.unionByName(inserts)
     base.as("b").join(delta.as("u"), Seq("o_orderkey"), "full_outer")
@@ -61,7 +65,7 @@ object MergeOps {
         |  SELECT o_orderkey AS k, cents + 10000 AS cents
         |  FROM o WHERE h < 3
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, cents FROM o WHERE h = 0)
+        |  SELECT -o_orderkey - 1, cents FROM o WHERE h = 0)
         |SELECT coalesce(b.k, u.k) AS o_orderkey,
         | CAST(coalesce(u.cents, b.cents) AS BIGINT) AS price_cents,
         | CASE WHEN u.k IS NULL THEN 'kept'

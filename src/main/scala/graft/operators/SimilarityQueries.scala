@@ -75,6 +75,84 @@ object SimilarityQueries {
   // MinHash + LSH near-duplicate pairs
   // ===================================================================
 
+  /** (doc_id, hs): distinct word-3gram hashes per document — the
+    * shared input of every shingle-based near-dup operator.
+    * Memoized per (app, dir): slim, deterministic, consumed by the
+    * minhash pair search AND the clustering pipeline. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[operators] def hashedShingleDocs(s: SparkSession,
+      dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":" + dir,
+      Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          transform(wordGramExpr("words", 3), g => xxhash64(g)).as("hs"))
+        .localCheckpoint())
+
+  /** LSH candidate pairs over pre-hashed shingle docs.
+    *
+    * Small buckets (2..maxBucket) expand all-pairs. Oversize buckets
+    * are non-discriminative and quadratic; for top-k pair SEARCH
+    * (`starHotBuckets = false`) they are dropped (the standard hot
+    * bucket cap), but for CLUSTERING that would silently keep every
+    * member of a huge duplicate cluster — exactly the documents
+    * dedup exists to remove. With `starHotBuckets = true` each hot
+    * bucket instead contributes a STAR through its minimum member:
+    * O(n) candidate rows that preserve connectivity (identical docs
+    * all verify against the representative and transitive closure
+    * folds them into one cluster), keeping the join bounded at any
+    * bucket size. */
+  private[operators] def lshCandidatePairs(s: SparkSession,
+      docs: DataFrame, nHashes: Int, bands: Int, maxBucket: Int,
+      starHotBuckets: Boolean): DataFrame = {
+    graft.functions.MinhashSig.ensureRegistered(s)
+    val rows = nHashes / bands
+    val banded = docs
+      .withColumn("sig", minhashSig(col("hs"), nHashes))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
+              .as("bhash")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
+      .localCheckpoint()
+    val stats = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+    val small = stats.filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("band", "bhash")
+    val pruned = banded.join(small, Seq("band", "bhash"))
+    val allPairs = pruned.as("a").join(pruned.as("b"), Seq("band", "bhash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand =
+      if (!starHotBuckets) allPairs
+      else {
+        val hot = stats.filter(col("n") > maxBucket)
+          .select(col("band"), col("bhash"), col("rep"))
+        val star = banded.join(hot, Seq("band", "bhash"))
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+        allPairs.unionByName(star)
+      }
+    cand.distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs — shingle arrays are fetched
+    * only AFTER the pair set is deduplicated (slim-candidates rule). */
+  private[operators] def jaccardPairs(docs: DataFrame,
+      cand: DataFrame): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b")))).as("jaccard"))
+
   /** MinHash LSH near-dup candidates → exact Jaccard verify → top
     * pairs.
     *
@@ -93,48 +171,10 @@ object SimilarityQueries {
     * (the standard hot-bucket cap; at 100 TB this is the difference
     * between a bounded join and a runaway one). */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.MinhashSig.ensureRegistered(s)
-    val nHashes = 32
-    val bands = 4
-    val rows = nHashes / bands
-    val maxBucket = 50
-    // localCheckpoint: both intermediates are slim (ids + hashes) but
-    // expensive to derive, and each is consumed by 3+ downstream
-    // subplans (bucket census, both self-join sides, array fetch) —
-    // without materialization the shingle/signature computation runs
-    // once PER CONSUMER.
-    val docs = Tables.documents(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"),
-        transform(wordGramExpr("words", 3), g => xxhash64(g)).as("hs"))
-      .localCheckpoint()
-    val banded = docs
-      .withColumn("sig", minhashSig(col("hs"), nHashes))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
-              .as("bhash")))).as("bucket"))
-      .select(col("doc_id"), col("bucket.band"), col("bucket.bhash"))
-      .localCheckpoint()
-    val smallBuckets = banded.groupBy(col("band"), col("bhash"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2 && col("n") <= maxBucket)
-      .select("band", "bhash")
-    val pruned = banded.join(smallBuckets, Seq("band", "bhash"))
-    val pairs = pruned.as("a")
-      .join(pruned.as("b"), Seq("band", "bhash"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    pairs
-      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
-        "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
-        "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b")))).as("jaccard"))
+    val docs = hashedShingleDocs(s, dir)
+    val cand = lshCandidatePairs(s, docs, nHashes = 32, bands = 4,
+      maxBucket = 50, starHotBuckets = false)
+    jaccardPairs(docs, cand)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
@@ -153,7 +193,8 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate(dir,
+    simhashCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":" + dir,
       computeSimhash(s, dir).localCheckpoint())
 
   private def computeSimhash(s: SparkSession, dir: String): DataFrame = {
@@ -385,7 +426,8 @@ object SimilarityQueries {
     // Random init (seeded): k-means|| runs its own multi-pass
     // distributed init, which dominates fit time for a 16-cell
     // coarse quantizer and buys nothing at this k.
-    val model = kmeansCache.getOrElseUpdate(dir,
+    val model = kmeansCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":" + dir,
       new KMeans().setK(16).setSeed(42L).setMaxIter(5)
         .setInitMode("random")
         .setFeaturesCol("fv").setPredictionCol("cell")

@@ -71,6 +71,7 @@ case class TopKPerGroupExec(
     val gExprs = groupExprs
     val ordSpec = order
     val kk = k
+    val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
       val ord = RowOrdering.create(ordSpec, childOutput)
@@ -81,11 +82,28 @@ case class TopKPerGroupExec(
       }
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      var flushed: Iterator[InternalRow] = Iterator.empty
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var q = heaps.get(key)
         if (q == null) {
+          // Memory bound: the partial pass can see arbitrarily many
+          // distinct keys per map task. The partial is only a shuffle
+          // reducer, so when the map is full we FLUSH (emit and
+          // reset) rather than grow — correctness is unchanged, some
+          // shuffle reduction is traded away under extreme group
+          // cardinality (the same pressure-valve contract as
+          // map-side combine). The FINAL pass never flushes: after
+          // the hash exchange a group's rows are co-located, and its
+          // working set is groups-per-reduce-partition, the quantity
+          // the shuffle exists to bound.
+          if (isPartial && heaps.size >= TopKPerGroup.maxPartialGroups) {
+            val drained = new java.util.ArrayList[InternalRow]()
+            heaps.values.forEach(h => drained.addAll(h))
+            heaps.clear()
+            flushed = flushed ++ drained.asScala.iterator
+          }
           q = new java.util.PriorityQueue[InternalRow](kk + 1, cmp)
           heaps.put(key.copy(), q)
         }
@@ -95,7 +113,7 @@ case class TopKPerGroupExec(
           q.add(row.copy())
         }
       }
-      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+      flushed ++ heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 
@@ -104,6 +122,10 @@ case class TopKPerGroupExec(
 }
 
 object TopKPerGroup {
+
+  /** Partial-pass group-map cap before a flush (see doExecute). At
+    * k=3 and 64-byte rows this bounds partial state near 100 MB. */
+  val maxPartialGroups: Int = 500000
 
   /** Idempotent strategy registration (experimental.extraStrategies
     * is the public per-session hook; `SparkSessionExtensions
@@ -127,6 +149,17 @@ object TopKPerGroup {
       lp.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"no column $n in ${lp.output.map(_.name).mkString(",")}"))
+    // Float group keys are rejected: Spark normalizes -0.0/NaN group
+    // keys via an optimizer rule this custom node does not receive,
+    // so a double key could split one logical group into two heaps.
+    groupCols.map(attr).foreach { a =>
+      val isFloat = a.dataType == org.apache.spark.sql.types.DoubleType ||
+        a.dataType == org.apache.spark.sql.types.FloatType
+      require(!isFloat,
+        s"TopKPerGroup: group column ${a.name} is ${a.dataType.simpleString}; " +
+          "floating-point group keys are not supported (no -0.0/NaN " +
+          "normalization on this node) — cast or bucket the key first")
+    }
     val dir = if (descending) Descending else Ascending
     val ord = SortOrder(attr(orderCol), dir) +:
       tieBreakers.map(t => SortOrder(attr(t), Ascending))

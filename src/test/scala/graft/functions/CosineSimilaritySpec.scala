@@ -47,6 +47,14 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("mismatched lengths yield null, never a prefix-truncated score") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+    val r = df.selectExpr("cosine_sim(a, b) AS c").head()
+    assert(r.isNullAt(0))
+  }
+
   test("expression participates in whole-stage codegen") {
     val df = graft.core.Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>) AS e")

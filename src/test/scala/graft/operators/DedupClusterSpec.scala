@@ -58,6 +58,36 @@ class DedupClusterSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("a corpus with no near-dups yields an empty cluster table, not a crash") {
+    val dir = corpusDir(Seq(
+      (1L, (0 until 60).map(i => s"a$i").mkString(" "), "s"),
+      (2L, (0 until 60).map(i => s"b$i").mkString(" "), "s"),
+      (3L, (0 until 60).map(i => s"c$i").mkString(" "), "s")))
+    assert(DedupCluster.ddClusterCc(spark, dir).count() == 0)
+    // dedup keeps everything when nothing clusters
+    val kept = DedupCluster.ddClusterDedup(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(kept == 3)
+  }
+
+  test("a duplicate cluster larger than the hot-bucket cap still dedups") {
+    // 60 identical documents: every LSH bucket they share holds 60
+    // members (> maxBucket 50). The star fallback must keep them
+    // connected; dropping hot buckets would silently keep all 60.
+    val text = baseWords.mkString(" ")
+    val rows = (0L until 60L).map(i => (i, text, "s")) :+
+      (999L, (0 until 60).map(i => s"z$i").mkString(" "), "s")
+    val dir = corpusDir(rows)
+    val out = DedupCluster.ddClusterCc(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (0L until 60L).toSet)
+    assert(out.values.toSet == Set(0L),
+      "all 60 identical docs must fold into the doc-0 cluster")
+    val kept = DedupCluster.ddClusterDedup(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(kept == 2, "one representative + the unrelated doc")
+  }
+
   test("sf0.001 corpus: representative of each cluster is its own minimum") {
     val out = DedupCluster.ddClusterCc(spark, sfDir)
     val badRep = out.groupBy(col("cluster_id"))
