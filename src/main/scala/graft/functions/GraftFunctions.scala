@@ -11,11 +11,13 @@ object GraftFunctions {
     CosineSimilarity.register(ext)
     MinhashSig.register(ext)
     Md5Hash60.register(ext)
+    Simhash32.register(ext)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {
     CosineSimilarity.ensureRegistered(spark)
     MinhashSig.ensureRegistered(spark)
     Md5Hash60.ensureRegistered(spark)
+    Simhash32.ensureRegistered(spark)
   }
 }

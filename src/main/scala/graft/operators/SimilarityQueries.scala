@@ -199,10 +199,23 @@ object SimilarityQueries {
 
   private def computeSimhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        transform(wordGramExpr("words", 3),
+          g => graft.core.PortableHash.md5Hash60(g)).as("hs"))
+      .select(col("doc_id"),
+        call_function("simhash32", col("hs")).as("simhash"))
+  }
+
+  /** Reference implementation for Simhash32Spec — the interpreted
+    * vote/pack composition the native expression replaces. Takes the
+    * NAME of an array<long> column. */
+  private[graft] def simhashHof(hsColName: String): Column = {
     val bits = 32
     val votes =
       s"""aggregate(
-         |  hs,
+         |  $hsColName,
          |  array_repeat(0L, $bits),
          |  (acc, h) -> zip_with(acc,
          |    transform(sequence(0, ${bits - 1}),
@@ -211,16 +224,10 @@ object SimilarityQueries {
          |    (a, v) -> a + v))""".stripMargin
     val pack =
       s"""aggregate(
-         |  zip_with(votes, sequence(0, ${bits - 1}),
+         |  zip_with(VOTES, sequence(0, ${bits - 1}),
          |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
          |  0L, (acc, x) -> acc + x)""".stripMargin
-    Tables.documents(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"),
-        transform(wordGramExpr("words", 3),
-          g => graft.core.PortableHash.md5Hash60(g)).as("hs"))
-      .withColumn("votes", expr(votes))
-      .select(col("doc_id"), expr(pack).as("simhash"))
+    expr(pack.replace("VOTES", votes))
   }
 
   /** SimHash near-dup PAIRS via multi-index hashing: split the
