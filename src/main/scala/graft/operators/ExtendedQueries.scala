@@ -347,6 +347,38 @@ object ExtendedQueries {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Ordered aggregates (max_by/min_by): per status, the order
+    * carrying the extreme price. Ties on price are broken by the
+    * unique key packed into the comparison value (an argmax without
+    * a total order is engine-unspecified — same playbook rule as
+    * windows). */
+  def a7ArgExtremes(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // cents ≤ ~6e7 → cents * 1e7 + orderkey is collision-free long
+      .withColumn("ord", col("cents") * 10000000L + col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(max_by(col("o_orderkey"), col("ord")).as("max_order"),
+        min_by(col("o_orderkey"), col("ord")).as("min_order"),
+        max(col("cents")).as("max_cents"),
+        min(col("cents")).as("min_cents"))
+
+  /** Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL preserve
+    * multiplicities (the distinct variants u1-u3 collapse them) —
+    * Catalyst plans both as joins on a synthesized count. */
+  def u4ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey"))
+    val recent = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) >= 1997)
+      .select(col("o_custkey"))
+    hi.exceptAll(recent)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_remaining"))
+  }
+
   /** Histogram / binning: fixed-width price buckets with a top
     * catch-all, pure integer-cent math (`div`), one
     * map-side-combined groupBy — the single-pass distribution scan a
@@ -406,7 +438,9 @@ object ExtendedQueries {
     "x16_range_join" -> (x16RangeJoin _),
     "x17_json_extract" -> (x17JsonExtract _),
     "x18_fuzzy_match" -> (x18FuzzyMatch _),
-    "x19_histogram" -> (x19Histogram _)
+    "x19_histogram" -> (x19Histogram _),
+    "a7_arg_extremes" -> (a7ArgExtremes _),
+    "u4_except_all" -> (u4ExceptAll _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -587,6 +621,25 @@ object ExtendedQueries {
         |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM inc JOIN ev ON ev.ts >= inc.t0 AND ev.ts < inc.t1
         |GROUP BY incident_id""".stripMargin,
+    "a7_arg_extremes" ->
+      """WITH t AS (SELECT o_orderstatus, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |u AS (SELECT *, cents * 10000000 + o_orderkey AS ord FROM t)
+        |SELECT o_orderstatus,
+        | arg_max(o_orderkey, ord) AS max_order,
+        | arg_min(o_orderkey, ord) AS min_order,
+        | CAST(max(cents) AS BIGINT) AS max_cents,
+        | CAST(min(cents) AS BIGINT) AS min_cents
+        |FROM u GROUP BY o_orderstatus""".stripMargin,
+    "u4_except_all" ->
+      """WITH hi AS (SELECT o_custkey FROM orders
+        |            WHERE o_totalprice > 100000.0),
+        |recent AS (SELECT o_custkey FROM orders
+        |           WHERE year(o_orderdate) >= 1997),
+        |rem AS (SELECT * FROM hi EXCEPT ALL SELECT * FROM recent)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_remaining
+        |FROM rem GROUP BY o_custkey""".stripMargin,
     "x19_histogram" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
         |             AS cents FROM orders)
