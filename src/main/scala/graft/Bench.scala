@@ -3,15 +3,34 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. The timed action is a
-  * noop-format write so the FULL physical plan executes (a count()
-  * would let Catalyst prune projections out of the timed plan —
+  * SPARK_GRAFT_SF_DIR and emits a self-verifying artifact. The timed
+  * action is a noop-format write so the FULL physical plan executes (a
+  * count() would let Catalyst prune projections out of the timed plan —
   * VERDICT r2). One warmup query first so JVM/codegen startup isn't
   * billed to the first query in the map.
+  *
+  * Artifact contract (VERDICT r4/r5 task #1):
+  *   - one SHORT JSON line per query as it finishes:
+  *       {"query":name,"sec":median,"err":null|"msg","runs":[r1,r2,r3]}
+  *     so a head- or tail-truncated capture still yields parseable
+  *     per-query evidence;
+  *   - each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3)
+  *     back-to-back and the MEDIAN is reported, so one-off JIT / page
+  *     cache / GC noise can't masquerade as a 10x regression (the r5
+  *     artifact "showed" x17_json_extract at 5.77 s vs a true 0.58 s);
+  *   - the final line is COMPACT and printed LAST (the driver's tail
+  *     capture truncates the head of long output, which is how every
+  *     earlier round lost the total that Bench printed first):
+  *       {"metric":"total","value":N,"unit":"sec","sf":…,"runs":3,
+  *        "ok":n,"failed":n}
+  *   - exit status is nonzero if ANY query failed in ANY run, so a
+  *     swallowed exception can never be recorded as a wall time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     val selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -20,6 +39,18 @@ object Bench {
 
     def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    /** Minimal JSON string escape for error messages. */
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
 
     // Warmup: JIT + codegen + parquet footer caches, plus the engine's
     // lazily-initialized function paths — the first use of a case-map
@@ -51,22 +82,33 @@ object Bench {
     warm(new org.apache.spark.ml.feature.StringIndexer()
       .setInputCol("s").setOutputCol("si").fit(tiny))
 
-    val results = selected.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    // Per-query: N back-to-back timed runs, report the median. Repeats
+    // run consecutively (not as full sweeps) so each query's runs share
+    // cache state — the median then isolates that query's steady state.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
+      val secs = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         try runNoop(fn(spark, sfDir))
         catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      val median = secs.sorted.apply(secs.length / 2)
+      val runsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      println(
+        s"""{"query":${jstr(name)},"sec":${f"$median%.3f"},"err":${err.map(jstr).getOrElse("null")},"runs":$runsJson}""")
+      (name, median, err)
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+
+    val failed = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // Compact summary LAST — short enough to survive any tail capture.
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":${jstr(sfDir)},"runs":$runsPerQuery,"queries":${results.size},"ok":${results.size - failed},"failed":$failed}""")
+    if (failed > 0) sys.exit(1)
   }
 }
