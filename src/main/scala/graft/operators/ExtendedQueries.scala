@@ -86,13 +86,43 @@ object ExtendedQueries {
   /** Exact percentiles (linear interpolation at rank p·(n-1) — the
     * same definition in Spark's `percentile` and DuckDB's
     * `quantile_cont`; the interpolation is one arithmetic op on two
-    * exact stored values → deterministic). */
+    * exact stored values → deterministic).
+    *
+    * MEMORY BOUND: Spark's exact Percentile buffers a value→count
+    * OpenHashMap per group; on a near-all-distinct column like
+    * o_totalprice that map grows linearly with group size — unbounded
+    * executor memory at 100 TB. Kept for the oracle at test SF; the
+    * scale path is [[x8bApproxPercentile]] (O(accuracy) state). */
   def x8Percentile(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
         expr("percentile(o_totalprice, 0.5)").as("median_price"),
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+
+  /** Scale-safe percentile twin of x8: `percentile_approx`
+    * (Greenwald-Khanna sketch) caps executor state at O(accuracy)
+    * retained samples per group (~a few MB at accuracy 1e6)
+    * REGARDLESS of input size — the 100 TB answer to exact
+    * Percentile's unbounded value map. Determinism for the oracle:
+    * with accuracy ≥ group row count the GK sketch never merges, so
+    * the query is rank-exact and returns the stored element at rank
+    * ceil(p·n) (1-indexed; verified empirically across n=4,5,10,11 ×
+    * p=.25,.5,.75,.9) — which the DuckDB oracle reproduces with
+    * row_number(). Both engines compute the p·n product in IEEE
+    * double (the oracle casts the literal to DOUBLE so DuckDB doesn't
+    * use DECIMAL arithmetic), so the rank agrees bit-for-bit. Beyond
+    * ~1e6 rows per group the same query degrades gracefully to
+    * ε = 1e-6 rank error instead of failing on memory. */
+  def x8bApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_approx(o_totalprice, 0.5, 1000000)")
+          .as("median_price"),
+        expr("percentile_approx(o_totalprice, 0.9, 1000000)")
+          .as("p90_price"),
         count(lit(1)).as("n"))
 
   /** IN-subquery → left-semi join after Catalyst rewrite. */
@@ -146,7 +176,11 @@ object ExtendedQueries {
   /** Tukey-fence outlier census — the standard numeric-cleaning gate
     * for training data: flag rows outside [q1-1.5·IQR, q3+1.5·IQR].
     * Exact percentiles (same interpolation both engines) keep the
-    * fence values deterministic. */
+    * fence values deterministic.
+    *
+    * MEMORY BOUND: same caveat as [[x8Percentile]] — exact Percentile
+    * buffers every distinct o_totalprice; the scale path is
+    * [[x12bApproxFence]]. */
   def x12OutlierFence(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_of")
     s.sql(
@@ -160,6 +194,27 @@ object ExtendedQueries {
         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  count(*) AS n_total
         |FROM orders_of CROSS JOIN q""".stripMargin)
+  }
+
+  /** Scale-safe twin of x12: the fence quantiles come from
+    * `percentile_approx` (bounded GK sketch — see
+    * [[x8bApproxPercentile]] for the determinism argument). q1/q3 are
+    * exact stored elements at rank ceil(p·n) at test SF, the fence
+    * arithmetic is the same IEEE-double ops in both engines, and the
+    * outputs are integer counts — hash-stable. */
+  def x12bApproxFence(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_af")
+    s.sql(
+      """WITH q AS (
+        |  SELECT percentile_approx(o_totalprice, 0.25, 1000000) AS q1,
+        |         percentile_approx(o_totalprice, 0.75, 1000000) AS q3
+        |  FROM orders_af)
+        |SELECT
+        |  CAST(sum(CASE WHEN o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+        |                  OR o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_total
+        |FROM orders_af CROSS JOIN q""".stripMargin)
   }
 
   /** Column profiling — the df.summary() capability as a
@@ -422,11 +477,13 @@ object ExtendedQueries {
     "x6_date_funcs" -> (x6DateFuncs _),
     "x7_null_funcs" -> (x7NullFuncs _),
     "x8_percentile" -> (x8Percentile _),
+    "x8b_approx_percentile" -> (x8bApproxPercentile _),
     "x9_in_subquery" -> (x9InSubquery _),
     "x10_correlated" -> (x10Correlated _),
     "g3_string_agg" -> (g3StringAgg _),
     "x11_regexp" -> (x11Regexp _),
     "x12_outlier_fence" -> (x12OutlierFence _),
+    "x12b_approx_fence" -> (x12bApproxFence _),
     "p11_profile" -> (p11Profile _),
     "l3_stratified" -> (l3Stratified _),
     "p12_unpivot" -> (p12Unpivot _),
@@ -493,6 +550,27 @@ object ExtendedQueries {
         | quantile_cont(o_totalprice, 0.9) AS p90_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // Discrete quantile at rank ceil(p*n), 1-indexed — exactly what
+    // percentile_approx returns while accuracy >= group size. The
+    // CAST(p AS DOUBLE) forces DuckDB into IEEE-double multiplication
+    // (a bare 0.9 literal is DECIMAL there, whose exact product can
+    // land on the other side of ceil() than the JVM's double math).
+    "x8b_approx_percentile" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS grp_n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * grp_n)
+        |                          AS BIGINT)
+        |      THEN o_totalprice END) AS median_price,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * grp_n)
+        |                          AS BIGINT)
+        |      THEN o_totalprice END) AS p90_price,
+        |  count(*) AS n
+        |FROM r GROUP BY o_orderstatus""".stripMargin,
     "x9_in_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
@@ -520,6 +598,28 @@ object ExtendedQueries {
         |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
         |         quantile_cont(o_totalprice, 0.75) AS q3
         |  FROM orders)
+        |SELECT
+        |  CAST(sum(CASE WHEN o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+        |                  OR o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_total
+        |FROM orders CROSS JOIN q""".stripMargin,
+    // Same rank-ceil(p*n) discrete quantile as x8b's oracle.
+    "x12b_approx_fence" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM orders),
+        |q AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(ceil(CAST(0.25 AS DOUBLE) * n)
+        |                            AS BIGINT)
+        |        THEN o_totalprice END) AS q1,
+        |    max(CASE WHEN rn = CAST(ceil(CAST(0.75 AS DOUBLE) * n)
+        |                            AS BIGINT)
+        |        THEN o_totalprice END) AS q3
+        |  FROM r)
         |SELECT
         |  CAST(sum(CASE WHEN o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
         |                  OR o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)

@@ -38,6 +38,40 @@ class ExtendedQueriesSpec extends SparkSpec {
       s"Tukey fence should flag a minority: $outliers/$total")
   }
 
+  test("approx percentile twin is rank-exact at small SF") {
+    import org.apache.spark.sql.expressions.Window
+    // percentile_approx at accuracy >= group size must return the
+    // stored element at rank ceil(p*n) — the contract the DuckDB
+    // oracle for x8b encodes with row_number().
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    val ranked = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp_n",
+        count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+    val expected = ranked.groupBy("o_orderstatus")
+      .agg(
+        max(when(col("rn") === ceil(col("grp_n") * lit(0.5)),
+          col("o_totalprice"))).as("median_price"),
+        max(when(col("rn") === ceil(col("grp_n") * lit(0.9)),
+          col("o_totalprice"))).as("p90_price"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val actual = ExtendedQueries.x8bApproxPercentile(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(actual == expected)
+  }
+
+  test("approx outlier fence matches total and flags a minority") {
+    val r = ExtendedQueries.x12bApproxFence(spark, sfDir).head()
+    val (outliers, total) = (r.getLong(0), r.getLong(1))
+    assert(total == Tables.orders(spark, sfDir).count())
+    assert(outliers >= 0 && outliers < total / 4,
+      s"Tukey fence should flag a minority: $outliers/$total")
+  }
+
   test("profile reports one row per profiled column, zero nulls") {
     val rows = ExtendedQueries.p11Profile(spark, sfDir).collect()
     assert(rows.length == 3)
