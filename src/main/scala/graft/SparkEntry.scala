@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, DedupCluster, ExtendedQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, SketchQueries, TextQueries}
+import graft.operators.{AsofJoin, DedupCluster, ExtendedQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, SketchQueries, SkewJoin, TextQueries}
+import graft.sources.LayoutQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +31,9 @@ object SparkEntry {
       DedupCluster.queries ++
       MergeOps.queries ++
       SketchQueries.queries ++
-      ExtendedQueries.queries
+      ExtendedQueries.queries ++
+      SkewJoin.queries ++
+      LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +47,7 @@ object SparkEntry {
       DedupCluster.oracle ++
       MergeOps.oracle ++
       SketchQueries.oracle ++
-      ExtendedQueries.oracle
+      ExtendedQueries.oracle ++
+      SkewJoin.oracle ++
+      LayoutQueries.oracle
 }

@@ -41,12 +41,21 @@ object DataSkipping {
 
   /** Manifest-pruned ranged read: scan only intersecting files, then
     * apply the exact predicate (manifest pruning is a superset
-    * filter, never a substitute for it). */
+    * filter, never a substitute for it). The no-intersection branch
+    * preserves the SOURCE schema (a footer-only read of one manifest
+    * file under an always-false filter) so downstream column
+    * references behave identically whether or not anything matched
+    * (ADVICE r5: emptyDataFrame's zero-column schema made the empty
+    * case throw AnalysisException). */
   def prunedRead(s: SparkSession, manifest: DataFrame, keyCol: String,
       qLo: Long, qHi: Long): DataFrame = {
     val files = candidateFiles(manifest, qLo, qHi)
     if (files.isEmpty)
-      s.emptyDataFrame
+      manifest.select("file").limit(1).collect().headOption match {
+        case Some(row) =>
+          s.read.parquet(row.getString(0)).filter(lit(false))
+        case None => s.emptyDataFrame // no files exist at all
+      }
     else
       s.read.parquet(files: _*)
         .filter(col(keyCol) >= qLo && col(keyCol) <= qHi)

@@ -55,6 +55,36 @@ class LayoutSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("registered l4_partition_pruned shows PartitionFilters in plan") {
+    val q = graft.sources.LayoutQueries.l4PartitionPruned(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition filter in:\n$plan")
+    // semantics-preserving vs the unpartitioned source
+    val row = q.collect().head
+    val src = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+    assert(row.getAs[Long]("n_docs") == src.count())
+  }
+
+  test("registered l5_manifest_skip prunes files and stays exact") {
+    val q = graft.sources.LayoutQueries.l5ManifestSkip(spark, sfDir)
+    val row = q.collect().head
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey").between(1000, 5000))
+      .agg(count(lit(1)),
+        sum(round(col("o_totalprice") * 100).cast("long"))).head()
+    assert(row.getLong(0) == expected.getLong(0))
+    assert(row.getLong(1) == expected.getLong(1))
+    // the manifest must actually prune: candidate files ⊂ all files
+    val tmpTag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val layout = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$tmpTag/orders_clustered"
+    val m = graft.sources.DataSkipping
+      .buildManifest(spark, layout, "o_orderkey")
+    val cand = graft.sources.DataSkipping.candidateFiles(m, 1000L, 5000L)
+    assert(cand.nonEmpty && cand.size < m.count(),
+      s"manifest should prune: ${cand.size}/${m.count()} files touched")
+  }
+
   test("IVF ANN probes beat random: high overlap with brute force") {
     val brute = SimilarityQueries.simBruteTopK(spark, sfDir)
       .collect().map(_.getLong(0)).toSet

@@ -55,4 +55,18 @@ class DataSkippingSpec extends SparkSpec {
       .prunedRead(spark, m, "o_orderkey", hi + 1000, hi + 2000)
       .isEmpty)
   }
+
+  test("the empty branch keeps the source schema (ADVICE r5)") {
+    val m = DataSkipping.buildManifest(spark, clusteredPath, "o_orderkey")
+    val hi = m.agg(max("hi")).head().getLong(0)
+    val empty = DataSkipping
+      .prunedRead(spark, m, "o_orderkey", hi + 1000, hi + 2000)
+    val populated = DataSkipping
+      .prunedRead(spark, m, "o_orderkey", hi - 10, hi)
+    assert(empty.schema == populated.schema,
+      s"empty=${empty.schema.treeString} vs ${populated.schema.treeString}")
+    // downstream column references must not throw in the empty case
+    assert(empty.filter(col("o_orderkey") > 0)
+      .select("o_orderkey", "o_totalprice").count() == 0)
+  }
 }
