@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// DuckDB's JDBC driver already sits in the pre-warmed local cache (it
+// is the correctness oracle's engine); putting it on the TEST
+// classpath lets JdbcRuntimeSpec exercise the S4/S10 JDBC scan/sink
+// builders against a real database end-to-end. Glob, not a
+// dependency: nothing is resolved, and if the jar is absent the spec
+// self-cancels.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get.map(Attributed.blank(_))
+}
 Test / fork := true
 run / fork := true
 // Pass forked-run output straight through to stdout: sbt's default
