@@ -1,0 +1,75 @@
+package graft.apps
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.ml.{FraudPipeline, Transactions}
+import graft.streaming.ScoringStream
+
+/** Streaming instrumentation parity bench (BASELINE.md item 1,
+  * VERDICT r4/r5 task #6): runs the EXACT scoring graph StreamApp
+  * deploys — parse → score → distributed alerts → stats — on a
+  * MemoryStream (the environment has no Kafka broker; the graph is
+  * source-agnostic), and emits the reference-shaped
+  * `streaming_stats.json` (spark_streaming_app.py:219-226).
+  *
+  * The artifact is checked in at `artifacts/streaming_stats.json`;
+  * StreamStatsShapeSpec pins its key set against the reference's.
+  *
+  * Usage: runMain graft.apps.StreamBenchApp [outPath] [nBatches] [batchRows]
+  */
+object StreamBenchApp {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("artifacts/streaming_stats.json")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
+    val batchRows = args.lift(2).map(_.toInt).getOrElse(2000)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+
+    val spark = Sessions.local("graft-stream-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val txns = Transactions.fromEvents(spark, sfDir).cache()
+    // weighted=true (the opt-in fix for the reference's unweighted
+    // training) so the imbalanced fixture yields fraud predictions —
+    // the bench must exercise the alert path, not skip it.
+    val model = FraudPipeline.train(txns, weighted = true)
+    // JSON wire rows, as the producer would emit them (P10).
+    val wire = txns
+      .select(to_json(struct(col("*"))).as("v"))
+      .limit(nBatches * batchRows)
+      .collect().map(_.getString(0)).toSeq
+
+    val input = MemoryStream[String]
+    val parsed = ScoringStream.parse(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val stats = new ScoringStream.StatsAccumulator
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_stream_bench_ckpt").toString
+    var alertRows = 0L
+    val query = ScoringStream.start(parsed, model, checkpoint,
+      // distributed alert path: the frame is fully computed on
+      // executors; the sink here just counts what Kafka would receive
+      alertDf => alertRows += alertDf.count(),
+      stats)
+    try {
+      wire.grouped(batchRows).take(nBatches).foreach { rows =>
+        input.addData(rows)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    stats.writeJson(outPath)
+    // Self-verifying tail line, same contract as graft.Bench: short,
+    // LAST, parseable.
+    println(stats.json)
+    println(
+      s"""{"metric":"stream_bench","batches":${stats.totalBatches},""" +
+        s""""records":${stats.totalRecords},"alerts":$alertRows,""" +
+        s""""out":"$outPath"}""")
+    spark.stop()
+  }
+}

@@ -73,36 +73,49 @@ object ScoringStream {
     * kept as engine-level instrumentation (A6). Thread-safe: the
     * micro-batch thread mutates, anyone may snapshot. */
   final class StatsAccumulator {
+    private val startTime = java.time.Instant.now().toString
     private val batches = new AtomicLong(0)
     private val records = new AtomicLong(0)
     private val fraud = new AtomicLong(0)
     private val processingMs = new AtomicLong(0)
     private val lastBatch = new AtomicReference[String]("")
+    private val lastUpdate = new AtomicReference[String](startTime)
 
     def record(batchId: Long, n: Long, nFraud: Long, ms: Long): Unit = {
       batches.incrementAndGet()
       records.addAndGet(n)
       fraud.addAndGet(nFraud)
       processingMs.addAndGet(ms)
+      val ts = java.time.Instant.now().toString
+      lastUpdate.set(ts)
+      // latest_batch, field-for-field the reference's batch_stats dict
+      // (spark_streaming_app.py:375-381)
       lastBatch.set(
-        s"""{"batch_id":$batchId,"records":$n,"fraud":$nFraud,"processing_time_ms":$ms}""")
+        s"""{"batch_id":$batchId,"timestamp":"$ts","records":$n,""" +
+          s""""fraud_detected":$nFraud,"processing_time_ms":$ms,""" +
+          s""""empty_batch":false}""")
     }
 
     def totalBatches: Long = batches.get
     def totalRecords: Long = records.get
     def totalFraud: Long = fraud.get
 
-    /** The reference's stats JSON shape (spark_streaming_app.py:219-226). */
+    /** The reference's stats JSON shape, key-for-key
+      * (spark_streaming_app.py:169-176 cumulative dict + 219-226
+      * derived fields). `current_resources` is the one omission: it
+      * is psutil process sampling, not engine state. */
     def json: String = {
       val b = batches.get.max(1)
       val r = records.get
-      s"""{"total_batches":${batches.get},"total_records":$r,""" +
+      s"""{"start_time":"$startTime","total_batches":${batches.get},""" +
+        s""""total_records":$r,""" +
         s""""total_fraud_detected":${fraud.get},""" +
         s""""total_processing_time_ms":${processingMs.get},""" +
+        s""""last_update":"${lastUpdate.get}",""" +
         s""""avg_batch_size":${r.toDouble / b},""" +
         s""""avg_processing_time_ms":${processingMs.get.toDouble / b},""" +
         s""""fraud_percentage":${if (r > 0) fraud.get.toDouble / r * 100 else 0.0},""" +
-        s""""last_batch":${if (lastBatch.get.isEmpty) "null" else lastBatch.get}}"""
+        s""""latest_batch":${if (lastBatch.get.isEmpty) "null" else lastBatch.get}}"""
     }
 
     /** S11: JSON file sink for the stats (driver-side). */
