@@ -1,7 +1,5 @@
 package graft.plans
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -33,6 +31,7 @@ case class TopKPerGroupNode(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxPartialGroups: Int,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(
@@ -43,10 +42,10 @@ case class TopKPerGroupNode(
   * distribution) → final. */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(g, o, k, child) =>
+    case TopKPerGroupNode(g, o, k, cap, child) =>
       val partial =
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))
-      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+        TopKPerGroupExec(g, o, k, cap, partial = true, planLater(child))
+      TopKPerGroupExec(g, o, k, cap, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
@@ -55,6 +54,7 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxPartialGroups: Int,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -71,6 +71,7 @@ case class TopKPerGroupExec(
     val gExprs = groupExprs
     val ordSpec = order
     val kk = k
+    val cap = maxPartialGroups
     val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
@@ -80,40 +81,65 @@ case class TopKPerGroupExec(
         override def compare(a: InternalRow, b: InternalRow): Int =
           ord.compare(b, a)
       }
-      val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      var flushed: Iterator[InternalRow] = Iterator.empty
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var q = heaps.get(key)
-        if (q == null) {
-          // Memory bound: the partial pass can see arbitrarily many
-          // distinct keys per map task. The partial is only a shuffle
-          // reducer, so when the map is full we FLUSH (emit and
-          // reset) rather than grow — correctness is unchanged, some
-          // shuffle reduction is traded away under extreme group
-          // cardinality (the same pressure-valve contract as
-          // map-side combine). The FINAL pass never flushes: after
-          // the hash exchange a group's rows are co-located, and its
-          // working set is groups-per-reduce-partition, the quantity
-          // the shuffle exists to bound.
-          if (isPartial && heaps.size >= TopKPerGroup.maxPartialGroups) {
-            val drained = new java.util.ArrayList[InternalRow]()
-            heaps.values.forEach(h => drained.addAll(h))
-            heaps.clear()
-            flushed = flushed ++ drained.asScala.iterator
-          }
-          q = new java.util.PriorityQueue[InternalRow](kk + 1, cmp)
-          heaps.put(key.copy(), q)
+      // Memory bound: the partial pass can see arbitrarily many
+      // distinct keys per map task, so when the heap map reaches
+      // `maxPartialGroups` it is DRAINED INTO THE OUTPUT and reset —
+      // and because this iterator is lazy, those drained rows are
+      // written to the shuffle before consumption resumes. Retained
+      // state is therefore ≤ cap×k heap rows plus one drained batch
+      // at any instant (ADVICE r5: the previous eager loop kept every
+      // drained batch on-heap until the partition ended). Correctness
+      // is unchanged — a flushed group's rows meet the final pass's
+      // heap after the hash exchange; only some shuffle reduction is
+      // traded away under extreme group cardinality (the same
+      // pressure-valve contract as map-side combine). The FINAL pass
+      // never flushes: after the exchange a group's rows are
+      // co-located and its working set is groups-per-reduce-
+      // partition, the quantity the shuffle exists to bound.
+      new Iterator[InternalRow] {
+        private val heaps = new java.util.HashMap[
+          UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var pending: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        private var drainedFinal = false
+
+        private def drainHeaps(): java.util.Iterator[InternalRow] = {
+          val out = new java.util.ArrayList[InternalRow]()
+          heaps.values.forEach(h => out.addAll(h))
+          heaps.clear()
+          out.iterator()
         }
-        if (q.size < kk) q.add(row.copy())
-        else if (ord.compare(row, q.peek()) < 0) {
-          q.poll()
-          q.add(row.copy())
+
+        /** Consume input until a flush yields rows or input ends. */
+        private def fill(): Unit = {
+          while (!pending.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var q = heaps.get(key)
+            if (q == null) {
+              if (isPartial && heaps.size >= cap)
+                pending = drainHeaps()
+              q = new java.util.PriorityQueue[InternalRow](kk + 1, cmp)
+              heaps.put(key.copy(), q)
+            }
+            if (q.size < kk) q.add(row.copy())
+            else if (ord.compare(row, q.peek()) < 0) {
+              q.poll()
+              q.add(row.copy())
+            }
+          }
+          if (!pending.hasNext && !iter.hasNext && !drainedFinal) {
+            drainedFinal = true
+            pending = drainHeaps()
+          }
+        }
+
+        override def hasNext: Boolean = { fill(); pending.hasNext }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
         }
       }
-      flushed ++ heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 
@@ -123,9 +149,11 @@ case class TopKPerGroupExec(
 
 object TopKPerGroup {
 
-  /** Partial-pass group-map cap before a flush (see doExecute). At
-    * k=3 and 64-byte rows this bounds partial state near 100 MB. */
-  val maxPartialGroups: Int = 500000
+  /** Default partial-pass group-map cap before a flush (see
+    * doExecute). At k=3 and 64-byte rows this keeps live partial
+    * state (cap×k heap rows + one in-flight drained batch) near
+    * 100 MB. */
+  val DefaultMaxPartialGroups: Int = 500000
 
   /** Idempotent strategy registration (experimental.extraStrategies
     * is the public per-session hook; `SparkSessionExtensions
@@ -140,8 +168,11 @@ object TopKPerGroup {
     * asc) — tie-breakers must make the order total for the result
     * to be well-defined. */
   def apply(df: DataFrame, groupCols: Seq[String], orderCol: String,
-      descending: Boolean, tieBreakers: Seq[String], k: Int): DataFrame = {
+      descending: Boolean, tieBreakers: Seq[String], k: Int,
+      maxPartialGroups: Int = DefaultMaxPartialGroups): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxPartialGroups > 0,
+      s"maxPartialGroups must be positive, got $maxPartialGroups")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val lp = df.queryExecution.analyzed
@@ -164,6 +195,6 @@ object TopKPerGroup {
     val ord = SortOrder(attr(orderCol), dir) +:
       tieBreakers.map(t => SortOrder(attr(t), Ascending))
     org.apache.spark.sql.GraftSqlShims.ofRows(spark,
-      TopKPerGroupNode(groupCols.map(attr(_)), ord, k, lp))
+      TopKPerGroupNode(groupCols.map(attr(_)), ord, k, maxPartialGroups, lp))
   }
 }

@@ -43,6 +43,21 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!str.contains("Sort "), s"sort leaked into plan:\n$str")
   }
 
+  test("a tiny partial-group cap forces flushes without changing results") {
+    // cap=1 drains the partial heap map on nearly every new key, so
+    // the interleaved flush path (lazy emit during consumption) is
+    // exercised thousands of times; results must equal the window
+    // formulation exactly at any cap.
+    val window = viaWindow(3).collect().map(_.toSeq).toSet
+    for (cap <- Seq(1, 2, 7)) {
+      val custom = TopKPerGroup(base, Seq("l_suppkey"), "cents",
+        descending = true, Seq("l_orderkey", "l_linenumber"), k = 3,
+        maxPartialGroups = cap)
+        .collect().map(_.toSeq).toSet
+      assert(custom == window, s"cap=$cap mismatch")
+    }
+  }
+
   test("groups smaller than k return all their rows") {
     val perGroup = base.groupBy("l_suppkey").count()
     val small = perGroup.agg(min("count")).head().getLong(0)
