@@ -60,7 +60,7 @@ object Bench {
     // (measured: p9_star_extras 4.6 s in r3 vs 0.25 s steady-state).
     def warm(f: => Unit): Unit =
       try f catch { case _: Throwable => () }
-    import org.apache.spark.sql.functions.{expr, row_number}
+    import org.apache.spark.sql.functions.{col, expr, row_number}
     import spark.implicits._
     warm(runNoop(SparkEntry.queries("q1_pricing_summary")(spark, sfDir)))
     val tiny = Seq(("Abc dEf", 1), ("ghi Jkl", 2)).toDF("s", "i")
@@ -81,6 +81,16 @@ object Bench {
     }
     warm(new org.apache.spark.ml.feature.StringIndexer()
       .setInputCol("s").setOutputCol("si").fit(tiny))
+    warm {
+      // assembler+scaler class/codegen load (~1.5 s one-time,
+      // otherwise billed to m4_scaler's first timed run)
+      val asm = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("i")).setOutputCol("raw")
+      val av = asm.transform(tiny.select(col("i").cast("double").as("i")))
+      runNoop(new org.apache.spark.ml.feature.StandardScaler()
+        .setInputCol("raw").setOutputCol("scaled")
+        .setWithMean(true).setWithStd(true).fit(av).transform(av))
+    }
 
     // Per-query: N back-to-back timed runs, report the median. Repeats
     // run consecutively (not as full sweeps) so each query's runs share

@@ -66,44 +66,68 @@ object MlQueries {
     val df = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity",
         "l_extendedprice")
-    val assembled = new VectorAssembler()
+    val assembler = new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_extendedprice"))
       .setOutputCol("raw").setHandleInvalid("keep")
-      .transform(df)
-    val scaled = new StandardScaler()
-      .setInputCol("raw").setOutputCol("scaled")
-      .setWithMean(true).setWithStd(true)
-      .fit(assembled).transform(assembled)
+    // The scaler fit and the stats agg are independent jobs over
+    // different column subsets — submit them concurrently and let the
+    // scheduler interleave (local[32] has the slots; on a cluster the
+    // two stages share executors the same way).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val scalerModelF = Future {
+      new StandardScaler()
+        .setInputCol("raw").setOutputCol("scaled")
+        .setWithMean(true).setWithStd(true)
+        .fit(assembler.transform(df))
+    }
+    // Exact first-pass sums as DRIVER literals, computed straight off
+    // the parquet scan (pushed-down two-column columnar agg). The
+    // former shape (localCheckpoint six columns → stats agg →
+    // broadcast crossJoin) paid a checkpoint write plus two
+    // checkpoint reads — ~1.1 s of the entry's former ~2.8 s at
+    // sf0.1. The scalar math below replicates the former SQL
+    // cast-for-cast and op-for-op (Long→Double, Decimal→Double via
+    // BigDecimal.doubleValue ≡ Spark's CAST(DECIMAL AS DOUBLE),
+    // IEEE a - b*c/d ordering), so every emitted bit is unchanged;
+    // z-scores are scale-invariant, so cents ≡ $.
+    val st = Tables.lineitem(s, dir)
+      .select(
+        expr("CAST(l_quantity AS BIGINT)").as("qc"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qc")).as("s1q"),
+        sum(expr("CAST(qc * qc AS DECIMAL(38,0))")).as("s2q"),
+        sum(expr("CAST(pc AS DECIMAL(38,0))")).as("s1p"),
+        sum(expr("CAST(pc * pc AS DECIMAL(38,0))")).as("s2p"))
+      .head()
+    val scalerModel = Await.result(scalerModelF, Duration.Inf)
+    val n = st.getLong(0)
+    val nD = n.toDouble
+    val s1qD = st.getLong(1).toDouble
+    val s2qD = st.getDecimal(2).doubleValue
+    val s1pD = st.getDecimal(3).doubleValue
+    val s2pD = st.getDecimal(4).doubleValue
+    val mq = s1qD / nD
+    val vq = (s2qD - s1qD * s1qD / nD) / (n - 1).toDouble
+    val mp = s1pD / nD
+    val vp = (s2pD - s1pD * s1pD / nD) / (n - 1).toDouble
+    // One execution pass: scan → assemble → MLlib transform → z.
+    val zq = (col("qc").cast("double") - lit(mq)) / sqrt(lit(vq))
+    val zp = (col("pc").cast("double") - lit(mp)) / sqrt(lit(vp))
+    scalerModel.transform(assembler.transform(df))
+      .withColumn("arr", vector_to_array(col("scaled")))
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("CAST(l_quantity AS BIGINT)").as("qc"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
-        vector_to_array(col("scaled")).getItem(0).as("s_qty"),
-        vector_to_array(col("scaled")).getItem(1).as("s_price"))
-      // Consumed by the stats agg AND the final join — without
-      // materialization the assembler+scaler transform runs twice.
-      .localCheckpoint()
-    // Exact first-pass sums (z-scores are scale-invariant: cents ≡ $).
-    val stats = scaled.agg(
-      count(lit(1)).as("n"),
-      sum(col("qc")).as("s1q"),
-      sum(expr("CAST(qc * qc AS DECIMAL(38,0))")).as("s2q"),
-      sum(expr("CAST(pc AS DECIMAL(38,0))")).as("s1p"),
-      sum(expr("CAST(pc * pc AS DECIMAL(38,0))")).as("s2p"))
-    scaled.crossJoin(broadcast(stats))
-      .withColumn("mq", expr("CAST(s1q AS DOUBLE) / CAST(n AS DOUBLE)"))
-      .withColumn("vq", expr(
-        "(CAST(s2q AS DOUBLE) - CAST(s1q AS DOUBLE) * CAST(s1q AS DOUBLE)" +
-          " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"))
-      .withColumn("mp", expr("CAST(s1p AS DOUBLE) / CAST(n AS DOUBLE)"))
-      .withColumn("vp", expr(
-        "(CAST(s2p AS DOUBLE) - CAST(s1p AS DOUBLE) * CAST(s1p AS DOUBLE)" +
-          " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"))
-      .withColumn("zq", expr("(CAST(qc AS DOUBLE) - mq) / sqrt(vq)"))
-      .withColumn("zp", expr("(CAST(pc AS DOUBLE) - mp) / sqrt(vp)"))
+        col("arr").getItem(0).as("s_qty"),
+        col("arr").getItem(1).as("s_price"))
       .select(col("l_orderkey"), col("l_linenumber"),
-        expr("CAST(FLOOR(zq * 10000.0) AS BIGINT)").as("z_qty"),
-        expr("CAST(FLOOR(zp * 10000.0) AS BIGINT)").as("z_price"),
-        expr("abs(s_qty - zq) < 1e-6 AND abs(s_price - zp) < 1e-6")
+        floor(zq * lit(10000.0)).cast("long").as("z_qty"),
+        floor(zp * lit(10000.0)).cast("long").as("z_price"),
+        (abs(col("s_qty") - zq) < 1e-6 && abs(col("s_price") - zp) < 1e-6)
           .as("scaler_ok"))
   }
 
