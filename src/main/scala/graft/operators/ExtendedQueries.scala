@@ -411,8 +411,14 @@ object ExtendedQueries {
     Tables.orders(s, dir)
       .select(col("o_orderstatus"), col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      // cents ≤ ~6e7 → cents * 1e7 + orderkey is collision-free long
-      .withColumn("ord", col("cents") * 10000000L + col("o_orderkey"))
+      // bit packing (cents << 32) | orderkey: lexicographic on
+      // (cents, orderkey) while orderkey < 2^32 — at TPC-H density
+      // (orderkey ≤ 6e6·SF) that holds to SF ≈ 700, and cents ≤ ~6e7
+      // keeps the product below 2^58, far from Long overflow. The
+      // former decimal packing (cents·1e7 + orderkey) overlapped
+      // ranges once orderkey crossed 1e7 ≈ SF 1.7 (ADVICE r5).
+      .withColumn("ord",
+        shiftleft(col("cents"), 32) + col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(max_by(col("o_orderkey"), col("ord")).as("max_order"),
         min_by(col("o_orderkey"), col("ord")).as("min_order"),
@@ -725,7 +731,7 @@ object ExtendedQueries {
       """WITH t AS (SELECT o_orderstatus, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         | FROM orders),
-        |u AS (SELECT *, cents * 10000000 + o_orderkey AS ord FROM t)
+        |u AS (SELECT *, (cents << 32) + o_orderkey AS ord FROM t)
         |SELECT o_orderstatus,
         | arg_max(o_orderkey, ord) AS max_order,
         | arg_min(o_orderkey, ord) AS min_order,

@@ -104,7 +104,19 @@ object SimilarityQueries {
     * O(n) candidate rows that preserve connectivity (identical docs
     * all verify against the representative and transitive closure
     * folds them into one cluster), keeping the join bounded at any
-    * bucket size. */
+    * bucket size.
+    *
+    * CONTRACT (ADVICE r5): the star preserves the exact closure only
+    * when every hot-bucket member verifies against the bucket's
+    * representative — true for the hot buckets LSH actually
+    * produces, which are exact/near-exact duplicate groups (a bucket
+    * goes hot because its members share a band signature, and at the
+    * 0.85+ verify threshold a group that large is a duplicate pile,
+    * not a similarity chain). A corpus whose hot buckets hold long
+    * chains of pairwise-near-but-transitively-far docs would need
+    * multiple anchors per bucket (min + evenly spaced members) at
+    * K× the candidate rows; this engine documents the single-anchor
+    * contract instead of paying that multiplier blind. */
   private[operators] def lshCandidatePairs(s: SparkSession,
       docs: DataFrame, nHashes: Int, bands: Int, maxBucket: Int,
       starHotBuckets: Boolean): DataFrame = {

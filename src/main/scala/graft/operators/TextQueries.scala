@@ -162,12 +162,21 @@ object TextQueries {
   /** Exact TF-IDF over word terms (no hash bucketing, unlike
     * `t_tfidf`'s HashingTF path): tf = per-(doc, word) count, idf =
     * ln((N+1)/(df+1)) — MLlib's IDF formula — weight = tf·idf.
-    * Fully SQL-expressible → DuckDB oracle. The top weight is
-    * quantized (floor·1e6) because ln() may differ by an ulp across
-    * engines. Plan shape: two hash aggregations + a broadcast of the
-    * word→df dimension-sized side and the 1-row corpus count — at
-    * 100 TB the words→df agg is the only big shuffle and it is
-    * map-side combined. */
+    * Fully SQL-expressible → DuckDB oracle.
+    *
+    * Quantization happens at the IDF, not the weight (ADVICE r5):
+    * q_idf = floor(idf·1e4) per distinct df value, then weight =
+    * tf·q_idf is EXACT integer arithmetic — max/compare can never
+    * flip cross-engine. The only remaining float boundary is ln()
+    * itself (both engines evaluate it on the bit-identical double
+    * (N+1)/(df+1) and agree within ~1 ulp ≈ 2e-16), so a flip needs
+    * frac(idf·1e4) within ~2e-12 of 0 for one of the ~10³ distinct
+    * df values in a corpus — vs the former floor(max_w·1e6) whose
+    * boundary surface was every document's max weight at 100× finer
+    * quantization. Plan shape: two hash aggregations + a broadcast
+    * of the word→df dimension-sized side and the 1-row corpus
+    * count — at 100 TB the words→df agg is the only big shuffle and
+    * it is map-side combined. */
   def tTfidfExact(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -176,13 +185,12 @@ object TextQueries {
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     tf.join(df, "word").crossJoin(broadcast(n))
-      .withColumn("w", expr(
-        "CAST(tf AS DOUBLE) * ln((CAST(n AS DOUBLE) + 1.0)" +
-          " / (CAST(df AS DOUBLE) + 1.0))"))
+      .withColumn("q_idf", expr(
+        "CAST(FLOOR(ln((CAST(n AS DOUBLE) + 1.0)" +
+          " / (CAST(df AS DOUBLE) + 1.0)) * 10000.0) AS BIGINT)"))
       .groupBy(col("doc_id"))
       .agg(
-        expr("CAST(FLOOR(max(w) * 1000000.0) AS BIGINT)")
-          .as("top_weight_q"),
+        max(col("tf") * col("q_idf")).as("top_weight_q"),
         count(lit(1)).as("n_terms"))
   }
 
@@ -363,9 +371,9 @@ object TextQueries {
         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT tf.doc_id,
-        | CAST(floor(max(CAST(tf.tf AS DOUBLE)
-        |   * ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)))
-        |   * 1000000.0) AS BIGINT) AS top_weight_q,
+        | CAST(max(tf.tf * CAST(floor(
+        |   ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))
+        |   * 10000.0) AS BIGINT)) AS BIGINT) AS top_weight_q,
         | count(*) AS n_terms
         |FROM tf JOIN df USING (word) CROSS JOIN n
         |GROUP BY tf.doc_id""".stripMargin,

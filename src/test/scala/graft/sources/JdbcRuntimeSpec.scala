@@ -13,11 +13,13 @@ import graft.core.Tables
   * zero-egress image. Closes VERDICT r4/r5 "Missing #4: JDBC runtime
   * — builders exist, no database in env".
   *
-  * DuckDB accepts Spark's default-dialect DDL (TEXT / BIGINT / DOUBLE
-  * PRECISION), so the stock `df.write.jdbc` path works unmodified.
-  * The sink write is single-partition: DuckDB is a single-writer
-  * database, which is a property of this test DB, not of the sink —
-  * against Postgres the same builder writes from all partitions.
+  * Each test uses its OWN database file: DuckDB caches one embedded
+  * instance per path inside the driver, and sharing a file across
+  * tests let one test observe the other's pre-drop schema (flaky
+  * full-suite runs). The sink write is single-partition: DuckDB is a
+  * single-writer database, which is a property of this test DB, not
+  * of the sink — against Postgres the same builder writes from all
+  * partitions.
   */
 class JdbcRuntimeSpec extends SparkSpec {
 
@@ -25,28 +27,40 @@ class JdbcRuntimeSpec extends SparkSpec {
     try { Class.forName("org.duckdb.DuckDBDriver"); true }
     catch { case _: ClassNotFoundException => false }
 
-  private lazy val dbPath: String = java.nio.file.Files
-    .createTempDirectory("graft_jdbc").toString + "/test.duckdb"
-  private lazy val url: String = s"jdbc:duckdb:$dbPath"
+  private def freshUrl(tag: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_jdbc_$tag").toString
+    s"jdbc:duckdb:$dir/test.duckdb"
+  }
+
   private def props: Properties = {
     val p = new Properties()
     p.setProperty("driver", "org.duckdb.DuckDBDriver")
     p
   }
 
+  private def exec(url: String, sql: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(sql)
+    finally conn.close()
+  }
+
   test("S10 JDBC sink writes and S4 partitioned scan reads back exactly") {
     assume(driverAvailable, "duckdb_jdbc not on test classpath")
+    val url = freshUrl("sink")
     // Spark's pre-write tableExists probe rethrows DuckDB's
     // missing-table error (the driver sets no SQLState for Spark to
-    // classify it as benign), so seed an empty table first — the
-    // Overwrite path then drops and recreates it with Spark's DDL.
-    val conn = java.sql.DriverManager.getConnection(url)
-    try conn.createStatement()
-      .execute("CREATE TABLE IF NOT EXISTS orders_jdbc(seed INTEGER)")
-    finally conn.close()
+    // classify it as benign), so create the full-schema table first
+    // and overwrite with truncate=true — no drop/create schema
+    // transition at all.
+    exec(url,
+      "CREATE TABLE orders_jdbc(o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE, o_orderstatus VARCHAR)")
     val src = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-    Sinks.jdbcOverwrite(src.coalesce(1), url, "orders_jdbc", props)
+    val p = props
+    p.setProperty("truncate", "true")
+    Sinks.jdbcOverwrite(src.coalesce(1), url, "orders_jdbc", p)
 
     val maxKey = src.agg(max("o_orderkey")).head().getLong(0)
     val back = Sources.jdbcPartitioned(spark, url, "orders_jdbc",
@@ -64,6 +78,12 @@ class JdbcRuntimeSpec extends SparkSpec {
 
   test("S4 partitioned scan pushes range predicates to the database") {
     assume(driverAvailable, "duckdb_jdbc not on test classpath")
+    val url = freshUrl("scan")
+    // seed independently of the sink test: DuckDB reads the parquet
+    // fixture natively
+    exec(url,
+      "CREATE TABLE orders_jdbc AS SELECT o_orderkey, o_custkey, " +
+        s"o_totalprice FROM read_parquet('$sfDir/orders.parquet')")
     // partition bounds set the stride only (rows outside land in the
     // edge partitions — never a filter); the real predicate is pushed
     // to the database (PushedFilters in the scan node)
