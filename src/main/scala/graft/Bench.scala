@@ -116,9 +116,18 @@ object Bench {
     val failed = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
     spark.stop()
+    // Original-contract line (queries map included) for any parser
+    // that wants the full detail in one line; it is long, so it goes
+    // BEFORE the summary and may be head-truncated without loss — the
+    // same numbers are in the per-query lines above.
+    val qs = results
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}""")
     // Compact summary LAST — short enough to survive any tail capture.
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":${jstr(sfDir)},"runs":$runsPerQuery,"queries":${results.size},"ok":${results.size - failed},"failed":$failed}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":${jstr(sfDir)},"runs":$runsPerQuery,"n_queries":${results.size},"ok":${results.size - failed},"failed":$failed}""")
     if (failed > 0) sys.exit(1)
   }
 }
