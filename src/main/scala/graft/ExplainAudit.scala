@@ -27,7 +27,11 @@ object ExplainAudit {
         "dd_minhash_lsh", "sim_lsh_ann", "mm_meta_only",
         "p4_filter_eq", "e1_event_window", "x1_asof_join",
         "x10_correlated", "w5_topk_group", "x16_range_join",
-        "m10_merge_upsert", "dd_cluster_dedup", "d4_cms_estimate")
+        "m10_merge_upsert", "dd_cluster_dedup", "d4_cms_estimate",
+        // round 6: salted skew join, layout-pruned aggregates,
+        // bounded-memory percentile twins
+        "j6_skew_salted", "l4_partition_pruned", "l5_manifest_skip",
+        "x8b_approx_percentile", "x12b_approx_fence")
     }
     names.foreach { name =>
       println(s"\n========== $name ==========")
