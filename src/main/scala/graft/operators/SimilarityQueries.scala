@@ -50,7 +50,7 @@ object SimilarityQueries {
   /** Word k-gram shingles over a pre-split `wordsCol` array. The
     * split MUST be materialized once per row first — `split()`
     * inlined into the per-element lambda is O(words²) per document. */
-  private def wordGramExpr(wordsCol: String, k: Int): Column =
+  private[operators] def wordGramExpr(wordsCol: String, k: Int): Column =
     expr(s"array_distinct(transform(" +
       s"sequence(1, greatest(size($wordsCol) - ${k - 1}, 1)), " +
       s"i -> concat_ws(' ', slice($wordsCol, i, $k))))")

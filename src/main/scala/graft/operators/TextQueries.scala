@@ -277,11 +277,39 @@ object TextQueries {
         sum(col("n_tokens")).cast("long").as("sum_tokens"))
   }
 
+  /** Benchmark decontamination — the GPT-3/PaLM n-gram rule: a
+    * training document is contaminated if it shares any word 13-gram
+    * with the held-out evaluation split (here: doc_id % 17 == 0, a
+    * deterministic data property). Emits each contaminated train doc
+    * with its shared-gram count.
+    *
+    * 100 TB shape: the EVAL side is a benchmark — small by
+    * construction — so its distinct gram set broadcasts and the
+    * petabyte train side is never shuffled for the probe; grams
+    * travel as 8-byte xxhash64 longs, not strings (the oracle joins
+    * on the raw gram strings — identical counts absent a 64-bit
+    * collision, the same standing assumption as the other dd_*
+    * oracles). Only matched rows reach the per-doc aggregate. */
+  def tDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(transform(SimilarityQueries.wordGramExpr("words", 13),
+          g => xxhash64(g))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 17 === 0)
+      .select("g").distinct()
+    grams.filter(col("doc_id") % 17 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ===================================================================
   // registration
   // ===================================================================
 
   val queries: Map[String, Q] = Map(
+    "t_decontaminate" -> (tDecontaminate _),
     "dd_exact_group" -> (ddExactGroup _),
     "dd_exact_rows" -> (ddExactRows _),
     "t_token_count" -> (tTokenCount _),
@@ -298,6 +326,21 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // joins on raw gram strings where the engine joins on their
+    // 64-bit hashes — equal counts absent a collision (see Scaladoc)
+    "t_decontaminate" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w) - 12, 1) + 1),
+        |          i -> array_to_string(w[i:i+12], ' ')))) AS g
+        |      FROM w),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 17 <> 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY doc_id""".stripMargin,
     "dd_exact_group" ->
       """SELECT lang, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_unique

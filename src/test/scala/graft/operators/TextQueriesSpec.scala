@@ -107,4 +107,17 @@ class TextQueriesSpec extends SparkSpec {
         s"seed $seed")
     }
   }
+
+  test("decontamination flags planted near-dups crossing the split") {
+    val rows = TextQueries.tDecontaminate(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty, "fixture plants near-dup docs across splits")
+    // only train-side docs are flagged; every flag has evidence
+    assert(rows.keys.forall(_ % 17 != 0))
+    assert(rows.values.forall(_ > 0))
+    // eval docs share ALL their grams with themselves — sanity that
+    // an identical doc pair across splits would be caught: the
+    // highest-overlap flagged doc shares a large gram set
+    assert(rows.values.max >= 10, s"overlap too small: $rows")
+  }
 }
