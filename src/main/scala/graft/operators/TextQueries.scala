@@ -304,12 +304,35 @@ object TextQueries {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Source-mixture sampling — the training-data "domain weights"
+    * op: each source tier keeps a target fraction of its documents
+    * (tier 0 → 100%, tier 1 → 50%, tier 2 → 20%), selected by the
+    * engine-portable md5-60 hash of doc_id so the KEPT SET is a data
+    * property: identical across engines, partitionings, and cluster
+    * sizes (same contract as l3_stratified). 100 TB shape: the
+    * mixing decision is a map-side filter on a hash of the row's own
+    * key — zero shuffle until the small per-source census. */
+  def l6SourceMix(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .withColumn("tier", expr("CAST(substring(source, 4) AS INT) % 3"))
+      .withColumn("h",
+        graft.core.PortableHash.md5Hash60(col("doc_id")) % 1000000L)
+      .filter(col("tier") === 0 ||
+        (col("tier") === 1 && col("h") < 500000L) ||
+        (col("tier") === 2 && col("h") < 200000L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
   // ===================================================================
   // registration
   // ===================================================================
 
   val queries: Map[String, Q] = Map(
     "t_decontaminate" -> (tDecontaminate _),
+    "l6_source_mix" -> (l6SourceMix _),
     "dd_exact_group" -> (ddExactGroup _),
     "dd_exact_rows" -> (ddExactRows _),
     "t_token_count" -> (tTokenCount _),
@@ -341,6 +364,19 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_shared
         |FROM tr JOIN ev USING (g)
         |GROUP BY doc_id""".stripMargin,
+    "l6_source_mix" ->
+      """WITH d AS (
+        | SELECT source, n_chars,
+        |  CAST(substr(source, 4) AS INT) % 3 AS tier,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000000 AS h
+        | FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |WHERE tier = 0 OR (tier = 1 AND h < 500000)
+        |   OR (tier = 2 AND h < 200000)
+        |GROUP BY source""".stripMargin,
     "dd_exact_group" ->
       """SELECT lang, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_unique

@@ -120,4 +120,25 @@ class TextQueriesSpec extends SparkSpec {
     // highest-overlap flagged doc shares a large gram set
     assert(rows.values.max >= 10, s"overlap too small: $rows")
   }
+
+  test("source mix keeps tier-0 fully and downsamples the others") {
+    val kept = TextQueries.l6SourceMix(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.core.Tables.documents(spark, sfDir)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tier(src: String) = src.drop(3).toInt % 3
+    for ((src, total) <- totals) tier(src) match {
+      case 0 => assert(kept(src) == total, s"$src must keep all")
+      case _ =>
+        val frac = kept.getOrElse(src, 0L).toDouble / total
+        val target = if (tier(src) == 1) 0.5 else 0.2
+        assert(math.abs(frac - target) < 0.35,
+          s"$src kept $frac, target $target")
+    }
+    // determinism: same result twice
+    val again = TextQueries.l6SourceMix(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
 }
