@@ -155,12 +155,16 @@ object ScoringStream {
       .option("checkpointLocation", checkpointDir) // T2
       .start()
 
+  /** T5 hook body: stop the query (finishing the in-flight batch);
+    * idempotent — a no-op when the query already terminated.
+    * Separated from the JVM hook so the behavior is unit-testable. */
+  def stopGracefully(query: StreamingQuery): Unit =
+    if (query.isActive) query.stop()
+
   /** T5: graceful shutdown for Structured Streaming — stop the query
-    * (finishing the in-flight batch) when the JVM exits. */
+    * when the JVM exits. */
   def stopOnShutdown(query: StreamingQuery): Unit =
-    sys.addShutdownHook {
-      if (query.isActive) query.stop()
-    }
+    sys.addShutdownHook(stopGracefully(query))
 
   /** T6: rate-limited replay source — the distributed equivalent of
     * transaction_producer.py:104-151 (pandas iterrows + sleep): a

@@ -150,4 +150,20 @@ class ScoringStreamSpec extends SparkSpec {
       assert(replayed.subsetOf(source))
     } finally q.stop()
   }
+
+  test("graceful shutdown (T5) stops an active query, no-op when stopped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val parsed = ScoringStream.parse(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val q = parsed.writeStream.format("memory").queryName("t5_sink")
+      .start()
+    assert(q.isActive)
+    ScoringStream.stopGracefully(q)
+    assert(!q.isActive)
+    // idempotent on an already-terminated query
+    ScoringStream.stopGracefully(q)
+    assert(!q.isActive)
+  }
 }
