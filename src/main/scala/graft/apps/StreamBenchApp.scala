@@ -47,6 +47,10 @@ object StreamBenchApp {
     val parsed = ScoringStream.parse(
       input.toDF().select(col("value").cast("binary").as("value")))
     val stats = new ScoringStream.StatsAccumulator
+    // reference parity: psutil-style resource sampling at init and
+    // around each batch (spark_streaming_app.py:163-165,319,372)
+    val resources = new graft.core.ResourceUtil
+    resources.capture()
     val checkpoint = java.nio.file.Files
       .createTempDirectory("graft_stream_bench_ckpt").toString
     var alertRows = 0L
@@ -59,10 +63,13 @@ object StreamBenchApp {
       wire.grouped(batchRows).take(nBatches).foreach { rows =>
         input.addData(rows)
         query.processAllAvailable()
+        resources.capture()
       }
     } finally query.stop()
 
     stats.writeJson(outPath)
+    val resourcePath = outPath.replaceAll("[^/]+$", "resource_summary.json")
+    resources.writeJson(resourcePath)
     // Self-verifying tail line, same contract as graft.Bench: short,
     // LAST, parseable.
     println(stats.json)
