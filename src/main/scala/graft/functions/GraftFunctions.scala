@@ -12,6 +12,7 @@ object GraftFunctions {
     MinhashSig.register(ext)
     Md5Hash60.register(ext)
     Simhash32.register(ext)
+    JaccardSim.register(ext)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -19,5 +20,6 @@ object GraftFunctions {
     MinhashSig.ensureRegistered(spark)
     Md5Hash60.ensureRegistered(spark)
     Simhash32.ensureRegistered(spark)
+    JaccardSim.ensureRegistered(spark)
   }
 }

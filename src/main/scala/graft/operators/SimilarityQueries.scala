@@ -153,17 +153,22 @@ object SimilarityQueries {
   }
 
   /** Exact Jaccard over candidate pairs — shingle arrays are fetched
-    * only AFTER the pair set is deduplicated (slim-candidates rule). */
+    * only AFTER the pair set is deduplicated (slim-candidates rule).
+    * Similarity via the native jaccard_sim expression (bit-equal to
+    * the composed intersect/union spelling on distinct inputs; see
+    * graft.functions.JaccardSim). */
   private[operators] def jaccardPairs(docs: DataFrame,
-      cand: DataFrame): DataFrame =
+      cand: DataFrame): DataFrame = {
+    graft.functions.JaccardSim.ensureRegistered(docs.sparkSession)
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
         "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
         "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b")))).as("jaccard"))
+        call_function("jaccard_sim", col("hs_a"), col("hs_b"))
+          .as("jaccard"))
+  }
 
   /** MinHash LSH near-dup candidates → exact Jaccard verify → top
     * pairs.
@@ -279,6 +284,7 @@ object SimilarityQueries {
     * n-gram — an equi-join, not a cartesian, with the same hot-bucket
     * cap as MinHash LSH. Top-20 most similar pairs. */
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaccardSim.ensureRegistered(s)
     val maxBucket = 50
     val docs = Tables.documents(s, dir)
       .withColumn("words", split(col("text"), " "))
@@ -298,8 +304,8 @@ object SimilarityQueries {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+        call_function("jaccard_sim", col("g_a"), col("g_b"))
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
