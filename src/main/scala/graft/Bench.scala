@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   *     back-to-back and the MEDIAN is reported, so one-off JIT / page
   *     cache / GC noise can't masquerade as a 10x regression (the r5
   *     artifact "showed" x17_json_extract at 5.77 s vs a true 0.58 s);
+  *   - a {"metric":"streaming",...} line reports the StreamApp scoring
+  *     graph's throughput (records/s, avg batch ms) so the streaming
+  *     surface shares the evidence file with the batch queries;
+  *   - {"metric":"total_cold"} = sum of FIRST runs, pricing in the
+  *     per-JVM memoized work (m5 fit, layout writes, caches) that the
+  *     medians legitimately exclude — cross-round headline comparisons
+  *     use BOTH totals;
   *   - the final line is COMPACT and printed LAST (the driver's tail
   *     capture truncates the head of long output, which is how every
   *     earlier round lost the total that Bench printed first):
@@ -110,21 +117,54 @@ object Bench {
       val runsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
       println(
         s"""{"query":${jstr(name)},"sec":${f"$median%.3f"},"err":${err.map(jstr).getOrElse("null")},"runs":$runsJson}""")
-      (name, median, err)
+      (name, median, secs.head, err)
     }
 
-    val failed = results.count(_._3.isDefined)
+    val failed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
+    // Cold total = sum of FIRST runs. Memoized per-JVM state (the m5
+    // LBFGS fit, layout writes, shingle/KMeans caches) is paid exactly
+    // once, in some query's first run, and vanishes from every median —
+    // so the median total alone understates a fresh-JVM sweep. Both
+    // totals are first-class so rounds compare like-for-like
+    // (VERDICT r6 task #2).
+    val totalCold = results.map(_._3).sum
+
+    // Streaming parity metric in the same artifact (VERDICT r6 task
+    // #7): the StreamApp scoring graph over MemoryStream micro-batches
+    // — records/s and avg batch ms, the reference's headline
+    // instrumentation (spark_streaming_app.py:219-226).
+    val streamLine =
+      try {
+        val (stats, alertRows) =
+          graft.apps.StreamBenchApp.run(spark, sfDir,
+            nBatches = 5, batchRows = 2000)
+        val b = stats.totalBatches.max(1)
+        val ms = stats.totalProcessingMs.max(1)
+        val rps = stats.totalRecords.toDouble * 1000.0 / ms
+        s"""{"metric":"streaming","records_per_sec":${f"$rps%.1f"},""" +
+          s""""avg_batch_ms":${f"${stats.totalProcessingMs.toDouble / b}%.1f"},""" +
+          s""""batches":${stats.totalBatches},"records":${stats.totalRecords},""" +
+          s""""fraud":${stats.totalFraud},"alerts":$alertRows}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"metric":"streaming","err":${jstr(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
+    println(streamLine)
     spark.stop()
     // Original-contract line (queries map included) for any parser
     // that wants the full detail in one line; it is long, so it goes
     // BEFORE the summary and may be head-truncated without loss — the
     // same numbers are in the per-query lines above.
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}""")
+    // Cold-total summary (sum of first runs): short, second-to-last.
+    println(
+      s"""{"metric":"total_cold","value":${f"$totalCold%.3f"},"unit":"sec","sf":${jstr(sfDir)},"n_queries":${results.size}}""")
     // Compact summary LAST — short enough to survive any tail capture.
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":${jstr(sfDir)},"runs":$runsPerQuery,"n_queries":${results.size},"ok":${results.size - failed},"failed":$failed}""")

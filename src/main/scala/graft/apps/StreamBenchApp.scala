@@ -1,5 +1,6 @@
 package graft.apps
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -16,19 +17,22 @@ import graft.streaming.ScoringStream
   *
   * The artifact is checked in at `artifacts/streaming_stats.json`;
   * StreamStatsShapeSpec pins its key set against the reference's.
+  * `graft.Bench` calls [[run]] so the same numbers also land as a
+  * `{"metric":"streaming",...}` line in the per-round bench artifact
+  * (VERDICT r6 task #7).
   *
   * Usage: runMain graft.apps.StreamBenchApp [outPath] [nBatches] [batchRows]
   */
 object StreamBenchApp {
-  def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("artifacts/streaming_stats.json")
-    val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
-    val batchRows = args.lift(2).map(_.toInt).getOrElse(2000)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.01")
 
-    val spark = Sessions.local("graft-stream-bench")
-    spark.sparkContext.setLogLevel("WARN")
+  /** Drive the scoring graph over `nBatches` MemoryStream batches of
+    * `batchRows` JSON wire rows each; returns the cumulative stats
+    * plus the number of alert rows the sink received. Pure function
+    * of the session — writes no artifact (main() does that). */
+  def run(spark: SparkSession, sfDir: String, nBatches: Int,
+      batchRows: Int,
+      resources: Option[graft.core.ResourceUtil] = None)
+      : (ScoringStream.StatsAccumulator, Long) = {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -42,15 +46,13 @@ object StreamBenchApp {
       .select(to_json(struct(col("*"))).as("v"))
       .limit(nBatches * batchRows)
       .collect().map(_.getString(0)).toSeq
+    txns.unpersist()
 
     val input = MemoryStream[String]
     val parsed = ScoringStream.parse(
       input.toDF().select(col("value").cast("binary").as("value")))
     val stats = new ScoringStream.StatsAccumulator
-    // reference parity: psutil-style resource sampling at init and
-    // around each batch (spark_streaming_app.py:163-165,319,372)
-    val resources = new graft.core.ResourceUtil
-    resources.capture()
+    resources.foreach(_.capture())
     val checkpoint = java.nio.file.Files
       .createTempDirectory("graft_stream_bench_ckpt").toString
     var alertRows = 0L
@@ -63,9 +65,27 @@ object StreamBenchApp {
       wire.grouped(batchRows).take(nBatches).foreach { rows =>
         input.addData(rows)
         query.processAllAvailable()
-        resources.capture()
+        resources.foreach(_.capture())
       }
     } finally query.stop()
+    (stats, alertRows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("artifacts/streaming_stats.json")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
+    val batchRows = args.lift(2).map(_.toInt).getOrElse(2000)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+
+    val spark = Sessions.local("graft-stream-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // reference parity: psutil-style resource sampling at init and
+    // around each batch (spark_streaming_app.py:163-165,319,372)
+    val resources = new graft.core.ResourceUtil
+    val (stats, alertRows) =
+      run(spark, sfDir, nBatches, batchRows, Some(resources))
 
     stats.writeJson(outPath)
     val resourcePath = outPath.replaceAll("[^/]+$", "resource_summary.json")

@@ -346,11 +346,28 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Hamming radius of the sign-LSH multi-probe: the query probes its
+    * own bucket plus every bucket within `MultiProbeRadius` flipped
+    * signature bits. Radius 2 over 8 planes = 1+8+28 = 37 of 256
+    * buckets (~14% of the collection) — the recall/scan-fraction
+    * trade the spec pins (≥8 of brute-force top-10 recovered,
+    * SimilaritySpec). */
+  val MultiProbeRadius: Int = 2
+
   /** Sign-LSH bucketed ANN: 8 deterministic pseudo-random hyperplanes
     * (plane p, dim i → hash-derived ±1) → 8-bit signature → bucket
     * equi-join between query and collection → exact cosine inside
-    * buckets only. The scale path: candidate generation is a shuffle
-    * on an 8-bit key instead of an N×K cross join. */
+    * probed buckets only. The scale path: candidate generation is a
+    * shuffle on an 8-bit key instead of an N×K cross join.
+    *
+    * Multi-probe (VERDICT r6 task #3): a single 8-bit bucket probe
+    * misses any neighbor whose signature differs in even one bit
+    * (P(all 8 planes agree) ≈ 0.29 at cosine 0.9 — the r6 entry
+    * returned 2 rows for a top-10 query). The query side therefore
+    * explodes into the [[MultiProbeRadius]]-ball of its signature —
+    * a 37-row broadcast literal join, still never a cross join; each
+    * collection vector lives in exactly one bucket so probes can't
+    * duplicate candidates. */
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
     val planes = 8
@@ -375,8 +392,17 @@ object SimilarityQueries {
       .withColumn("sigv", expr(sig))
       .withColumn("bucket", expr(packSig))
       .drop("sigv")
+    // XOR masks of Hamming weight 0..MultiProbeRadius — the probe
+    // ball, built driver-side as a literal (37 longs for radius 2).
+    val masks: Array[Long] = (0 to MultiProbeRadius)
+      .flatMap(r => (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+      .toArray
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("bucket"), col("e").as("qe"))
+      .select(col("bucket").as("qbucket"), col("e").as("qe"))
+      .withColumn("mask", explode(lit(masks)))
+      .select(col("qbucket").bitwiseXOR(col("mask")).as("bucket"),
+        col("qe"))
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(q), Seq("bucket"))
       .select(col("vec_id"), col("label"),
@@ -437,8 +463,13 @@ object SimilarityQueries {
   private val kmeansCache = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
-  def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.ensureRegistered(s)
+  /** IVF index topology for `dir`: the cell-assigned collection, the
+    * probe cells picked for query vec_id=0, and the query vector.
+    * Package-visible so the probe-set invariant can be spec'd —
+    * probed-cell results must equal brute force restricted to those
+    * cells (VERDICT r6 task #6). */
+  private[graft] def ivfTopology(s: SparkSession, dir: String)
+      : (DataFrame, Array[Int], Array[Double]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(s, dir)
@@ -472,6 +503,12 @@ object SimilarityQueries {
         (i, d)
       }
       .sortBy(_._2).take(nprobe).map(_._1)
+    (assigned, probes, query)
+  }
+
+  def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val (assigned, probes, query) = ivfTopology(s, dir)
     assigned
       .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= 0)

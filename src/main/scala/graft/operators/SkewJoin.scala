@@ -37,19 +37,63 @@ object SkewJoin {
       .drop("__salt")
   }
 
+  /** Pick the salt factor from a cheap key-histogram sample of the
+    * big side (VERDICT r6 task #5 — always-on 8× replication of a
+    * non-tiny small side is a real cost at 100 TB; the decision must
+    * be data-driven). The hottest sampled key's row share, scaled by
+    * the shuffle width, estimates how many reducers that key needs:
+    * `salt = ceil(share × shufflePartitions)`, capped at `maxSalt`.
+    * A uniform key histogram yields share ≈ 1/|keys| → salt 1 →
+    * plain join, no replication. One seeded sample pass over the key
+    * column only (at production scale pass a fraction around 1e-4 —
+    * the histogram needs key FREQUENCIES, not row coverage). */
+  def adaptiveSalt(big: DataFrame, key: String,
+      sampleFraction: Double = 0.1, maxSalt: Int = 8,
+      seed: Long = 42L): Int = {
+    val parts = big.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption).getOrElse(200)
+    val row = big.select(col(key))
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")), sum(col("c"))).head()
+    if (row.isNullAt(0)) 1 // empty sample → no evidence of skew
+    else {
+      val share = row.getLong(0).toDouble / row.getLong(1)
+      math.min(maxSalt, math.max(1, math.ceil(share * parts).toInt))
+    }
+  }
+
+  /** Salted join with the salt decided by [[adaptiveSalt]]; salt 1
+    * degenerates to the PLAIN join — no small-side replication, no
+    * salt column anywhere in the plan (spec-asserted). */
+  def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+      spreadCol: String, sampleFraction: Double = 0.1,
+      maxSalt: Int = 8): DataFrame = {
+    val salt = adaptiveSalt(big, key, sampleFraction, maxSalt)
+    if (salt <= 1) big.join(small, Seq(key))
+    else saltedJoin(big, small, key, spreadCol, salt)
+  }
+
   /** Registered face of the salted join (VERDICT r4/r5 task: promote
     * spec-only scale operators). Salting is semantics-preserving, so
     * the oracle is the PLAIN join+aggregate SQL — any drift in row
     * multiplicity from the salt fan-out fails the hash compare.
     * l_quantity is integer-valued, so the bigint cast sums exactly in
-    * both engines. */
+    * both engines.
+    *
+    * Adaptive since r7: the operator demonstrates the DECISION, not
+    * just the mechanics — TPC-H l_orderkey is uniform, so the sampled
+    * histogram picks salt 1 and the plan is the plain broadcast join;
+    * point it at a hot-keyed fact table and the same call salts
+    * (SkewJoinSpec covers both decisions). */
   def j6SkewSalted(s: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity")
     val small = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    saltedJoin(big, small, key = "l_orderkey",
-      spreadCol = "l_linenumber", salt = 8)
+    adaptiveSaltedJoin(big, small, key = "l_orderkey",
+      spreadCol = "l_linenumber")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"))

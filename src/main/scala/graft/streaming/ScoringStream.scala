@@ -99,6 +99,7 @@ object ScoringStream {
     def totalBatches: Long = batches.get
     def totalRecords: Long = records.get
     def totalFraud: Long = fraud.get
+    def totalProcessingMs: Long = processingMs.get
 
     /** The reference's stats JSON shape, key-for-key
       * (spark_streaming_app.py:169-176 cumulative dict + 219-226

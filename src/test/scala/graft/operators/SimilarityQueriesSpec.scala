@@ -112,15 +112,92 @@ class SimilarityQueriesSpec extends SparkSpec {
     }
   }
 
-  test("LSH ANN returns a subset ranking consistent with brute force") {
-    val brute = SimilarityQueries.simBruteTopK(spark, sfDir)
-      .collect().map(_.getLong(0)).toSet
+  test("multi-probe LSH ANN returns a full top-10 on the fixture") {
+    // VERDICT r6 task #3: the single-probe entry returned 2 rows for
+    // a top-10 query; multi-probe must fill the result set.
     val ann = SimilarityQueries.simLshAnn(spark, sfDir).collect()
-    assert(ann.nonEmpty, "ANN should return candidates")
+    assert(ann.length == 10,
+      s"expected a full top-10; got ${ann.length} rows")
     // Every ANN hit must carry the same cosine as brute force would
     // compute (same expression); spot-check monotone ordering.
     val cosines = ann.map(_.getDouble(2)).toSeq
     assert(cosines == cosines.sorted.reverse)
+  }
+
+  test("multi-probe LSH ANN recovers >=8/10 planted near neighbors") {
+    // Recall is asserted on a fixture that HAS near neighbors. The
+    // stock embeddings fixture is isotropic noise (its true top-10
+    // cosines are ~0.3): per-plane sign agreement is 1-θ/π ≈ 0.6 vs
+    // the 0.5 background, so NO sublinear LSH can reach 0.8 recall
+    // there without scanning ~80% of the table — recall on random
+    // data measures scan fraction, not index quality. Here: 10
+    // planted neighbors at cosine ≈ 0.95 (the near-dup/ANN use
+    // case), 489 isotropic decoys. Deterministic: seeded fixture,
+    // hash-derived hyperplanes.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val q = unit()
+    // neighbor = 0.97·q + 0.24·noise (unit-ish, cosine ~0.97 ± noise)
+    val neighbors = (1L to 10L).map { id =>
+      val n = unit()
+      val v = q.zip(n).map { case (a, b) => (0.97 * a + 0.24 * b).toFloat }
+      (id, v, 1)
+    }
+    val decoys = (11L to 499L).map(id => (id, unit(), 0))
+    val rows = Seq((0L, q, 1)) ++ neighbors ++ decoys
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_lsh_planted").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val brute = SimilarityQueries.simBruteTopK(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute == (1L to 10L).toSet,
+      s"fixture broken: brute-force top-10 is $brute")
+    val ann = SimilarityQueries.simLshAnn(spark, tmp).collect()
+    assert(ann.length == 10,
+      s"expected a full top-10; got ${ann.length} rows")
+    val recovered = ann.map(_.getLong(0)).toSet intersect brute
+    assert(recovered.size >= 8,
+      s"recall ${recovered.size}/10 vs brute-force top-10 " +
+        s"(got ${ann.map(_.getLong(0)).toSet})")
+  }
+
+  test("IVF probe-set invariant: probed-cell results == restricted brute force") {
+    // VERDICT r6 task #6: the rows-only registry entry hides a real
+    // property — within the probed cells, IVF IS exact. Recompute
+    // brute-force cosine locally over ONLY the vectors assigned to
+    // the probed cells; the operator's output must match it row for
+    // row (ids, order, and cosines).
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val (assigned, probes, q) =
+      SimilarityQueries.ivfTopology(spark, sfDir)
+    val probeSet = probes.toSet
+    val inCells = assigned
+      .selectExpr("vec_id", "cell", "e")
+      .collect()
+      .filter(r => probeSet.contains(r.getInt(1)) && r.getLong(0) != 0L)
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val expected = inCells
+      .map { case (id, e) => (id, dot(e, q) / (norm(e) * norm(q))) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10)
+    val got = SimilarityQueries.simIvfAnn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq,
+      s"probed-cell top-k mismatch: got ${got.map(_._1).toSeq}, " +
+        s"want ${expected.map(_._1).toSeq}")
+    got.zip(expected).foreach { case ((_, c1), (_, c2)) =>
+      assert(math.abs(c1 - c2) < 1e-9)
+    }
   }
 
   test("exact-pairs cartesian baseline refuses oversized input") {

@@ -35,4 +35,42 @@ class SkewJoinSpec extends SparkSpec {
     val saltsUsed = salted.select("__salt").distinct().count()
     assert(saltsUsed == 8, s"hot key only spread over $saltsUsed salts")
   }
+
+  test("adaptive salt picks 1 on uniform keys and the plan has no replication") {
+    val big = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val small = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    // TPC-H l_orderkey is uniform (≤7 lines/order): no key needs more
+    // than one reducer, so the histogram sample must choose salt 1.
+    assert(SkewJoin.adaptiveSalt(big, "l_orderkey") == 1)
+    val plan = SkewJoin.adaptiveSaltedJoin(big, small,
+      key = "l_orderkey", spreadCol = "l_linenumber")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("__salt") && !plan.toLowerCase.contains("explode"),
+      s"unskewed path must not replicate the small side:\n$plan")
+  }
+
+  test("adaptive salt salts a hot-keyed big side and stays exact") {
+    import spark.implicits._
+    // 5000 rows of ONE key plus a uniform tail — the shape that needs
+    // salting. The sampled share of key 42 is ~5/6, so the decision
+    // must be salt > 1.
+    val big = ((1 to 5000).map(i => (42L, i)) ++
+      (1 to 1000).map(i => (i.toLong % 100, 10000 + i)))
+      .toDF("k", "row_id")
+    val small = (0L to 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    assert(SkewJoin.adaptiveSalt(big, "k") > 1,
+      "hot key must trigger the salted path")
+    val plain = big.join(small, "k")
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("row_id").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val adaptive = SkewJoin.adaptiveSaltedJoin(big, small,
+      key = "k", spreadCol = "row_id")
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("row_id").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(adaptive == plain)
+  }
 }

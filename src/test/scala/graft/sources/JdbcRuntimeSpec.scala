@@ -56,24 +56,41 @@ class JdbcRuntimeSpec extends SparkSpec {
     exec(url,
       "CREATE TABLE orders_jdbc(o_orderkey BIGINT, o_custkey BIGINT, " +
         "o_totalprice DOUBLE, o_orderstatus VARCHAR)")
-    val src = Tables.orders(spark, sfDir)
-      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-    val p = props
-    p.setProperty("truncate", "true")
-    Sinks.jdbcOverwrite(src.coalesce(1), url, "orders_jdbc", p)
+    // Anchor connection held for the WHOLE write+read lifecycle: the
+    // DuckDB driver shares one embedded instance per path among live
+    // connections, so pinning one here guarantees the sink's commits
+    // and the scan's reads go through the SAME instance — the r6
+    // full-suite flake (read-back observing the empty pre-write file
+    // state) is impossible by construction, and the direct count below
+    // localizes any residual failure to write-lost vs scan-broken.
+    val anchor = java.sql.DriverManager.getConnection(url)
+    try {
+      val src = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val srcRows = src.count()
+      val p = props
+      p.setProperty("truncate", "true")
+      Sinks.jdbcOverwrite(src.coalesce(1), url, "orders_jdbc", p)
 
-    val maxKey = src.agg(max("o_orderkey")).head().getLong(0)
-    val back = Sources.jdbcPartitioned(spark, url, "orders_jdbc",
-      partitionColumn = "o_orderkey", lowerBound = 0L,
-      upperBound = maxKey + 1, numPartitions = 4, props = props)
-    // genuinely partitioned: four range predicates → four tasks
-    assert(back.rdd.getNumPartitions == 4)
-    assert(back.count() == src.count())
-    val a = back.agg(
-      sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
-    val b = src.agg(
-      sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
-    assert(a == b)
+      val rs = anchor.createStatement()
+        .executeQuery("SELECT count(*) FROM orders_jdbc")
+      rs.next()
+      assert(rs.getLong(1) == srcRows,
+        s"sink lost rows: direct JDBC count ${rs.getLong(1)} != $srcRows")
+
+      val maxKey = src.agg(max("o_orderkey")).head().getLong(0)
+      val back = Sources.jdbcPartitioned(spark, url, "orders_jdbc",
+        partitionColumn = "o_orderkey", lowerBound = 0L,
+        upperBound = maxKey + 1, numPartitions = 4, props = props)
+      // genuinely partitioned: four range predicates → four tasks
+      assert(back.rdd.getNumPartitions == 4)
+      assert(back.count() == srcRows)
+      val a = back.agg(
+        sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
+      val b = src.agg(
+        sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
+      assert(a == b)
+    } finally anchor.close()
   }
 
   test("S4 partitioned scan pushes range predicates to the database") {
@@ -84,19 +101,23 @@ class JdbcRuntimeSpec extends SparkSpec {
     exec(url,
       "CREATE TABLE orders_jdbc AS SELECT o_orderkey, o_custkey, " +
         s"o_totalprice FROM read_parquet('$sfDir/orders.parquet')")
-    // partition bounds set the stride only (rows outside land in the
-    // edge partitions — never a filter); the real predicate is pushed
-    // to the database (PushedFilters in the scan node)
-    val back = Sources.jdbcPartitioned(spark, url, "orders_jdbc",
-      partitionColumn = "o_orderkey", lowerBound = 0L,
-      upperBound = 1000L, numPartitions = 2, props = props)
-      .filter(col("o_orderkey") < 1000 && col("o_custkey") > 100)
-    val plan = back.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("o_custkey"),
-      s"expected pushed JDBC filter in:\n$plan")
-    assert(back.count() ==
-      Tables.orders(spark, sfDir)
+    // Same anchor-pinning rationale as the sink test above.
+    val anchor = java.sql.DriverManager.getConnection(url)
+    try {
+      // partition bounds set the stride only (rows outside land in the
+      // edge partitions — never a filter); the real predicate is pushed
+      // to the database (PushedFilters in the scan node)
+      val back = Sources.jdbcPartitioned(spark, url, "orders_jdbc",
+        partitionColumn = "o_orderkey", lowerBound = 0L,
+        upperBound = 1000L, numPartitions = 2, props = props)
         .filter(col("o_orderkey") < 1000 && col("o_custkey") > 100)
-        .count())
+      val plan = back.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("o_custkey"),
+        s"expected pushed JDBC filter in:\n$plan")
+      assert(back.count() ==
+        Tables.orders(spark, sfDir)
+          .filter(col("o_orderkey") < 1000 && col("o_custkey") > 100)
+          .count())
+    } finally anchor.close()
   }
 }
