@@ -248,6 +248,53 @@ object TextQueries {
           .as("redacted_md5"))
   }
 
+  /** Repetition filters — the Gopher/MassiveText repetition signals
+    * that gate templated/boilerplate text out of a training corpus:
+    * per document, the fraction of tokens belonging to words that
+    * repeat, the most-repeated word's count, and the most-repeated
+    * word-2-gram's count and share.
+    *
+    * 100 TB shape: two explode → two-level aggregate passes (words,
+    * bigrams) joined on doc_id — the same shape as [[tTopTerms]];
+    * the (doc_id, token) shuffle key lets partial aggregation absorb
+    * the explode fan-out map-side, and nothing wider than a doc_id
+    * row survives past the first aggregate. All counts are exact
+    * integers; each ratio is one final IEEE division, identical in
+    * both engines. */
+  def tRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wstats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        max(col("c")).cast("long").as("top_word_n"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .cast("long").as("dup_tokens"))
+    // guard: Spark's sequence(0, -1) yields [0, -1] (auto step -1),
+    // so a 1-word doc must short-circuit to an empty gram list
+    val bstats = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2)," +
+          " i -> concat(ws[i], ' ', ws[i + 1])) ELSE array() END")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).cast("long").as("top_bigram_n"))
+    wstats.join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_word_n"),
+        col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens"))
+          .as("dup_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        when(col("n_tokens") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+            (col("n_tokens") - 1)).otherwise(0.0)
+          .as("top_bigram_frac"))
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composed
     * training-data flow: exact-dedup (keep min doc_id per text) →
     * quality gate (length + stopword-density) → language gate
@@ -345,6 +392,7 @@ object TextQueries {
     "t_tfidf_exact" -> (tTfidfExact _),
     "t_quality_gopher" -> (tQualityGopher _),
     "t_pii_redact" -> (tPiiRedact _),
+    "t_repetition" -> (tRepetition _),
     "t_corpus_clean" -> (corpusClean _)
   )
 
@@ -492,6 +540,34 @@ object TextQueries {
         |   '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'))
         |   AS redacted_md5
         |FROM p""".stripMargin,
+    "t_repetition" ->
+      """WITH words AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), wc AS (
+        | SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+        |), wstats AS (
+        | SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(max(c) AS BIGINT) AS top_word_n,
+        |  CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_tokens
+        | FROM wc GROUP BY doc_id
+        |), bg AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)),
+        |    g -> ws[g] || ' ' || ws[g + 1])) AS b
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), bstats AS (
+        | SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+        | FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+        | GROUP BY doc_id
+        |)
+        |SELECT w.doc_id, n_tokens, top_word_n, dup_tokens,
+        | CAST(dup_tokens AS DOUBLE) / n_tokens AS dup_frac,
+        | CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        | CASE WHEN n_tokens > 1
+        |   THEN CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / (n_tokens - 1)
+        |   ELSE 0.0 END AS top_bigram_frac
+        |FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id""".stripMargin,
     "t_corpus_clean" ->
       """WITH kept AS (
         | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

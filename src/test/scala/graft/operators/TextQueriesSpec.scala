@@ -141,4 +141,25 @@ class TextQueriesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == kept)
   }
+
+  test("repetition filters count repeated words and bigrams exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_repetition").toString
+    // doc 1: "a a a b" — word 'a' ×3, bigram "a a" ×2
+    // doc 2: all distinct — no repetition anywhere
+    // doc 3: single word — no bigrams at all (the sequence() edge)
+    Seq((1L, "a a a b", "en", "src", 7L),
+      (2L, "x y z", "en", "src", 5L),
+      (3L, "solo", "en", "src", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.tRepetition(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(1L) == ((4L, 3L, 3L, 0.75, 2L, 2.0 / 3)))
+    assert(got(2L) == ((3L, 1L, 0L, 0.0, 1L, 0.5)))
+    assert(got(3L) == ((1L, 1L, 0L, 0.0, 0L, 0.0)))
+  }
 }
