@@ -13,6 +13,7 @@ object GraftFunctions {
     Md5Hash60.register(ext)
     Simhash32.register(ext)
     JaccardSim.register(ext)
+    SignLshBucket.register(ext)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -21,5 +22,6 @@ object GraftFunctions {
     Md5Hash60.ensureRegistered(spark)
     Simhash32.ensureRegistered(spark)
     JaccardSim.ensureRegistered(spark)
+    SignLshBucket.ensureRegistered(spark)
   }
 }

@@ -370,28 +370,16 @@ object SimilarityQueries {
     * duplicate candidates. */
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
+    graft.functions.SignLshBucket.ensureRegistered(s)
     val planes = 8
     // signature bit p = sign(sum_i e[i] * plane(p, i)); plane(p,i) is
-    // ±1 from a hash of (p, i) — deterministic, no stored model.
-    val sig =
-      s"""aggregate(
-         |  zip_with(e, sequence(0, size(e) - 1),
-         |    (x, i) -> named_struct('x', x, 'i', i)),
-         |  array_repeat(cast(0.0 as double), $planes),
-         |  (acc, s) -> zip_with(acc, sequence(0, ${planes - 1}),
-         |    (a, p) -> a + s.x * CASE WHEN (xxhash64(s.i, p) & 1) = 1
-         |                        THEN 1.0 ELSE -1.0 END))""".stripMargin
-    val packSig =
-      s"""aggregate(
-         |  zip_with(sigv, sequence(0, ${planes - 1}),
-         |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
-         |  0L, (acc, x) -> acc + x)""".stripMargin
+    // ±1 from a hash of (p, i) — deterministic, no stored model. The
+    // native codegen'd expression is bit-equal to the composed HOF
+    // spelling (SignLshBucketSpec).
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
-      .withColumn("sigv", expr(sig))
-      .withColumn("bucket", expr(packSig))
-      .drop("sigv")
+      .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
     // XOR masks of Hamming weight 0..MultiProbeRadius — the probe
     // ball, built driver-side as a literal (37 longs for radius 2).
     val masks: Array[Long] = (0 to MultiProbeRadius)
@@ -415,25 +403,11 @@ object SimilarityQueries {
     * signature → candidate), top-20 most similar pairs. */
   def ddEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
+    graft.functions.SignLshBucket.ensureRegistered(s)
     val planes = 12
-    val sig =
-      s"""aggregate(
-         |  zip_with(e, sequence(0, size(e) - 1),
-         |    (x, i) -> named_struct('x', x, 'i', i)),
-         |  array_repeat(cast(0.0 as double), $planes),
-         |  (acc, s) -> zip_with(acc, sequence(0, ${planes - 1}),
-         |    (a, p) -> a + s.x * CASE WHEN (xxhash64(s.i, p) & 1) = 1
-         |                        THEN 1.0 ELSE -1.0 END))""".stripMargin
-    val packSig =
-      s"""aggregate(
-         |  zip_with(sigv, sequence(0, ${planes - 1}),
-         |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
-         |  0L, (acc, x) -> acc + x)""".stripMargin
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("sigv", expr(sig))
-      .withColumn("bucket", expr(packSig))
-      .drop("sigv")
+      .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
       .localCheckpoint() // consumed by both self-join sides
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
       col("e").as("e_a"))

@@ -248,6 +248,29 @@ object TextQueries {
           .as("redacted_md5"))
   }
 
+  /** Tokenizer-aware token counting — the BPE-ish-regex half of the
+    * token-counting surface ([[tTokenCount]] is the whitespace half):
+    * a GPT-2-style segmentation regex (run of letters / run of digits
+    * / run of other, each with optional leading space), restricted to
+    * a dialect-portable subset (no lookahead — RE2 lacks it). Emits
+    * per-document token count, distinct-token count, and chars per
+    * token — the stats a training-data budget is planned in.
+    * Pure narrow projection: regexp_extract_all + size/array_distinct
+    * per row, no explode, no shuffle — a map over the corpus at any
+    * scale. */
+  def tTokenBpe(s: SparkSession, dir: String): DataFrame = {
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      (spaceCount(col("text")) + 1L).as("n_ws_tokens"),
+      size(toks).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_bpe_distinct"),
+      when(size(toks) > 0,
+        length(col("text")).cast("double") / size(toks))
+        .otherwise(0.0).as("chars_per_token"))
+  }
+
   /** Repetition filters — the Gopher/MassiveText repetition signals
     * that gate templated/boilerplate text out of a training corpus:
     * per document, the fraction of tokens belonging to words that
@@ -392,6 +415,7 @@ object TextQueries {
     "t_tfidf_exact" -> (tTfidfExact _),
     "t_quality_gopher" -> (tQualityGopher _),
     "t_pii_redact" -> (tPiiRedact _),
+    "t_token_bpe" -> (tTokenBpe _),
     "t_repetition" -> (tRepetition _),
     "t_corpus_clean" -> (corpusClean _)
   )
@@ -540,6 +564,20 @@ object TextQueries {
         |   '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'))
         |   AS redacted_md5
         |FROM p""".stripMargin,
+    "t_token_bpe" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |   AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text,
+        |   ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(len(list_distinct(regexp_extract_all(text,
+        |   ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS n_bpe_distinct,
+        | CASE WHEN len(regexp_extract_all(text,
+        |     ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) > 0
+        |   THEN CAST(length(text) AS DOUBLE)
+        |     / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+        |   ELSE 0.0 END AS chars_per_token
+        |FROM documents""".stripMargin,
     "t_repetition" ->
       """WITH words AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

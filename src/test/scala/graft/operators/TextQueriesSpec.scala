@@ -142,6 +142,26 @@ class TextQueriesSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("BPE-ish regex tokenization counts runs of letters/digits/other") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_token_bpe").toString
+    // 'hello world 42 a-b c!' → [hello][ world][ 42][ a][-][b][ c][!]
+    // 'the the the' → 3 tokens, 2 distinct ('the' vs ' the')
+    // 'x7y' → letter/digit boundaries split without spaces
+    Seq((1L, "hello world 42 a-b c!", "en", "src", 21L),
+      (2L, "the the the", "en", "src", 11L),
+      (3L, "x7y", "en", "src", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.tTokenBpe(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 8L, 8L)))
+    assert(got(2L) == ((3L, 3L, 2L)))
+    assert(got(3L) == ((1L, 3L, 3L)))
+  }
+
   test("repetition filters count repeated words and bigrams exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files
