@@ -31,7 +31,9 @@ object ExplainAudit {
         // round 6: salted skew join, layout-pruned aggregates,
         // bounded-memory percentile twins
         "j6_skew_salted", "l4_partition_pruned", "l5_manifest_skip",
-        "x8b_approx_percentile", "x12b_approx_fence")
+        "x8b_approx_percentile", "x12b_approx_fence",
+        // round 7: repetition filters (explode→two-level agg shape)
+        "t_repetition")
     }
     names.foreach { name =>
       println(s"\n========== $name ==========")
