@@ -318,6 +318,37 @@ object TextQueries {
           .as("top_bigram_frac"))
   }
 
+  /** Unigram-LM quality scoring — the CCNet-style filter: score each
+    * document by its average negative log-likelihood under a unigram
+    * language model fit on the corpus itself (boilerplate scores
+    * low-surprise, gibberish scores high; both tails get gated).
+    *
+    * Determinism: log-probs are quantized at the LM level —
+    * `floor((ln(cnt) - ln(total)) · 1e4)` per DISTINCT word count —
+    * then each document's score is exact integer summation, the same
+    * playbook as t_tfidf_exact (the ulp-risk surface is the distinct
+    * count values, not every (doc, word) pair).
+    *
+    * 100 TB shape: the LM table is vocabulary-sized → broadcast to
+    * the exploded corpus side, which shuffles only on (doc_id) for
+    * the final per-doc aggregate; the corpus total is one scalar
+    * aggregate (driver literal, same as m4's stats). */
+  def tLmScore(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val lm = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).cast("long")).head().getLong(0)
+    val qlm = lm.select(col("w"),
+      floor((log(col("cnt").cast("double")) - log(lit(total.toDouble)))
+        * 1e4).cast("long").as("q_lp"))
+    words.join(broadcast(qlm), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (-sum(col("q_lp"))).cast("long").as("nll_q"))
+      .withColumn("avg_nll",
+        col("nll_q").cast("double") / col("n_tokens"))
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composed
     * training-data flow: exact-dedup (keep min doc_id per text) →
     * quality gate (length + stopword-density) → language gate
@@ -417,6 +448,7 @@ object TextQueries {
     "t_pii_redact" -> (tPiiRedact _),
     "t_token_bpe" -> (tTokenBpe _),
     "t_repetition" -> (tRepetition _),
+    "t_lm_score" -> (tLmScore _),
     "t_corpus_clean" -> (corpusClean _)
   )
 
@@ -578,6 +610,23 @@ object TextQueries {
         |     / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
         |   ELSE 0.0 END AS chars_per_token
         |FROM documents""".stripMargin,
+    "t_lm_score" ->
+      """WITH words AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), lm AS (
+        | SELECT w, count(*) AS cnt FROM words GROUP BY w
+        |), tot AS (
+        | SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM lm
+        |), qlm AS (
+        | SELECT w, CAST(floor((ln(CAST(cnt AS DOUBLE)) - ln(t)) * 1e4)
+        |   AS BIGINT) AS q_lp
+        | FROM lm, tot
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(-sum(q_lp) AS BIGINT) AS nll_q,
+        | CAST(-sum(q_lp) AS DOUBLE) / count(*) AS avg_nll
+        |FROM words JOIN qlm USING (w)
+        |GROUP BY doc_id""".stripMargin,
     "t_repetition" ->
       """WITH words AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

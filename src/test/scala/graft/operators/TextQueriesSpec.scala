@@ -162,6 +162,30 @@ class TextQueriesSpec extends SparkSpec {
     assert(got(3L) == ((1L, 3L, 3L)))
   }
 
+  test("unigram LM scoring ranks rare-word docs above boilerplate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_lm_score").toString
+    // docs 1-3: the same common phrase (low surprise); doc 4: words
+    // that appear nowhere else (maximum surprise under the corpus LM)
+    Seq((1L, "the cat sat", "en", "s", 11L),
+      (2L, "the cat sat", "en", "s", 11L),
+      (3L, "the cat sat", "en", "s", 11L),
+      (4L, "zyx qwv jkl", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.tLmScore(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.size == 4)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) > got(1L),
+      s"rare-word doc must score higher nll: ${got(4L)} vs ${got(1L)}")
+    // exact quantized value: common words have cnt=3 of total=12 →
+    // q_lp = floor(ln(3/12)·1e4) = floor(-13862.94…) = -13863
+    val perToken = 13863.0
+    assert(math.abs(got(1L) - perToken) < 1e-9)
+  }
+
   test("repetition filters count repeated words and bigrams exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files
