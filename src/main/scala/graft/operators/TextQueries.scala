@@ -427,6 +427,58 @@ object TextQueries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
   }
 
+  /** Deterministic train/val/test split (98/1/1) as a DATA PROPERTY:
+    * membership is `portable_hash(doc_id) % 100`, so the assignment
+    * is identical across engines, partitionings, and cluster sizes —
+    * the property that makes a 100 TB split reproducible and
+    * leak-free across pipeline reruns (same contract as
+    * [[l6SourceMix]]). Emits the per-split census. */
+  def l7HashSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .withColumn("h",
+        graft.core.PortableHash.md5Hash60(col("doc_id")) % 100L)
+      .withColumn("split",
+        when(col("h") < 98, "train")
+          .when(col("h") === 98, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(spaceCount(col("text")) + 1L).cast("long").as("sum_tokens"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
+  /** Sequence packing — concat-and-chunk into fixed 2048-token
+    * context windows, the step that turns a cleaned corpus into
+    * training sequences. Documents are packed contiguously per
+    * source in doc_id order; a document belongs to the window its
+    * START offset falls in (standard concat-then-chunk semantics —
+    * long docs straddle window boundaries). Emits per-(source,
+    * window) packing stats.
+    *
+    * 100 TB shape: the running offset is a window function
+    * PARTITIONED BY source — never a global window; each source
+    * shard packs independently, which is how a sharded corpus is
+    * packed in practice (one global concatenation order would
+    * serialize the world). */
+  def l8SeqPack(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("toks", spaceCount(col("text")) + 1L)
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("toks")).cast("double") / seqLen)
+          .cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   // ===================================================================
   // registration
   // ===================================================================
@@ -434,6 +486,8 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "t_decontaminate" -> (tDecontaminate _),
     "l6_source_mix" -> (l6SourceMix _),
+    "l7_hash_split" -> (l7HashSplit _),
+    "l8_seq_pack" -> (l8SeqPack _),
     "dd_exact_group" -> (ddExactGroup _),
     "dd_exact_rows" -> (ddExactRows _),
     "t_token_count" -> (tTokenCount _),
@@ -481,6 +535,37 @@ object TextQueries {
         |WHERE tier = 0 OR (tier = 1 AND h < 500000)
         |   OR (tier = 2 AND h < 200000)
         |GROUP BY source""".stripMargin,
+    "l7_hash_split" ->
+      """WITH d AS (
+        | SELECT n_chars,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS toks,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100 AS h
+        | FROM documents)
+        |SELECT CASE WHEN h < 98 THEN 'train'
+        |            WHEN h = 98 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | count(*) AS n_docs,
+        | CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY 1""".stripMargin,
+    "l8_seq_pack" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |    AS BIGINT) AS toks
+        | FROM documents),
+        |c AS (
+        | SELECT source, doc_id, toks,
+        |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM d)
+        |SELECT source,
+        | CAST(floor(CAST(cum - toks AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+        | count(*) AS n_docs,
+        | CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        | min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "dd_exact_group" ->
       """SELECT lang, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_unique

@@ -186,6 +186,38 @@ class TextQueriesSpec extends SparkSpec {
     assert(math.abs(got(1L) - perToken) < 1e-9)
   }
 
+  test("hash split partitions the whole corpus deterministically ~98/1/1") {
+    val census = TextQueries.l7HashSplit(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.core.Tables.documents(spark, sfDir).count()
+    assert(census.values.sum == total, "every doc lands in exactly one split")
+    assert(census("train") > census.getOrElse("val", 0L) &&
+      census("train") > census.getOrElse("test", 0L))
+    // the split is a data property: identical on re-evaluation
+    val again = TextQueries.l7HashSplit(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == census)
+  }
+
+  test("sequence packing assigns docs to windows by start offset") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_seq_pack").toString
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // tokens: 2000, 100, 2000 → starts 0, 2000, 2100 → windows 0, 0, 1
+    Seq((1L, words(2000), "en", "src0", 1L),
+      (2L, words(100), "en", "src0", 1L),
+      (3L, words(2000), "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.l8SeqPack(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("src0", 0L)) == ((2L, 2100L, 1L)))
+    assert(got(("src0", 1L)) == ((1L, 2000L, 3L)))
+    assert(got.size == 2)
+  }
+
   test("repetition filters count repeated words and bigrams exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files
