@@ -28,10 +28,16 @@ run / fork := true
 // the r6 full-suite-only flake (JDBC read-back seeing an empty table,
 // VERDICT r6 "What's wrong" #1) never reproduced in isolation.
 Test / testGrouping := {
+  // Mirrors sbt's default forked-test configuration INCLUDING envVars
+  // and workingDirectory (ADVICE r7: dropping them is harmless while
+  // neither is set, but a future `Test / envVars` would silently not
+  // reach the forked suites).
   val opts = ForkOptions()
     .withJavaHome((Test / javaHome).value)
     .withOutputStrategy((Test / outputStrategy).value)
     .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+    .withWorkingDirectory((Test / baseDirectory).value)
   val (jdbc, rest) = (Test / definedTests).value
     .partition(_.name == "graft.sources.JdbcRuntimeSpec")
   Seq(

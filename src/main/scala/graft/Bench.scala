@@ -102,8 +102,30 @@ object Bench {
     // Per-query: N back-to-back timed runs, report the median. Repeats
     // run consecutively (not as full sweeps) so each query's runs share
     // cache state — the median then isolates that query's steady state.
+    //
+    // GC hygiene between queries (r7 drift diagnosis, BENCH_NOTES.md):
+    // broadcast/shuffle/RDD cleanup in Spark rides on DRIVER GC
+    // (ContextCleaner holds weak references), so over a 114-query
+    // sweep dead broadcast blocks and codegen classes accumulate until
+    // collections start landing INSIDE timed runs. A System.gc() after
+    // each query's runs (a) moves collection cost into untimed gaps
+    // and (b) lets ContextCleaner reclaim the previous query's
+    // broadcasts before the next query is timed. Each query line
+    // carries "gcMs": driver GC time that overlapped its timed runs,
+    // so collector interference is visible in the artifact instead of
+    // masquerading as a query regression. SPARK_GRAFT_BENCH_NOGC=1
+    // disables the between-query collect (diagnosis mode).
+    val doGcBetween = !sys.env.contains("SPARK_GRAFT_BENCH_NOGC")
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
+      val gc0 = gcMillis()
       val secs = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         try runNoop(fn(spark, sfDir))
@@ -113,10 +135,13 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val gcDuring = gcMillis() - gc0
+      // untimed: reclaim this query's broadcasts/classes
+      if (doGcBetween) System.gc()
       val median = secs.sorted.apply(secs.length / 2)
       val runsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
       println(
-        s"""{"query":${jstr(name)},"sec":${f"$median%.3f"},"err":${err.map(jstr).getOrElse("null")},"runs":$runsJson}""")
+        s"""{"query":${jstr(name)},"sec":${f"$median%.3f"},"err":${err.map(jstr).getOrElse("null")},"runs":$runsJson,"gcMs":$gcDuring}""")
       (name, median, secs.head, err)
     }
 
@@ -133,8 +158,11 @@ object Bench {
     // Streaming parity metric in the same artifact (VERDICT r6 task
     // #7): the StreamApp scoring graph over MemoryStream micro-batches
     // — records/s and avg batch ms, the reference's headline
-    // instrumentation (spark_streaming_app.py:219-226).
-    val streamLine =
+    // instrumentation (spark_streaming_app.py:219-226). Gated to FULL
+    // runs (ADVICE r7): a single-query subset invocation is a timing
+    // probe and must not pay — or be perturbed by — the fixed
+    // training+streaming cost.
+    val streamLine = if (args.nonEmpty) "" else
       try {
         val (stats, alertRows) =
           graft.apps.StreamBenchApp.run(spark, sfDir,
@@ -151,7 +179,7 @@ object Bench {
           s"""{"metric":"streaming","err":${jstr(
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
       }
-    println(streamLine)
+    if (streamLine.nonEmpty) println(streamLine)
     spark.stop()
     // Original-contract line (queries map included) for any parser
     // that wants the full detail in one line; it is long, so it goes

@@ -30,6 +30,15 @@ import org.apache.spark.sql.SparkSessionExtensions
   * — and the hash chain is `hashInt(p, hashInt(i, 42))`, Spark's
   * multi-argument `xxhash64(i, p)` seed threading. Sign convention:
   * bit p is set iff the accumulated projection is > 0.
+  *
+  * Null elements (array slots, when the input type carries
+  * containsNull=true): DEFINED as contributing 0.0 to every plane —
+  * i.e. a null slot is skipped, identical to a 0.0 value (spec-
+  * asserted). This intentionally differs from the composed HOF
+  * spelling, whose `zip_with` null-propagates the whole accumulator
+  * and lands every null-containing vector in bucket 0; bit-equality
+  * with the composed form is therefore guaranteed only for null-free
+  * vectors.
   */
 case class SignLshBucket(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -66,13 +75,15 @@ case class SignLshBucket(left: Expression, right: Expression)
     val n = x.numElements()
     var i = 0
     while (i < n) {
-      val xv = x.getDouble(i)
-      val h1 = XXH64.hashInt(i, 42L)
-      var b = 0
-      while (b < planes) {
-        val sign = if ((XXH64.hashInt(b, h1) & 1L) == 1L) 1.0 else -1.0
-        acc(b) += xv * sign
-        b += 1
+      if (!x.isNullAt(i)) {
+        val xv = x.getDouble(i)
+        val h1 = XXH64.hashInt(i, 42L)
+        var b = 0
+        while (b < planes) {
+          val sign = if ((XXH64.hashInt(b, h1) & 1L) == 1L) 1.0 else -1.0
+          acc(b) += xv * sign
+          b += 1
+        }
       }
       i += 1
     }
@@ -100,6 +111,7 @@ case class SignLshBucket(left: Expression, right: Expression)
          |double[] $acc = new double[$p];
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  double $xv = $a.getDouble($i);
          |  long $h1 = $xxh.hashInt($i, 42L);
          |  for (int $b = 0; $b < $p; $b++) {

@@ -440,12 +440,29 @@ object RelationalQueries {
       countDistinct(col("l_orderkey")).as("n_orders"))
 
   /** approx_count_distinct (HLL++): the 100 TB path — one pass, fixed
-    * memory, mergeable sketches; no oracle (algorithm-specific values),
-    * driver records a rows-only check. */
+    * memory, mergeable sketches. Oracled via the INVARIANT form
+    * (VERDICT r7 task #7): the HLL++ estimates themselves are
+    * algorithm-specific and can never hash-match another engine, but
+    * "the estimate lands within 3×rsd of the exact count" is a
+    * deterministic boolean on fixed data — so the query emits the
+    * exact counts plus the within-bound verdicts, and the DuckDB
+    * oracle emits the same exact counts with literal TRUEs. A
+    * hash-match therefore certifies both the cross-engine exact
+    * counts AND the in-engine estimator accuracy; an estimator
+    * regression (wrong rsd wiring, sketch-merge bug) flips a boolean
+    * and fails the compare. */
   def d2ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      .select(
+        col("exact_parts"), col("exact_orders"),
+        (abs(col("ap").cast("double") / col("exact_parts") - 1.0)
+          <= 0.06).as("parts_within_3rsd"),
+        (abs(col("ao").cast("double") / col("exact_orders") - 1.0)
+          <= 0.06).as("orders_within_3rsd"))
 
   // ===================================================================
   // SQL entry point + event-time windows
@@ -855,7 +872,15 @@ object RelationalQueries {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
-    // d2_approx_distinct: intentionally no oracle (HLL++ estimates).
+    // d2_approx_distinct: invariant oracle — the exact counts travel
+    // cross-engine; the within-3rsd booleans are computed by Spark
+    // and asserted TRUE by the oracle (see d2ApproxDistinct scaladoc).
+    "d2_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | true AS parts_within_3rsd,
+        | true AS orders_within_3rsd
+        |FROM lineitem""".stripMargin,
     "q3_sql_shipping" ->
       """SELECT l_orderkey,
         | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)

@@ -37,6 +37,11 @@ object SkewJoin {
       .drop("__salt")
   }
 
+  /** Target sampled-row count for [[adaptiveSalt]]'s auto-derived
+    * fraction: enough rows for a stable key histogram, small enough
+    * that the plan-build probe is O(seconds) at any input size. */
+  val SaltSampleTargetRows: Long = 100000L
+
   /** Pick the salt factor from a cheap key-histogram sample of the
     * big side (VERDICT r6 task #5 — always-on 8× replication of a
     * non-tiny small side is a real cost at 100 TB; the decision must
@@ -44,17 +49,36 @@ object SkewJoin {
     * the shuffle width, estimates how many reducers that key needs:
     * `salt = ceil(share × shufflePartitions)`, capped at `maxSalt`.
     * A uniform key histogram yields share ≈ 1/|keys| → salt 1 →
-    * plain join, no replication. One seeded sample pass over the key
-    * column only (at production scale pass a fraction around 1e-4 —
-    * the histogram needs key FREQUENCIES, not row coverage). */
+    * plain join, no replication.
+    *
+    * `sampleFraction <= 0` (the default) derives the fraction from
+    * the optimized plan's size statistics so the probe scans
+    * ~[[SaltSampleTargetRows]] rows REGARDLESS of input size
+    * (ADVICE r7: a fixed 0.1 default scans 10% of the big side —
+    * wrong posture for the operator's 100 TB framing; the histogram
+    * needs key frequencies, not row coverage). No job runs for the
+    * estimate: row count ≈ stats.sizeInBytes / schema row width,
+    * the same estimator Catalyst's own size-based planning uses. */
   def adaptiveSalt(big: DataFrame, key: String,
-      sampleFraction: Double = 0.1, maxSalt: Int = 8,
+      sampleFraction: Double = -1.0, maxSalt: Int = 8,
       seed: Long = 42L): Int = {
     val parts = big.sparkSession.conf
       .getOption("spark.sql.shuffle.partitions")
       .flatMap(_.toIntOption).getOrElse(200)
-    val row = big.select(col(key))
-      .sample(withReplacement = false, sampleFraction, seed)
+    val keyed = big.select(col(key))
+    val fraction =
+      if (sampleFraction > 0) math.min(1.0, sampleFraction)
+      else {
+        val plan = keyed.queryExecution.optimizedPlan
+        val width = math.max(8L,
+          plan.output.map(_.dataType.defaultSize.toLong).sum + 8L)
+        val estRows =
+          math.max(1.0, plan.stats.sizeInBytes.toDouble / width)
+        math.min(1.0,
+          math.max(1e-6, SaltSampleTargetRows.toDouble / estRows))
+      }
+    val row = keyed
+      .sample(withReplacement = false, fraction, seed)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")), sum(col("c"))).head()
     if (row.isNullAt(0)) 1 // empty sample → no evidence of skew
@@ -68,7 +92,7 @@ object SkewJoin {
     * degenerates to the PLAIN join — no small-side replication, no
     * salt column anywhere in the plan (spec-asserted). */
   def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, key: String,
-      spreadCol: String, sampleFraction: Double = 0.1,
+      spreadCol: String, sampleFraction: Double = -1.0,
       maxSalt: Int = 8): DataFrame = {
     val salt = adaptiveSalt(big, key, sampleFraction, maxSalt)
     if (salt <= 1) big.join(small, Seq(key))

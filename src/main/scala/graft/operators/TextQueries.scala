@@ -324,10 +324,15 @@ object TextQueries {
     * low-surprise, gibberish scores high; both tails get gated).
     *
     * Determinism: log-probs are quantized at the LM level —
-    * `floor((ln(cnt) - ln(total)) · 1e4)` per DISTINCT word count —
-    * then each document's score is exact integer summation, the same
-    * playbook as t_tfidf_exact (the ulp-risk surface is the distinct
-    * count values, not every (doc, word) pair).
+    * `floor((ln(cnt) - ln(total)) · 1e4 + 1e-6)` per DISTINCT word
+    * count — then each document's score is exact integer summation,
+    * the same playbook as t_tfidf_exact (the ulp-risk surface is the
+    * distinct count values, not every (doc, word) pair). The +1e-6
+    * nudge (≫ any cross-engine ln() ULP gap of ~1e-10 at this
+    * magnitude, ≪ the 1.0 quantum) keeps a count value sitting
+    * exactly on a floor boundary from flipping q_lp when Java
+    * Math.log and DuckDB std::log disagree in the last ulp
+    * (ADVICE r7).
     *
     * 100 TB shape: the LM table is vocabulary-sized → broadcast to
     * the exploded corpus side, which shuffles only on (doc_id) for
@@ -340,7 +345,7 @@ object TextQueries {
     val total = lm.agg(sum(col("cnt")).cast("long")).head().getLong(0)
     val qlm = lm.select(col("w"),
       floor((log(col("cnt").cast("double")) - log(lit(total.toDouble)))
-        * 1e4).cast("long").as("q_lp"))
+        * 1e4 + 1e-6).cast("long").as("q_lp"))
     words.join(broadcast(qlm), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
@@ -703,7 +708,7 @@ object TextQueries {
         |), tot AS (
         | SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM lm
         |), qlm AS (
-        | SELECT w, CAST(floor((ln(CAST(cnt AS DOUBLE)) - ln(t)) * 1e4)
+        | SELECT w, CAST(floor((ln(CAST(cnt AS DOUBLE)) - ln(t)) * 1e4 + 1e-6)
         |   AS BIGINT) AS q_lp
         | FROM lm, tot
         |)

@@ -60,6 +60,22 @@ class SignLshBucketSpec extends SparkSpec {
     assert(e.getMessage.contains("[1, 62]"))
   }
 
+  test("null ELEMENTS are defined as 0.0 contributions (ADVICE r7)") {
+    GraftFunctions.ensureRegistered(spark)
+    // interpreted eval AND codegen must agree: a null slot is skipped,
+    // identical to a 0.0 value at that position.
+    val r = spark.sql(
+      """SELECT
+        | signlsh_bucket(array(1.5d, CAST(NULL AS DOUBLE), -2.0d), 8)
+        |   AS with_null,
+        | signlsh_bucket(array(1.5d, 0.0d, -2.0d), 8) AS with_zero,
+        | signlsh_bucket(array(CAST(NULL AS DOUBLE)), 8) AS all_null
+        |""".stripMargin).head()
+    assert(r.getLong(0) == r.getLong(1),
+      "null element must bucket identically to a 0.0 element")
+    assert(r.getLong(2) == 0L, "all-null vector → zero projection")
+  }
+
   test("runs inside a WholeStageCodegen span") {
     GraftFunctions.ensureRegistered(spark)
     val plan = graft.core.Tables.embeddings(spark, sfDir)
