@@ -180,6 +180,34 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
       }
     if (streamLine.nonEmpty) println(streamLine)
+
+    // ANN index-quality telemetry (VERDICT r7 task #4): recall@10 of
+    // each approximate index vs the exact brute-force top-10 on the
+    // BENCH corpus, so index-quality regressions are visible
+    // round-over-round the way wall-times are (the planted-neighbor
+    // specs pin recall only on synthetic fixtures). Gated to full
+    // runs like the streaming line — a subset invocation is a timing
+    // probe. untimed: runs after all timed medians are recorded.
+    val annLine = if (args.nonEmpty) "" else
+      try {
+        def topIds(name: String): Set[String] =
+          SparkEntry.queries(name)(spark, sfDir)
+            .select("vec_id").collect()
+            .map(r => String.valueOf(r.get(0))).toSet
+        val truth = topIds("sim_brute_topk")
+        def recall(name: String): Double =
+          if (truth.isEmpty) 1.0
+          else topIds(name).intersect(truth).size.toDouble / truth.size
+        val lsh = recall("sim_lsh_ann")
+        val ivf = recall("sim_ivf_ann")
+        s"""{"metric":"ann_recall","k":${truth.size},""" +
+          s""""lsh_recall":${f"$lsh%.2f"},"ivf_recall":${f"$ivf%.2f"}}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"metric":"ann_recall","err":${jstr(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
+    if (annLine.nonEmpty) println(annLine)
     spark.stop()
     // Original-contract line (queries map included) for any parser
     // that wants the full detail in one line; it is long, so it goes

@@ -253,6 +253,52 @@ object ExtendedQueries {
           |""".stripMargin)
   }
 
+  /** [[p11Profile]]'s 100 TB twin (VERDICT r7 task #2): same profile
+    * shape, but the three COUNT(DISTINCT)s become
+    * `approx_count_distinct` — ONE HashAggregate pass over the scan
+    * with NO Expand (p11's exact distincts multiply every input row
+    * ×4 through Expand before aggregating; the HLL++ sketches are
+    * fixed-memory and mergeable, so the approx plan's cost is a
+    * plain scan at any scale). Same pattern as x8/x8b: the exact
+    * entry stays as the oracle-grade profile, this is the plan you
+    * run at 100 TB.
+    *
+    * Rows-only by construction (FINAL): HLL++ estimates are
+    * algorithm-specific and cannot hash-match another engine.
+    * Compensating spec (ExtendedQueriesSpec "p11b") asserts each
+    * approx distinct lands within 3×rsd of p11's exact count and
+    * that the physical plan contains no Expand. */
+  def p11bProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    def nulls(c: String): Column =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+    val rsd = graft.operators.RelationalQueries.ApproxDistinctRsd
+    Tables.orders(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        nulls("o_orderstatus").as("nulls_status"),
+        approx_count_distinct(col("o_orderstatus"), rsd).as("dist_status"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_orderstatus")).as("max_status"),
+        nulls("o_orderpriority").as("nulls_prio"),
+        approx_count_distinct(col("o_orderpriority"), rsd).as("dist_prio"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"),
+        nulls("o_custkey").as("nulls_cust"),
+        approx_count_distinct(col("o_custkey"), rsd).as("dist_cust"),
+        min(col("o_custkey")).cast("string").as("min_cust"),
+        max(col("o_custkey")).cast("string").as("max_cust"))
+      .selectExpr(
+        """stack(3,
+          | 'o_orderstatus', n_rows, nulls_status, dist_status,
+          |   min_status, max_status,
+          | 'o_orderpriority', n_rows, nulls_prio, dist_prio,
+          |   min_prio, max_prio,
+          | 'o_custkey', n_rows, nulls_cust, dist_cust,
+          |   min_cust, max_cust)
+          |AS (column, n_rows, n_nulls, n_distinct, min_str, max_str)
+          |""".stripMargin)
+  }
+
   /** L3: stratified sampling via the engine-portable hash — keep a
     * row iff md5-60(key) mod 1e6 falls under the stratum's fraction.
     * Unlike seeded Bernoulli `sampleBy` (whose draws depend on the
@@ -491,6 +537,7 @@ object ExtendedQueries {
     "x12_outlier_fence" -> (x12OutlierFence _),
     "x12b_approx_fence" -> (x12bApproxFence _),
     "p11_profile" -> (p11Profile _),
+    "p11b_profile_approx" -> (p11bProfileApprox _),
     "l3_stratified" -> (l3Stratified _),
     "p12_unpivot" -> (p12Unpivot _),
     "x13_array_funcs" -> (x13ArrayFuncs _),

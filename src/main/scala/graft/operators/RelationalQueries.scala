@@ -455,14 +455,29 @@ object RelationalQueries {
     Tables.lineitem(s, dir).agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"),
-      approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      approx_count_distinct(col("l_partkey"), ApproxDistinctRsd).as("ap"),
+      approx_count_distinct(col("l_orderkey"), ApproxDistinctRsd).as("ao"))
       .select(
         col("exact_parts"), col("exact_orders"),
         (abs(col("ap").cast("double") / col("exact_parts") - 1.0)
-          <= 0.06).as("parts_within_3rsd"),
+          <= ApproxDistinctBound).as("parts_within_3rsd"),
         (abs(col("ao").cast("double") / col("exact_orders") - 1.0)
-          <= 0.06).as("orders_within_3rsd"))
+          <= ApproxDistinctBound).as("orders_within_3rsd"))
+
+  /** Requested relative standard deviation for every
+    * approx_count_distinct in the registry (d2, p11b). */
+  val ApproxDistinctRsd: Double = 0.02
+
+  /** Accuracy bound asserted by the invariant oracles: 3×rsd
+    * (ADVICE r8 — derived, not hard-coded, so changing the rsd
+    * re-derives the bound instead of silently invalidating it).
+    * HLL++ error is PROBABILISTIC: 3×rsd holds with ~99.7% per-column
+    * confidence on a random corpus, so the TRUE-boolean oracle is
+    * corpus-verified — deterministic and green on the fixed test
+    * data, but a different sf/corpus could legitimately land a
+    * correct estimator outside the bound; re-evaluate the margin
+    * there before reading a bound flip as an estimator bug. */
+  val ApproxDistinctBound: Double = 3.0 * ApproxDistinctRsd
 
   // ===================================================================
   // SQL entry point + event-time windows

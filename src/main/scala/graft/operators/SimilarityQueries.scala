@@ -624,7 +624,20 @@ object SimilarityQueries {
     * `x * -1.0 == -x` exactly, so `+ (-e)` spells as `- e`); bit p
     * set iff the projection is > 0. The embeddings table is dim-64
     * (TESTDATA.md), so the generated SQL is dim-specific by design —
-    * it is an oracle for THIS corpus, not a reusable function. */
+    * it is an oracle for THIS corpus, not a reusable function.
+    *
+    * PRECONDITION (ADVICE r8): the equivalence to the native
+    * expression holds only on null/NaN-free embeddings. A null array
+    * slot NULL-propagates the whole SQL projection (CASE → 0 →
+    * bucket bit 0) where the native expression skips the element,
+    * and DuckDB evaluates `NaN > 0` as TRUE where Java's `>` is
+    * false (parallel to the null-element note on
+    * [[graft.functions.SignLshBucket]]). The test corpus is
+    * generated null/NaN-free and the green hash_match on
+    * `dd_embed_census` certifies the precondition held; pointing
+    * this oracle at a dirty embeddings table requires a
+    * `forall(e, x -> isnotnull(x) AND NOT isnan(x))` data-quality
+    * gate first. */
   private def bucketSqlExpr(planes: Int, dim: Int, arr: String): String =
     (0 until planes).map { p =>
       val terms = (0 until dim).map { i =>

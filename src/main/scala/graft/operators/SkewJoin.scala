@@ -42,6 +42,25 @@ object SkewJoin {
     * that the plan-build probe is O(seconds) at any input size. */
   val SaltSampleTargetRows: Long = 100000L
 
+  /** Fixed probe fraction used when the optimized plan carries NO
+    * usable size statistic (ADVICE r8): relations without stats
+    * report the `spark.sql.defaultSizeInBytes` sentinel
+    * (Long.MaxValue), which would inflate estRows until the derived
+    * fraction clamps to 1e-6 — a near-empty sample that returns
+    * salt 1 and silently disables mitigation on a genuinely skewed
+    * input. 5% of an unknown-size input is a modest, histogram-grade
+    * probe; inputs large enough for 5% to hurt have parquet/AQE
+    * stats and never take this branch. */
+  val SaltFallbackFraction: Double = 0.05
+
+  /** Stats sentinel detector: `sizeInBytes` at (or within 2× of)
+    * Long.MaxValue is the "no statistics" marker, not a measurement
+    * — no real relation is 8 EB. */
+  private def statsUnavailable(sizeInBytes: BigInt): Boolean =
+    sizeInBytes >= BigInt(Long.MaxValue) / 2
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Pick the salt factor from a cheap key-histogram sample of the
     * big side (VERDICT r6 task #5 — always-on 8× replication of a
     * non-tiny small side is a real cost at 100 TB; the decision must
@@ -70,12 +89,26 @@ object SkewJoin {
       if (sampleFraction > 0) math.min(1.0, sampleFraction)
       else {
         val plan = keyed.queryExecution.optimizedPlan
-        val width = math.max(8L,
-          plan.output.map(_.dataType.defaultSize.toLong).sum + 8L)
-        val estRows =
-          math.max(1.0, plan.stats.sizeInBytes.toDouble / width)
-        math.min(1.0,
-          math.max(1e-6, SaltSampleTargetRows.toDouble / estRows))
+        val sizeInBytes = plan.stats.sizeInBytes
+        if (statsUnavailable(sizeInBytes)) {
+          // ADVICE r8: the defaultSizeInBytes sentinel means "size
+          // unknown", not "size huge" — fall back to a fixed modest
+          // fraction instead of letting a degenerate 1e-6 probe
+          // defeat the skew decision.
+          log.info(s"adaptiveSalt($key): no plan stats " +
+            s"(sizeInBytes sentinel) -> fixed probe fraction " +
+            s"$SaltFallbackFraction")
+          SaltFallbackFraction
+        } else {
+          val width = math.max(8L,
+            plan.output.map(_.dataType.defaultSize.toLong).sum + 8L)
+          val estRows = math.max(1.0, sizeInBytes.toDouble / width)
+          val f = math.min(1.0,
+            math.max(1e-6, SaltSampleTargetRows.toDouble / estRows))
+          log.info(s"adaptiveSalt($key): estRows=${estRows.toLong} " +
+            f"-> probe fraction $f%.6f")
+          f
+        }
       }
     val row = keyed
       .sample(withReplacement = false, fraction, seed)

@@ -80,6 +80,33 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(statusRow.getLong(3) == 3L)
   }
 
+  test("p11b: approx profile matches exact within 3xrsd, no Expand in plan") {
+    val approx = ExtendedQueries.p11bProfileApprox(spark, sfDir)
+    // the 100 TB argument: approx_count_distinct must plan as a plain
+    // two-phase HashAggregate — no Expand row multiplication
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx profile must not pay Expand:\n$plan")
+    assert(ExtendedQueries.p11Profile(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "exact profile is the Expand twin this test contrasts against")
+    val exact = ExtendedQueries.p11Profile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bound = RelationalQueries.ApproxDistinctBound
+    ExtendedQueries.p11bProfileApprox(spark, sfDir).collect().foreach { r =>
+      val e = exact(r.getString(0))
+      // deterministic fields identical
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2))
+      assert(r.getString(4) == e.getString(4) &&
+        r.getString(5) == e.getString(5))
+      val rel = math.abs(
+        r.getLong(3).toDouble / e.getLong(3).toDouble - 1.0)
+      assert(rel <= bound,
+        s"${r.getString(0)}: approx ${r.getLong(3)} vs exact " +
+          s"${e.getLong(3)} — relative error $rel > $bound")
+    }
+  }
+
   test("grouping sets emits exactly the requested levels") {
     import org.apache.spark.sql.functions.col
     val orders = Tables.orders(spark, sfDir)

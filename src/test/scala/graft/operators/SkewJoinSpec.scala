@@ -73,4 +73,23 @@ class SkewJoinSpec extends SparkSpec {
       .toMap
     assert(adaptive == plain)
   }
+
+  test("stats sentinel falls back to the fixed probe and still detects skew") {
+    import spark.implicits._
+    // An RDD-backed relation carries NO size statistics: its plan
+    // reports the spark.sql.defaultSizeInBytes sentinel
+    // (Long.MaxValue). Pre-fix (ADVICE r8) that inflated estRows
+    // until the derived fraction clamped to 1e-6 — an empty sample on
+    // this 6000-row hot-keyed input, salt 1, mitigation silently off.
+    // The sentinel detector must take the fixed-fraction probe and
+    // find the hot key.
+    val rows = (1 to 5000).map(i => (42L, i)) ++
+      (1 to 1000).map(i => (i.toLong % 100, 10000 + i))
+    val big = spark.sparkContext.parallelize(rows, 4).toDF("k", "row_id")
+    val size = big.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size >= BigInt(Long.MaxValue) / 2,
+      s"fixture must carry the no-stats sentinel, got $size")
+    assert(SkewJoin.adaptiveSalt(big, "k") > 1,
+      "sentinel input with a hot key must still salt")
+  }
 }
