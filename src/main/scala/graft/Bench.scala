@@ -200,8 +200,14 @@ object Bench {
           else topIds(name).intersect(truth).size.toDouble / truth.size
         val lsh = recall("sim_lsh_ann")
         val ivf = recall("sim_ivf_ann")
+        // scan fraction contextualizes recall: on an unstructured
+        // random corpus recall ≈ scan fraction is the floor — the
+        // interesting signal round-over-round is the RATIO
+        val (lshFrac, ivfFrac) =
+          graft.operators.SimilarityQueries.annScanFractions(spark, sfDir)
         s"""{"metric":"ann_recall","k":${truth.size},""" +
-          s""""lsh_recall":${f"$lsh%.2f"},"ivf_recall":${f"$ivf%.2f"}}"""
+          s""""lsh_recall":${f"$lsh%.2f"},"lsh_scan_frac":${f"$lshFrac%.3f"},""" +
+          s""""ivf_recall":${f"$ivf%.2f"},"ivf_scan_frac":${f"$ivfFrac%.3f"}}"""
       } catch {
         case e: Throwable =>
           s"""{"metric":"ann_recall","err":${jstr(

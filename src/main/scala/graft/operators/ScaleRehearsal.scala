@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale rehearsal for the dedup/LSH stack (VERDICT r7
+  * task #5): the plan SHAPES say bounded — band-keyed equi-joins,
+  * hot-bucket caps, broadcast eval grams — this main PROVES it by
+  * measuring candidate-pair counts, hot-bucket drops, and wall time
+  * over synthetic corpora at ~1×/3×/10× the sf0.1 documents table
+  * (5k/15k/50k docs) and checking the growth is sub-quadratic.
+  *
+  * Corpus: deterministic, distributed generation (spark.range +
+  * hash-derived words — no driver-side materialization, no RNG
+  * state): ~60–200 words per doc from a 500-word vocabulary (the
+  * same small-vocab space-separated shape as the driver's
+  * documents.parquet), with planted structure the dedup stack must
+  * find — doc_id % 10 == 7 is a one-word-appended NEAR-dup of
+  * doc_id - 4, doc_id % 50 == 9 an EXACT copy of doc_id - 8.
+  * Membership of the planted sets is a pure function of doc_id, so
+  * every run (and every future round) rehearses the identical
+  * corpus.
+  *
+  * Output: one JSON line per (n_docs, op) with wall seconds and the
+  * candidate/drop counters, then a summary line per op with the
+  * fitted log-log growth exponent between the smallest and largest
+  * corpus (an all-pairs stage would show exponent ≈ 2; the gate is
+  * < 1.5). Results are recorded in BENCH_NOTES.md.
+  *
+  * Usage: `sbt "runMain graft.operators.ScaleRehearsal [sizes...]"`
+  * (wrapper: tools/scale_rehearsal.sh).
+  */
+object ScaleRehearsal {
+
+  /** Write a synthetic documents.parquet (driver-testdata schema:
+    * doc_id, text, lang, source, n_chars) of `n` docs under
+    * `dir/documents.parquet`. Deterministic and fully distributed:
+    * word j of doc i is `'w' || xxhash64(seed(i), j) % 500`. */
+  def genCorpus(s: SparkSession, n: Long, dir: String): Unit = {
+    val docs = s.range(n).toDF("doc_id")
+      // near-dups regenerate their base doc's words (seed id-4),
+      // exact dups their base's (seed id-8)
+      .withColumn("seed",
+        // the PILE: every 250th doc is an exact copy of doc 11 — at
+        // 50k docs that is a 200-member duplicate cluster, which
+        // drives its LSH buckets past the hot cap (>50) so the
+        // rehearsal exercises the drop (search) / star (clustering)
+        // paths, not just the small-bucket expansion
+        when(col("doc_id") % 250 === 11, lit(11L))
+          .when(col("doc_id") % 10 === 7 && col("doc_id") >= 4,
+            col("doc_id") - 4)
+          .when(col("doc_id") % 50 === 9 && col("doc_id") >= 8,
+            col("doc_id") - 8)
+          .otherwise(col("doc_id")))
+      .withColumn("len",
+        (pmod(xxhash64(col("seed")), lit(140)) + 60).cast("int"))
+      .withColumn("words",
+        transform(sequence(lit(1), col("len")),
+          j => concat(lit("w"),
+            pmod(xxhash64(col("seed"), j), lit(500)))))
+      // the near-dup edit: one appended word — high Jaccard, not 1.0
+      .withColumn("words",
+        when(col("doc_id") % 10 === 7 && col("doc_id") % 50 =!= 9
+            && col("doc_id") >= 4,
+          concat(col("words"), array(lit("wedit"))))
+          .otherwise(col("words")))
+      .withColumn("text", array_join(col("words"), " "))
+      .select(
+        col("doc_id"),
+        col("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(7))).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes: Seq[Long] =
+      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(5000L, 15000L, 50000L)
+    val base = sys.env.getOrElse("GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val spark = graft.core.Sessions.local("graft-scale-rehearsal")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def runNoop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup: codegen + parquet reader paths on a throwaway corpus
+    genCorpus(spark, 500L, s"$base/warm")
+    runNoop(SimilarityQueries.ddMinhashLsh(spark, s"$base/warm"))
+
+    val results = sizes.map { n =>
+      val dir = s"$base/n$n"
+      genCorpus(spark, n, dir)
+
+      // --- bucket census: candidates + hot-bucket drops (search
+      // layout: 4 bands × 8 rows, cap 50, drop hot)
+      val docs = SimilarityQueries.hashedShingleDocs(spark, dir)
+      val cand = SimilarityQueries.lshCandidatePairs(spark, docs,
+        nHashes = 32, bands = 4, maxBucket = 50,
+        starHotBuckets = false)
+      val (nCand, _) = time(cand.count())
+      // recompute the band/bucket census the pair generator prunes
+      // on, to report what the cap DROPPED (pairs an uncapped join
+      // would have expanded)
+      val rows = 32 / 4
+      graft.functions.MinhashSig.ensureRegistered(spark)
+      val banded = docs
+        .withColumn("sig",
+          call_function("minhash_sig", col("hs"), lit(32)))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(4 - 1)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
+                .as("bhash")))).as("bk"))
+        .select(col("bk.band"), col("bk.bhash"))
+      val census = banded.groupBy("band", "bhash")
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          sum(when(col("n") > 50, col("n") * (col("n") - 1) / 2)
+            .otherwise(0L)).cast("long").as("dropped_pairs"),
+          sum(when(col("n") > 50, 1L).otherwise(0L)).cast("long")
+            .as("hot_buckets"))
+        .head()
+      val dropped = Option(census.get(0)).fold(0L)(_ => census.getLong(0))
+      val hot = Option(census.get(1)).fold(0L)(_ => census.getLong(1))
+
+      // --- the three registered ops, end-to-end wall time
+      val (_, tLsh) = time(runNoop(SimilarityQueries.ddMinhashLsh(spark, dir)))
+      val ((nClusters, tCc)) = {
+        val (df, t) = time {
+          val cc = DedupCluster.ddClusterCc(spark, dir)
+          runNoop(cc); cc
+        }
+        (df.count(), t)
+      }
+      val (nDecon, tDecon) = {
+        val (df, t) = time {
+          val d = TextQueries.tDecontaminate(spark, dir)
+          runNoop(d); d
+        }
+        (df.count(), t)
+      }
+
+      println(s"""{"metric":"scale_rehearsal","n_docs":$n,""" +
+        s""""candidates":$nCand,"hot_buckets":$hot,""" +
+        s""""dropped_pairs":$dropped,""" +
+        s""""lsh_sec":${f"$tLsh%.2f"},"cc_sec":${f"$tCc%.2f"},""" +
+        s""""cc_rows":$nClusters,""" +
+        s""""decon_sec":${f"$tDecon%.2f"},"decon_rows":$nDecon}""")
+      (n, Map("candidates" -> nCand.toDouble, "lsh_sec" -> tLsh,
+        "cc_sec" -> tCc, "decon_sec" -> tDecon))
+    }
+
+    // growth exponents between smallest and largest corpus:
+    // exponent = log(v_max/v_min) / log(n_max/n_min); quadratic
+    // blowup ≈ 2, linear ≈ 1. Gate: < 1.5 for every measure.
+    val (n0, m0) = results.head
+    val (n1, m1) = results.last
+    val ratio = math.log(n1.toDouble / n0)
+    val exps = m0.keys.toSeq.sorted.map { k =>
+      val e = math.log(math.max(1e-9, m1(k)) /
+        math.max(1e-9, m0(k))) / ratio
+      k -> e
+    }
+    val expsJson = exps
+      .map { case (k, e) => s""""$k":${f"$e%.2f"}""" }.mkString(",")
+    val worst = exps.map(_._2).max
+    println(s"""{"metric":"scale_growth_exponents","n_min":$n0,""" +
+      s""""n_max":$n1,$expsJson,"worst":${f"$worst%.2f"},""" +
+      s""""subquadratic":${worst < 1.5}}""")
+    spark.stop()
+    if (worst >= 1.5) sys.exit(1)
+  }
+}

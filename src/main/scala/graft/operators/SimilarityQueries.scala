@@ -410,6 +410,42 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Fraction of the collection each approximate index SCANS for the
+    * benchmark query (vec_id 0): LSH = members of the radius-2 probe
+    * ball over total, IVF = members of the nprobe probed cells over
+    * total. Reported next to recall@10 in the bench artifact's
+    * ann_recall line — recall is only interpretable against the scan
+    * fraction (on an unstructured corpus, recall ≈ scan fraction is
+    * the theoretical floor; the planted-structure specs, not this
+    * corpus, pin the indexes' ability to find true neighbors). */
+  def annScanFractions(s: SparkSession, dir: String): (Double, Double) = {
+    graft.functions.SignLshBucket.ensureRegistered(s)
+    val planes = AnnPlanes
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
+    val masks: Array[Long] = (0 to MultiProbeRadius)
+      .flatMap(r => (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+      .toArray
+    val qBucket = emb.filter(col("vec_id") === 0)
+      .select("bucket").head().getLong(0)
+    val ball = masks.map(_ ^ qBucket)
+    val lshRow = emb.filter(col("vec_id") =!= 0).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("bucket").isin(ball.map(java.lang.Long.valueOf): _*),
+        1L).otherwise(0L)).as("scanned")).head()
+    val lshFrac = lshRow.getLong(1).toDouble / math.max(1L, lshRow.getLong(0))
+    val (assigned, probes, _) = ivfTopology(s, dir)
+    val ivfRow = assigned.filter(col("vec_id") =!= 0).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("cell").isin(probes.map(Integer.valueOf): _*),
+        1L).otherwise(0L)).as("scanned")).head()
+    val ivfFrac = ivfRow.getLong(1).toDouble / math.max(1L, ivfRow.getLong(0))
+    (lshFrac, ivfFrac)
+  }
+
   /** Sign-LSH bucket census: bucket → member count over the whole
     * collection at the near-dup planes setting. The bucket assignment
     * is a PURE function of the data (fixed hash-derived planes), so
