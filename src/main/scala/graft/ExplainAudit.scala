@@ -33,7 +33,10 @@ object ExplainAudit {
         "j6_skew_salted", "l4_partition_pruned", "l5_manifest_skip",
         "x8b_approx_percentile", "x12b_approx_fence",
         // round 7: repetition filters (explode→two-level agg shape)
-        "t_repetition")
+        "t_repetition",
+        // round 9: no-Expand approx profile twin, split-agg distinct
+        // counting, cross-corpus gram-duplication fraction
+        "p11b_profile_approx", "d2_approx_distinct", "dd_gram_dupfrac")
     }
     names.foreach { name =>
       println(s"\n========== $name ==========")

@@ -410,6 +410,38 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Cross-corpus duplicated-gram fraction (RefinedWeb/Gopher-style
+    * "fraction of characters in duplicated n-grams" signal, at
+    * word-3-gram granularity): for each document, the share of its
+    * DISTINCT 3-grams that occur in ≥ 3 documents corpus-wide.
+    * Complements [[TextQueries.tRepetition]] (WITHIN-doc repetition)
+    * — this one catches boilerplate shared ACROSS documents
+    * (headers, licenses, templated text) that per-doc stats can't
+    * see.
+    *
+    * 100 TB shape: grams travel as 8-byte xxhash64 longs (the same
+    * pre-hashed shingle table the minhash stack shares — one
+    * computation per corpus); the gram census is a plain two-phase
+    * hash aggregate keyed by the hash, and the join-back is an
+    * equi-join on it. No strings shuffle, no all-pairs anywhere;
+    * both shuffles are bounded by the distinct-gram count. Oracle
+    * joins on the raw gram strings — identical counts absent a
+    * 64-bit collision (the standing dd_* assumption). */
+  def ddGramDupFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = hashedShingleDocs(s, dir)
+    val grams = docs.select(col("doc_id"), explode(col("hs")).as("g"))
+    val census = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"))
+    grams.join(census, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("nd") >= 3, 1L).otherwise(0L)).cast("long")
+          .as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+  }
+
   /** Fraction of the collection each approximate index SCANS for the
     * benchmark query (vec_id 0): LSH = members of the radius-2 probe
     * ball over total, IVF = members of the nprobe probed cells over
@@ -602,7 +634,8 @@ object SimilarityQueries {
     "sim_exact_pairs" -> (simExactPairs _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
-    "dd_embed_census" -> (ddEmbedCensus _)
+    "dd_embed_census" -> (ddEmbedCensus _),
+    "dd_gram_dupfrac" -> (ddGramDupFrac _)
   )
 
   /** Exact all-pairs word-3gram Jaccard top-20 in DuckDB — the oracle
@@ -684,6 +717,23 @@ object SimilarityQueries {
     }.mkString("(", "\n + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "dd_gram_dupfrac" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w) - 2, 1) + 1),
+        |          i -> array_to_string(w[i:i+2], ' ')))) AS g
+        |      FROM w),
+        |c AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
+        |SELECT doc_id,
+        |  count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN c.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(sum(CASE WHEN c.nd >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_frac
+        |FROM g JOIN c USING (g)
+        |GROUP BY doc_id""".stripMargin,
     "dd_simhash" -> (simhashCte + "\nSELECT doc_id, simhash FROM sim"),
     "dd_simhash_pairs" -> (simhashCte +
       """
