@@ -410,6 +410,32 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Symmetric int8 embedding quantization — the storage/bandwidth
+    * op of a 100 TB vector pipeline (8× smaller than float64, 4×
+    * than float32; quantized vectors are what ships to the ANN
+    * serving tier, with the float originals kept for rescoring).
+    * Per vector: scale = max|e_i|, q_i = round(e_i / scale × 127) ∈
+    * [-127, 127]. Entirely map-side — no shuffle, no state; emitted
+    * EXPLODED (vec_id, pos, q, scale) so the oracle hash-compares
+    * every component as an exact integer (the one FP step, the
+    * scaled division, is the same left-associated IEEE chain in both
+    * engines, and a tie at exactly .5 would need e_i/scale×127 to be
+    * representable as k+0.5 — ±scale itself is the only such input,
+    * which rounds to ±127 identically). */
+  def simQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale",
+        array_max(transform(col("e"), x => abs(x))))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("e")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        when(col("scale") > 0,
+          round(col("x") / col("scale") * 127))
+          .otherwise(0.0).cast("int").as("q"),
+        col("scale"))
+
   /** Cross-corpus duplicated-gram fraction (RefinedWeb/Gopher-style
     * "fraction of characters in duplicated n-grams" signal, at
     * word-3-gram granularity): for each document, the share of its
@@ -635,7 +661,8 @@ object SimilarityQueries {
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "dd_embed_census" -> (ddEmbedCensus _),
-    "dd_gram_dupfrac" -> (ddGramDupFrac _)
+    "dd_gram_dupfrac" -> (ddGramDupFrac _),
+    "sim_quantize_int8" -> (simQuantizeInt8 _)
   )
 
   /** Exact all-pairs word-3gram Jaccard top-20 in DuckDB — the oracle
@@ -734,6 +761,19 @@ object SimilarityQueries {
         |    / count(*) AS dup_frac
         |FROM g JOIN c USING (g)
         |GROUP BY doc_id""".stripMargin,
+    // dim-64 index literal, same corpus-specific convention as
+    // bucketSqlExpr; pos is 0-based to match posexplode
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) AS scale
+        |      FROM e)
+        |SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |  CAST(CASE WHEN scale > 0 THEN round(e[i] / scale * 127)
+        |       ELSE 0 END AS INTEGER) AS q,
+        |  scale
+        |FROM s CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii""".stripMargin,
     "dd_simhash" -> (simhashCte + "\nSELECT doc_id, simhash FROM sim"),
     "dd_simhash_pairs" -> (simhashCte +
       """

@@ -218,4 +218,64 @@ class SimilarityQueriesSpec extends SparkSpec {
     val top = SimilarityQueries.simExactPairs(spark, sfDir).collect()
     assert(top.length == 20)
   }
+
+  test("gram dup-fraction: planted boilerplate scores 1.0, unique doc 0.0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dupfrac").toString
+    // docs 1-3 share identical boilerplate (every gram lands in 3
+    // docs -> dup_frac 1.0); doc 4 is unique (0.0); doc 5 is half
+    // boilerplate: its text = 8 boilerplate words + 8 unique words,
+    // so of its 14 3-grams the 6 fully inside the boilerplate prefix
+    // occur in >= 3 docs (the 3 copies share them too... the copies
+    // have ONLY the 8-word text -> 6 grams each, all shared).
+    val boiler = "this document is provided as is without warranty"
+    val uniq = "zq zw ze zr zt zy zu zi"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler),
+      (4L, "totally original content with no shared grams at all"),
+      (5L, boiler + " " + uniq)
+    ).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang",
+        "'src0' AS source", "CAST(length(text) AS LONG) AS n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SimilarityQueries.ddGramDupFrac(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // boilerplate copies: 8 words -> 6 distinct 3-grams, all in 3+ docs
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == ((6L, 6L, 1.0)), s"doc $id: ${got(id)}")
+    }
+    // unique doc: 9 words -> 7 grams, none shared
+    assert(got(4L) == ((7L, 0L, 0.0)), s"doc 4: ${got(4L)}")
+    // mixed doc: 16 words -> 14 grams; exactly the 6 pure-boilerplate
+    // grams are shared (grams straddling the boundary exist only here)
+    assert(got(5L) == ((14L, 6L, 6.0 / 14.0)), s"doc 5: ${got(5L)}")
+  }
+
+  test("int8 quantization: range, sign, exact argmax hit, zero-vector guard") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_quant").toString
+    Seq(
+      (0L, "a", Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, "b", Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val q = SimilarityQueries.simQuantizeInt8(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    // scale = 1.0; components quantize exactly
+    assert(q((0L, 0)) == ((64, 1.0)))   // round(0.5*127) = round(63.5) = 64
+    assert(q((0L, 1)) == ((-127, 1.0))) // the argmax hits the rail exactly
+    assert(q((0L, 2)) == ((32, 1.0)))   // round(31.75) = 32
+    assert(q((0L, 3)) == ((0, 1.0)))
+    // zero vector: scale 0 -> all-zero codes, no NaN/divide-by-zero
+    (0 to 3).foreach(i => assert(q((1L, i)) == ((0, 0.0))))
+    // every code in the int8 range on the real corpus
+    val codes = SimilarityQueries.simQuantizeInt8(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.min("q"),
+        org.apache.spark.sql.functions.max("q")).head()
+    assert(codes.getInt(0) >= -127 && codes.getInt(1) <= 127)
+  }
 }
