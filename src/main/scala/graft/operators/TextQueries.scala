@@ -110,6 +110,52 @@ object TextQueries {
       substring(md5(lower(col("text"))), 1, 16).as("fp"),
       col("source"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): slide a window of [[WinnowWindow]]
+    * consecutive 3-gram hashes over each document IN ORDER (no
+    * dedup — position matters) and keep each window's MINIMUM hash;
+    * the distinct kept set is the document's fingerprint. Guarantee:
+    * any shared substring of ≥ w+k-1 words produces at least one
+    * shared fingerprint, at an expected density of 2/(w+1) —
+    * position-robust partial-overlap detection that whole-doc
+    * digests ([[tFingerprint]]) can't do, at a fraction of minhash's
+    * signature width.
+    *
+    * 100 TB shape: entirely map-side array expressions — the
+    * windowed min never leaves the row; only the selected (doc_id,
+    * fp-long) pairs are emitted, ~2/(w+1) of the gram count.
+    * Dedup/clustering joins then run on the slim fp table. Gram
+    * hashes use the engine-portable md5-60 so the full selection is
+    * replicated in the DuckDB oracle.
+    *
+    * The nested `transform(array(x), v -> …)[0]` shape is a
+    * let-binding: it pins each expensive intermediate (word array,
+    * gram-hash array) to a lambda variable that is computed ONCE per
+    * row. Spelling the stages as separate projected columns instead
+    * lets CollapseProject inline the hash array into the windowing
+    * lambda, re-hashing every gram per window position — measured
+    * O(grams²) per doc, 11.9 s vs 0.4 s on the sf0.001 corpus. */
+  val WinnowWindow = 4
+
+  def tWinnowFp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val w = WinnowWindow
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(
+        // ORDERED grams — deliberately not wordGramExpr (which dedups):
+        // winnowing is positional.
+        s"""transform(array(split(text, ' ')), ws ->
+           |  transform(array(transform(
+           |      sequence(1, greatest(size(ws) - 2, 1)),
+           |      i -> md5_hash60(concat_ws(' ', slice(ws, i, 3))))),
+           |    hs -> array_distinct(transform(
+           |      sequence(1, greatest(size(hs) - ${w - 1}, 1)),
+           |      i -> array_min(slice(hs, i, $w))))
+           |  )[0]
+           |)[0]""".stripMargin).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
   /** Corpus profile per (lang, source): counts + exact char sums. */
   def tLangDist(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -499,6 +545,7 @@ object TextQueries {
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
+    "t_winnow_fp" -> (tWinnowFp _),
     "t_lang_dist" -> (tLangDist _),
     "t_top_terms" -> (tTopTerms _),
     "t_tfidf" -> (tTfidf _),
@@ -616,6 +663,25 @@ object TextQueries {
     "t_fingerprint" ->
       """SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp, source
         |FROM documents""".stripMargin,
+    // ordered grams (NO list_distinct — winnowing is positional),
+    // md5-60 portable hash, window-of-4 minimum, distinct kept set
+    "t_winnow_fp" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+        |          i -> array_to_string(w[i:i+2], ' ')) AS g
+        |      FROM w),
+        |h AS (SELECT doc_id,
+        |        list_transform(g,
+        |          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+        |      FROM g),
+        |f AS (SELECT doc_id,
+        |        list_distinct(list_transform(
+        |          range(1, greatest(len(h) - 3, 1) + 1),
+        |          i -> list_min(h[i:i+3]))) AS f
+        |      FROM h)
+        |SELECT doc_id, unnest(f) AS fp FROM f""".stripMargin,
     "t_lang_dist" ->
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,

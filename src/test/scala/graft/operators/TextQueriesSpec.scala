@@ -238,4 +238,33 @@ class TextQueriesSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1L, 0L, 0.0, 1L, 0.5)))
     assert(got(3L) == ((1L, 1L, 0L, 0.0, 0L, 0.0)))
   }
+
+  test("winnowing: shared w+k-1 substring at different offsets shares a fp") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_winnow").toString
+    // The MOSS guarantee: any shared run of >= w+k-1 = 6 words yields
+    // at least one shared fingerprint REGARDLESS of position. The
+    // 6-word phrase sits at offset 0 in doc 1 and offset 4 in doc 2,
+    // surrounded by disjoint vocabulary; doc 3 shares nothing.
+    val phrase = "p1 p2 p3 p4 p5 p6"
+    Seq(
+      (1L, phrase + " a1 a2 a3 a4"),
+      (2L, "b1 b2 b3 b4 " + phrase),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = TextQueries.tWinnowFp(spark, tmp).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a 6-word run must share a winnowed fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "vocab-disjoint docs must not collide")
+    // density: kept fps are a small fraction of the gram count
+    // (expected ~2/(w+1) = 0.4 of 8 grams -> well under all of them)
+    assert(fps(1L).size < 8)
+  }
 }
