@@ -53,11 +53,23 @@ object SkewJoin {
     * stats and never take this branch. */
   val SaltFallbackFraction: Double = 0.05
 
-  /** Stats sentinel detector: `sizeInBytes` at (or within 2× of)
-    * Long.MaxValue is the "no statistics" marker, not a measurement
-    * — no real relation is 8 EB. */
-  private def statsUnavailable(sizeInBytes: BigInt): Boolean =
-    sizeInBytes >= BigInt(Long.MaxValue) / 2
+  /** Stats sentinel detector (ADVICE r9): a LEAF whose `sizeInBytes`
+    * is at (or within 2× of) Long.MaxValue carries the "no
+    * statistics" marker, not a measurement — no real relation is
+    * 8 EB. The check MUST run on leaves, not on the derived plan:
+    * Spark's size-only stats visitor scales a Project's sizeInBytes
+    * by the output/child row-width ratio, so a no-stats relation
+    * whose full row is >2× wider than the projected key column gets
+    * its sentinel scaled BELOW the Long.MaxValue/2 margin and the
+    * detector would silently miss it (re-enabling the degenerate
+    * 1e-6 probe the sentinel exists to prevent). Leaf stats are
+    * never width-scaled, so the margin is safe there at any row
+    * width. */
+  private def statsUnavailable(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean =
+    plan.collectLeaves()
+      .exists(_.stats.sizeInBytes >= BigInt(Long.MaxValue) / 2)
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -90,7 +102,7 @@ object SkewJoin {
       else {
         val plan = keyed.queryExecution.optimizedPlan
         val sizeInBytes = plan.stats.sizeInBytes
-        if (statsUnavailable(sizeInBytes)) {
+        if (statsUnavailable(plan)) {
           // ADVICE r8: the defaultSizeInBytes sentinel means "size
           // unknown", not "size huge" — fall back to a fixed modest
           // fraction instead of letting a degenerate 1e-6 probe
