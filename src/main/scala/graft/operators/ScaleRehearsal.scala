@@ -161,6 +161,15 @@ object ScaleRehearsal {
     // growth exponents between smallest and largest corpus:
     // exponent = log(v_max/v_min) / log(n_max/n_min); quadratic
     // blowup ≈ 2, linear ≈ 1. Gate: < 1.5 for every measure.
+    // ADVICE r9: a single-size run has no growth to fit — log(1) = 0
+    // in the denominator yields NaN exponents and a spurious exit 1;
+    // report the absolute measurements and stop cleanly instead.
+    if (results.map(_._1).distinct.size < 2) {
+      println("""{"metric":"scale_growth_exponents","note":""" +
+        """"single corpus size — no growth to fit; rerun with >=2 sizes"}""")
+      spark.stop()
+      return
+    }
     val (n0, m0) = results.head
     val (n1, m1) = results.last
     val ratio = math.log(n1.toDouble / n0)

@@ -419,9 +419,12 @@ object SimilarityQueries {
     * EXPLODED (vec_id, pos, q, scale) so the oracle hash-compares
     * every component as an exact integer (the one FP step, the
     * scaled division, is the same left-associated IEEE chain in both
-    * engines, and a tie at exactly .5 would need e_i/scale×127 to be
-    * representable as k+0.5 — ±scale itself is the only such input,
-    * which rounds to ±127 identically). */
+    * engines; a tie at exactly k+0.5 CAN occur — e.g. e_i/scale =
+    * 1/254 — but rounds identically anyway, because BOTH engines
+    * round half away from zero: Spark's round() is RoundingMode
+    * HALF_UP and DuckDB's round() is C round(), so the agreement
+    * rests on matching rounding modes, not on tie-freeness
+    * (ADVICE r9 docstring correction)). */
   def simQuantizeInt8(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"),

@@ -53,23 +53,33 @@ object SkewJoin {
     * stats and never take this branch. */
   val SaltFallbackFraction: Double = 0.05
 
-  /** Stats sentinel detector (ADVICE r9): a LEAF whose `sizeInBytes`
-    * is at (or within 2× of) Long.MaxValue carries the "no
-    * statistics" marker, not a measurement — no real relation is
-    * 8 EB. The check MUST run on leaves, not on the derived plan:
-    * Spark's size-only stats visitor scales a Project's sizeInBytes
-    * by the output/child row-width ratio, so a no-stats relation
-    * whose full row is >2× wider than the projected key column gets
-    * its sentinel scaled BELOW the Long.MaxValue/2 margin and the
-    * detector would silently miss it (re-enabling the degenerate
-    * 1e-6 probe the sentinel exists to prevent). Leaf stats are
-    * never width-scaled, so the margin is safe there at any row
-    * width. */
+  /** Stats sentinel detector (ADVICE r9 + r10): a `sizeInBytes` at
+    * (or within 2× of) Long.MaxValue is the "no statistics" marker
+    * or an estimator artifact, never a measurement — no real
+    * relation is 8 EB. BOTH plan levels must be checked:
+    *
+    *  - LEAVES (ADVICE r9): Spark's size-only stats visitor scales a
+    *    Project's sizeInBytes by the output/child row-width ratio,
+    *    so a no-stats relation whose full row is >2× wider than the
+    *    projected key column gets its sentinel scaled BELOW the
+    *    margin at the top of the plan — only the leaf, which is
+    *    never width-scaled, reliably carries it.
+    *  - The DERIVED plan (ADVICE r10): the size-only visitor
+    *    MULTIPLIES children's sizes for joins, so a big side built
+    *    from a join of stats-bearing relations can report a
+    *    product-inflated size in the EB range with perfectly sane
+    *    leaves. That number would inflate estRows until the derived
+    *    fraction clamps to 1e-6 — the same degenerate probe.
+    *
+    * Either signal means "this size is not evidence" → take the
+    * fixed [[SaltFallbackFraction]] probe instead. */
   private def statsUnavailable(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Boolean =
-    plan.collectLeaves()
-      .exists(_.stats.sizeInBytes >= BigInt(Long.MaxValue) / 2)
+      : Boolean = {
+    val margin = BigInt(Long.MaxValue) / 2
+    plan.stats.sizeInBytes >= margin ||
+      plan.collectLeaves().exists(_.stats.sizeInBytes >= margin)
+  }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 

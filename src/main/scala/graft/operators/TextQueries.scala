@@ -156,6 +156,62 @@ object TextQueries {
       .select(col("doc_id"), explode(col("fps")).as("fp"))
   }
 
+  /** Hot-bucket cap for [[ddWinnowPairs]]: a fingerprint shared by
+    * more than this many documents is boilerplate (a common phrase's
+    * locally-minimal gram hash), non-discriminative by definition and
+    * quadratic to expand — same cap discipline as the LSH band
+    * buckets (SimilarityQueries.lshCandidatePairs). */
+  val WinnowMaxBucket = 50
+
+  /** Minimum shared-fingerprint count for a reported pair: one
+    * shared fp can be a single common phrase; ≥2 distinct shared
+    * minima is the noise floor for genuine partial overlap. */
+  val WinnowMinShared = 2
+
+  /** Winnowing fingerprint PAIR SEARCH — the consumer of
+    * [[tWinnowFp]] (VERDICT r9/r10 carried task): partial-overlap
+    * detection, the entire point of MOSS fingerprints. Any two
+    * documents sharing a run of ≥ w+k-1 = [[WinnowWindow]]+2 words
+    * share at least one fingerprint (the winnowing guarantee); the
+    * pair search materializes every such pair with its shared-fp
+    * count and a containment score (shared / smaller fp set).
+    *
+    * 100 TB shape: identical to the LSH pair discipline — candidate
+    * generation is an equi-join on the 8-byte fp long, fingerprints
+    * shared by >[[WinnowMaxBucket]] docs are dropped before pairing
+    * (boilerplate buckets are non-discriminative and quadratic), and
+    * only (doc_id, fp) pairs ever shuffle — ~2/(w+1) of the gram
+    * count per document, never the text. */
+  def ddWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsImpl(tWinnowFp(s, dir), WinnowMinShared)
+
+  /** Pair search over a (doc_id, fp) fingerprint table; split out so
+    * the planted-overlap spec can run it with minShared = 1 (the
+    * winnowing guarantee is ≥ ONE shared fp per qualifying run). */
+  private[operators] def winnowPairsImpl(fps: DataFrame,
+      minShared: Int): DataFrame = {
+    val fp = fps.localCheckpoint() // feeds census, sizes, and join
+    val census = fp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    val keepable = census
+      .filter(col("n") >= 2 && col("n") <= WinnowMaxBucket)
+      .select("fp")
+    val kept = fp.join(keepable, Seq("fp"))
+    val sizes = fp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"))
+    kept.as("a").join(kept.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("n_fp").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("n_fp").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+  }
+
   /** Corpus profile per (lang, source): counts + exact char sums. */
   def tLangDist(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -546,6 +602,7 @@ object TextQueries {
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
     "t_winnow_fp" -> (tWinnowFp _),
+    "dd_winnow_pairs" -> (ddWinnowPairs _),
     "t_lang_dist" -> (tLangDist _),
     "t_top_terms" -> (tTopTerms _),
     "t_tfidf" -> (tTfidf _),
@@ -557,6 +614,29 @@ object TextQueries {
     "t_lm_score" -> (tLmScore _),
     "t_corpus_clean" -> (corpusClean _)
   )
+
+  /** Shared DuckDB CTE replicating the full winnowing selection —
+    * ordered grams, portable md5-60 gram hash, window-of-
+    * [[WinnowWindow]] minimum, distinct kept set — the window
+    * interpolated from the SAME constant the engine uses. Ends with
+    * the `fps(doc_id, fp)` relation both winnow oracles build on. */
+  private def winnowFpCte: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+       |          i -> array_to_string(w[i:i+2], ' ')) AS g
+       |      FROM w),
+       |h AS (SELECT doc_id,
+       |        list_transform(g,
+       |          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+       |      FROM g),
+       |f AS (SELECT doc_id,
+       |        list_distinct(list_transform(
+       |          range(1, greatest(len(h) - ${WinnowWindow - 1}, 1) + 1),
+       |          i -> list_min(h[i:i+${WinnowWindow - 1}]))) AS f
+       |      FROM h),
+       |fps AS (SELECT doc_id, unnest(f) AS fp FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // joins on raw gram strings where the engine joins on their
@@ -664,24 +744,30 @@ object TextQueries {
       """SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp, source
         |FROM documents""".stripMargin,
     // ordered grams (NO list_distinct — winnowing is positional),
-    // md5-60 portable hash, window-of-4 minimum, distinct kept set
-    "t_winnow_fp" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
-        |           FROM documents),
-        |g AS (SELECT doc_id,
-        |        list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-        |          i -> array_to_string(w[i:i+2], ' ')) AS g
-        |      FROM w),
-        |h AS (SELECT doc_id,
-        |        list_transform(g,
-        |          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
-        |      FROM g),
-        |f AS (SELECT doc_id,
-        |        list_distinct(list_transform(
-        |          range(1, greatest(len(h) - 3, 1) + 1),
-        |          i -> list_min(h[i:i+3]))) AS f
-        |      FROM h)
-        |SELECT doc_id, unnest(f) AS fp FROM f""".stripMargin,
+    // md5-60 portable hash, window-of-WinnowWindow minimum, distinct
+    // kept set (window INTERPOLATED from the engine constant —
+    // ADVICE r9: a hard-coded window is a silent hash-compare time
+    // bomb if the constant is ever bumped)
+    "t_winnow_fp" -> (winnowFpCte + "\nSELECT doc_id, fp FROM fps"),
+    "dd_winnow_pairs" -> (winnowFpCte + s"""
+        |, census AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp),
+        |kept AS (SELECT fps.doc_id, fps.fp
+        |         FROM fps JOIN census USING (fp)
+        |         WHERE census.n BETWEEN 2 AND $WinnowMaxBucket),
+        |sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        count(*) AS n_shared
+        | FROM kept a JOIN kept b
+        |   ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_shared,
+        |  CAST(n_shared AS DOUBLE)
+        |    / least(sa.n_fp, sb.n_fp) AS containment
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE n_shared >= $WinnowMinShared""".stripMargin),
     "t_lang_dist" ->
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -92,4 +92,47 @@ class SkewJoinSpec extends SparkSpec {
     assert(SkewJoin.adaptiveSalt(big, "k") > 1,
       "sentinel input with a hot key must still salt")
   }
+
+  test("width-scaled sentinel under a wide-row projection is still detected") {
+    import spark.implicits._
+    // ADVICE r10 test-gap: adaptiveSalt probes big.select(key), and
+    // Spark's size-only visitor scales the Project's sizeInBytes by
+    // the output/child width ratio. With wide string padding, the
+    // projected key column is a small fraction of the row, so the
+    // TOP-LEVEL size drops below the Long.MaxValue/2 margin while
+    // the LEAF still carries the raw sentinel — the shape only the
+    // leaf check catches. This fixture pins that the projected plan
+    // is genuinely below the margin (otherwise it would pass with
+    // the old top-level-only check too) and that the salt decision
+    // still takes the fixed-fraction probe and finds the hot key.
+    // NB: must be a Row-RDD LogicalRDD — a tuple-RDD (ExternalRDD)
+    // gets its serializer column-pruned, so the Project's width
+    // ratio is 1 and the sentinel never scales.
+    val pad = "x" * 200
+    val rows = (1 to 5000).map(i =>
+        org.apache.spark.sql.Row(42L, i, pad, pad + pad)) ++
+      (1 to 1000).map(i =>
+        org.apache.spark.sql.Row(i.toLong % 100, 10000 + i, pad, pad + pad))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("row_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("pad1",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pad2",
+        org.apache.spark.sql.types.StringType)))
+    val big = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val margin = BigInt(Long.MaxValue) / 2
+    val projected = big.select(col("k")).queryExecution.optimizedPlan
+    assert(projected.stats.sizeInBytes < margin,
+      s"fixture must width-scale the sentinel below the margin, " +
+        s"got ${projected.stats.sizeInBytes}")
+    assert(projected.collectLeaves()
+      .exists(_.stats.sizeInBytes >= margin),
+      "fixture leaf must still carry the raw sentinel")
+    assert(SkewJoin.adaptiveSalt(big, "k") > 1,
+      "width-scaled sentinel input with a hot key must still salt")
+  }
 }

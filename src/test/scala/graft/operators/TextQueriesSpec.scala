@@ -267,4 +267,53 @@ class TextQueriesSpec extends SparkSpec {
     // (expected ~2/(w+1) = 0.4 of 8 grams -> well under all of them)
     assert(fps(1L).size < 8)
   }
+
+  test("winnow pair search: planted partial overlap pairs, disjoint doesn't") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_winnow_pairs").toString
+    // Docs 1 and 2 share a 20-word run at DIFFERENT offsets inside
+    // otherwise-disjoint text — the partial-overlap shape whole-doc
+    // digests can't see and the pair search exists for. Doc 3 is
+    // vocabulary-disjoint from both. The winnowing guarantee gives
+    // >= 1 shared fp per qualifying run; an 18-gram run at density
+    // 2/(w+1) = 0.4 yields several, so the registered >=2 threshold
+    // must also fire.
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    Seq(
+      (1L, shared + " a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 " + shared),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = TextQueries.ddWinnowPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"planted 20-word overlap must pair at the registered " +
+        s"threshold; got ${pairs.keySet}")
+    assert(pairs.size == 1, s"disjoint doc 3 must not pair: $pairs")
+    val (nShared, containment) = pairs((1L, 2L))
+    assert(nShared >= TextQueries.WinnowMinShared)
+    assert(containment > 0.0 && containment <= 1.0)
+    // guarantee-level check via the impl at minShared = 1: a short
+    // 6-word (= w+k-1) planted run must still produce the pair.
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_winnow_pairs2").toString
+    val phrase = "p1 p2 p3 p4 p5 p6"
+    Seq(
+      (1L, phrase + " d1 d2 d3 d4 d5 d6 d7 d8"),
+      (2L, "e1 e2 e3 e4 e5 e6 e7 e8 " + phrase))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val atGuarantee = TextQueries.winnowPairsImpl(
+      TextQueries.tWinnowFp(spark, tmp2), minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(atGuarantee.contains((1L, 2L)),
+      "a w+k-1-word shared run must pair at the >=1 guarantee level")
+  }
 }
