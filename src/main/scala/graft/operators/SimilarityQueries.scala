@@ -439,6 +439,73 @@ object SimilarityQueries {
           .otherwise(0.0).cast("int").as("q"),
         col("scale"))
 
+  /** Candidate pool size for [[simQuantizeTopK]]'s rescore stage:
+    * k' = 3k survivors ranked by int8 score, then float-rescored.
+    * The margin absorbs quantization rank noise near the k-boundary
+    * (SQ8 cosine error is ~1/254 per component pair; a true top-k
+    * member can sit a few places below k in int8 order, but not 2k
+    * places). */
+  val RescoreCandidates = 30
+
+  /** Quantized ANN serving: int8 dot-product top-k' → float rescore
+    * — the consumer of [[simQuantizeInt8]] (VERDICT r9/r10 carried
+    * task) and the standard SQ8 serving shape: the 8×-smaller int8
+    * vectors do the heavy scan, the float originals are fetched for
+    * the [[RescoreCandidates]] survivors only.
+    *
+    * 100 TB shape: the scan stage reads ONLY the quantized column
+    * (4 bytes/dim saved ×8), accumulates in exact int64 (no FP in
+    * the hot loop — SIMD-friendly on real hardware), and ships a
+    * single top-k' ordered cut; the float fetch is a broadcast
+    * semi-join of k' ids. No shuffle of float vectors anywhere.
+    *
+    * Oracle-exact end to end: quantization (same formula as
+    * sim_quantize_int8), integer dots, and the approx-cos division/
+    * sqrt chain are all deterministic IEEE ops on identical inputs
+    * in both engines, the k'-cut is total-ordered (approx_cos DESC,
+    * vec_id), and the final rescore reuses the brute-force cosine
+    * both engines already agree on (sim_brute_topk). */
+  def simQuantizeTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val quant = emb
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("q",
+        when(col("scale") > 0,
+          transform(col("e"),
+            x => round(x / col("scale") * 127).cast("int")))
+          .otherwise(transform(col("e"), _ => lit(0))))
+      .select("vec_id", "label", "q")
+    def intDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val q0 = quant.filter(col("vec_id") === 0).select(col("q").as("qq"))
+    val survivors = quant.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .withColumn("dot_q", intDot(col("q"), col("qq")))
+      .withColumn("nq_a", intDot(col("q"), col("q")))
+      .withColumn("nq_q", intDot(col("qq"), col("qq")))
+      // zero vectors (scale 0) have no direction: rank last, exactly
+      // as the oracle's CASE does — never 0/0 NaN.
+      .withColumn("approx_cos",
+        when(col("nq_a") > 0,
+          col("dot_q").cast("double") /
+            (sqrt(col("nq_a").cast("double")) *
+              sqrt(col("nq_q").cast("double"))))
+          .otherwise(lit(-1.0d)))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(RescoreCandidates)
+      .select("vec_id")
+    val qf = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    emb.join(broadcast(survivors), "vec_id")
+      .crossJoin(broadcast(qf))
+      .select(col("vec_id"), col("label"), cosine("e", "qe").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Cross-corpus duplicated-gram fraction (RefinedWeb/Gopher-style
     * "fraction of characters in duplicated n-grams" signal, at
     * word-3-gram granularity): for each document, the share of its
@@ -665,7 +732,8 @@ object SimilarityQueries {
     "sim_ivf_ann" -> (simIvfAnn _),
     "dd_embed_census" -> (ddEmbedCensus _),
     "dd_gram_dupfrac" -> (ddGramDupFrac _),
-    "sim_quantize_int8" -> (simQuantizeInt8 _)
+    "sim_quantize_int8" -> (simQuantizeInt8 _),
+    "sim_quantize_topk" -> (simQuantizeTopK _)
   )
 
   /** Exact all-pairs word-3gram Jaccard top-20 in DuckDB — the oracle
@@ -777,6 +845,42 @@ object SimilarityQueries {
         |       ELSE 0 END AS INTEGER) AS q,
         |  scale
         |FROM s CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii""".stripMargin,
+    // Full SQ8 serving pipeline replicated: quantize (identical
+    // formula to sim_quantize_int8), exact int64 dots, the same
+    // CASE-guarded approx-cos chain, total-ordered k'-cut, float
+    // rescore with the brute-force cosine. dim-64 corpus-specific
+    // like the other embedding oracles.
+    "sim_quantize_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |sc AS (SELECT vec_id, label, e,
+         |         list_max(list_transform(e, x -> abs(x))) AS scale
+         |       FROM e),
+         |qv AS (SELECT vec_id, label, e,
+         |         list_transform(e, x -> CASE WHEN scale > 0
+         |           THEN CAST(round(x / scale * 127) AS INTEGER)
+         |           ELSE 0 END) AS q
+         |       FROM sc),
+         |qq AS (SELECT q AS qq, e AS qe FROM qv WHERE vec_id = 0),
+         |d AS (SELECT vec_id, label, e,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> CAST(q[i] AS BIGINT) * qq[i])) AS BIGINT) AS dot_q,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> CAST(q[i] AS BIGINT) * q[i])) AS BIGINT) AS nq_a,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> CAST(qq[i] AS BIGINT) * qq[i])) AS BIGINT) AS nq_q
+         |      FROM qv CROSS JOIN qq WHERE vec_id <> 0),
+         |a AS (SELECT vec_id, label, e,
+         |        CASE WHEN nq_a > 0 THEN CAST(dot_q AS DOUBLE) /
+         |          (sqrt(CAST(nq_a AS DOUBLE)) * sqrt(CAST(nq_q AS DOUBLE)))
+         |        ELSE -1.0 END AS approx_cos
+         |      FROM d),
+         |top AS (SELECT vec_id, label, e FROM a
+         |        ORDER BY approx_cos DESC, vec_id
+         |        LIMIT $RescoreCandidates)
+         |SELECT vec_id, label, list_cosine_similarity(t.e, qq.qe) AS cosine
+         |FROM top t CROSS JOIN qq
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "dd_simhash" -> (simhashCte + "\nSELECT doc_id, simhash FROM sim"),
     "dd_simhash_pairs" -> (simhashCte +
       """

@@ -278,4 +278,22 @@ class SimilarityQueriesSpec extends SparkSpec {
         org.apache.spark.sql.functions.max("q")).head()
     assert(codes.getInt(0) >= -127 && codes.getInt(1) <= 127)
   }
+
+  test("quantized top-k: high recall vs brute force, cosines exact on survivors") {
+    // SQ8 + 3k-rescore must recover (nearly) the float top-10: int8
+    // cosine error per pair is ~1e-2, far smaller than typical top-k
+    // gaps, and any boundary wobble is absorbed by the k'=30 pool.
+    val brute = SimilarityQueries.simBruteTopK(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val quant = SimilarityQueries.simQuantizeTopK(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val recovered = brute.keySet & quant.keySet
+    assert(recovered.size >= 9,
+      s"quantized search must recover >=9/10 of the float top-10, " +
+        s"got ${recovered.size}: brute=${brute.keySet} quant=${quant.keySet}")
+    // the rescore stage reports the EXACT float cosine, not the
+    // quantized approximation
+    recovered.foreach(id => assert(quant(id) == brute(id),
+      s"rescored cosine for $id must equal the brute-force value"))
+  }
 }
