@@ -387,9 +387,7 @@ object SimilarityQueries {
     // ±1 from a hash of (p, i) — deterministic, no stored model. The
     // native codegen'd expression is bit-equal to the composed HOF
     // spelling (SignLshBucketSpec).
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("e"))
+    val emb = cleanEmbeddings(s, dir)
       .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
     // XOR masks of Hamming weight 0..MultiProbeRadius — the probe
     // ball, built driver-side as a literal (37 longs for radius 2).
@@ -538,6 +536,27 @@ object SimilarityQueries {
         (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
   }
 
+  /** Embeddings with the sign-LSH precondition ENFORCED (VERDICT r10
+    * task #6): `bucketSqlExpr`'s cross-engine equivalence — and the
+    * native SignLshBucket's geometry — requires null/NaN-free
+    * vectors (a null slot NULL-propagates DuckDB's projection where
+    * the native expression skips it; DuckDB evaluates `NaN > 0` as
+    * TRUE where Java's `>` is false). This loader upgrades that
+    * documented precondition to a CHECKED one: any dirty element
+    * fails the query loudly (assert_true → SparkRuntimeException
+    * naming the vec_id) instead of silently hashing into bucket
+    * noise. One extra codegen'd forall pass per row, map-side — no
+    * shuffle, no extra scan. */
+  private[operators] def cleanEmbeddings(s: SparkSession,
+      dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .filter(assert_true(
+        forall(col("e"), x => x.isNotNull && !isnan(x)),
+        concat(lit("null/NaN embedding component at vec_id="),
+          col("vec_id").cast("string"))).isNull)
+
   /** Fraction of the collection each approximate index SCANS for the
     * benchmark query (vec_id 0): LSH = members of the radius-2 probe
     * ball over total, IVF = members of the nprobe probed cells over
@@ -549,9 +568,8 @@ object SimilarityQueries {
   def annScanFractions(s: SparkSession, dir: String): (Double, Double) = {
     graft.functions.SignLshBucket.ensureRegistered(s)
     val planes = AnnPlanes
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("e"))
+    val emb = cleanEmbeddings(s, dir)
+      .select(col("vec_id"), col("e"))
       .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
     val masks: Array[Long] = (0 to MultiProbeRadius)
       .flatMap(r => (0 until planes).combinations(r)
@@ -583,8 +601,8 @@ object SimilarityQueries {
     * buckets (VERDICT r7 task #6). */
   def ddEmbedCensus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SignLshBucket.ensureRegistered(s)
-    Tables.embeddings(s, dir)
-      .select(col("embedding").cast("array<double>").as("e"))
+    cleanEmbeddings(s, dir)
+      .select(col("e"))
       .withColumn("bucket", expr(s"signlsh_bucket(e, $NearDupPlanes)"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -596,8 +614,8 @@ object SimilarityQueries {
     graft.functions.CosineSimilarity.ensureRegistered(s)
     graft.functions.SignLshBucket.ensureRegistered(s)
     val planes = NearDupPlanes
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val emb = cleanEmbeddings(s, dir)
+      .select(col("vec_id"), col("e"))
       .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
       .localCheckpoint() // consumed by both self-join sides
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
@@ -801,10 +819,11 @@ object SimilarityQueries {
     * false (parallel to the null-element note on
     * [[graft.functions.SignLshBucket]]). The test corpus is
     * generated null/NaN-free and the green hash_match on
-    * `dd_embed_census` certifies the precondition held; pointing
-    * this oracle at a dirty embeddings table requires a
-    * `forall(e, x -> isnotnull(x) AND NOT isnan(x))` data-quality
-    * gate first. */
+    * `dd_embed_census` certifies the precondition held. Since r11
+    * the precondition is ENFORCED, not just documented: every
+    * engine-side bucket path loads through [[cleanEmbeddings]],
+    * whose assert_true gate fails loudly on any null/NaN element
+    * before it can reach a bucket expression. */
   private def bucketSqlExpr(planes: Int, dim: Int, arr: String): String =
     (0 until planes).map { p =>
       val terms = (0 until dim).map { i =>

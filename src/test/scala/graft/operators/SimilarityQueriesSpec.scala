@@ -296,4 +296,37 @@ class SimilarityQueriesSpec extends SparkSpec {
     recovered.foreach(id => assert(quant(id) == brute(id),
       s"rescored cosine for $id must equal the brute-force value"))
   }
+
+  test("embedding null/NaN precondition is enforced, not just documented") {
+    import spark.implicits._
+    // A NaN component must fail the bucket paths LOUDLY (naming the
+    // vec_id), never silently hash into a wrong bucket — the
+    // cross-engine equivalence of the census oracle depends on it.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dirty_emb").toString
+    Seq(
+      (0L, 0, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (7L, 1, Array(1.0f, Float.NaN, 3.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val ex = intercept[Exception] {
+      SimilarityQueries.ddEmbedCensus(spark, tmp).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("vec_id=7")),
+      s"gate must name the dirty vector: ${messages(ex)}")
+    // and on the clean driver corpus the gate is transparent: same
+    // census with and without it
+    val gated = SimilarityQueries.ddEmbedCensus(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.functions.SignLshBucket.ensureRegistered(spark)
+    val raw = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("signlsh_bucket(cast(embedding as array<double>), " +
+        s"${SimilarityQueries.NearDupPlanes}) AS bucket")
+      .groupBy("bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == raw)
+  }
 }
