@@ -66,4 +66,48 @@ class MultimodalQueriesSpec extends SparkSpec {
       .sampleFrames(new Array[Byte](5000), 2)
     assert(frames.size == 3) // blocks 0, 2, 4
   }
+
+  test("PGM codec: golden bytes, round trip, header grammar, corrupt input") {
+    import MultimodalQueries.PgmCodec
+    // golden encode: exact on-disk layout of a 3x2 image
+    val px = Array[Byte](0, 127, -1, 10, 20, 30) // -1 = 255 unsigned
+    val enc = PgmCodec.encode(3, 2, px)
+    assert(new String(enc.take(10), "US-ASCII") == "P5\n3 2\n255")
+    assert(enc(10) == '\n'.toByte)
+    assert(enc.drop(11).toSeq == px.toSeq)
+    // round trip
+    val (w, h, back) = PgmCodec.decode(enc)
+    assert((w, h) == ((3, 2)) && back.toSeq == px.toSeq)
+    // full Netpbm header grammar: comments + arbitrary whitespace
+    val commented = ("P5 # a comment\n# another\n 3\t2 # dims\n255\n")
+      .getBytes("US-ASCII") ++ px
+    val (w2, h2, back2) = PgmCodec.decode(commented)
+    assert((w2, h2) == ((3, 2)) && back2.toSeq == px.toSeq)
+    // a foreign magic number must refuse, not misparse
+    val bad = intercept[IllegalArgumentException] {
+      PgmCodec.decode("P6\n3 2\n255\nxxxxxx".getBytes("US-ASCII"))
+    }
+    assert(bad.getMessage.contains("P6"))
+    // truncated raster must refuse
+    intercept[IllegalArgumentException] {
+      PgmCodec.decode(enc.dropRight(2))
+    }
+  }
+
+  test("PGM decode query recovers the generator's closed-form stats") {
+    // The engine must get every stat from PARSING the bytes; compare
+    // against the closed form the generator used.
+    val got = MultimodalQueries.mmPgmDecode(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 16).toInt, (6 + id % 10).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val vals = for (rr <- 0 until h; cc <- 0 until w)
+        yield ((id * 31 + rr * 17 + cc * 5) % 256).toInt
+      assert(r.getLong(3) == w.toLong * h)
+      assert(r.getLong(4) == vals.map(_.toLong).sum)
+      assert(r.getInt(5) == vals.min && r.getInt(6) == vals.max)
+    }
+  }
 }
