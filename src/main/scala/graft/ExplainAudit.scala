@@ -15,14 +15,48 @@ import org.apache.spark.sql.SparkSession
   *  - no CartesianProduct anywhere.
   */
 object ExplainAudit {
+
+  /** Cost threshold for the MECHANICAL audit additions (VERDICT r10
+    * task #4): every query whose measured per-query seconds in the
+    * newest bench artifact reach this value is audited, no curation
+    * — the most expensive plans are exactly the ones whose shape
+    * regressions matter most at 100 TB. */
+  val AuditCostThresholdSec = 1.0
+
+  /** Query names measured at ≥ [[AuditCostThresholdSec]] in the
+    * newest `BENCH_r*.json` under `GRAFT_BENCH_DIR` (default: cwd).
+    * Tolerant of the driver artifact's escaped-JSON `tail` wrapper:
+    * scans for `"name":sec` pairs (escaped or not), keeps only names
+    * registered in [[SparkEntry.queries]], takes each name's MAX
+    * observed seconds (cold or median — if it was ever expensive,
+    * its plan deserves the audit). Empty when no artifact exists. */
+  def costRankedNames(): Seq[String] = {
+    val dir = new java.io.File(sys.env.getOrElse("GRAFT_BENCH_DIR", "."))
+    val artifact = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName).lastOption
+    artifact.toSeq.flatMap { f =>
+      val text = {
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString finally src.close()
+      }
+      val pair = """\\?"([A-Za-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
+      val known = SparkEntry.queries.keySet
+      pair.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (n, _) => known(n) }.toSeq
+        .groupMapReduce(_._1)(_._2)(math.max)
+        .collect { case (n, s) if s >= AuditCostThresholdSec => n }
+        .toSeq.sorted
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).headOption
     val spark: SparkSession = graft.core.Sessions.local("graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
-    val names = only match {
-      case Some(n) => Seq(n)
-      case None => Seq("q1_pricing_summary", "q3_sql_shipping",
+    val curated = Seq("q1_pricing_summary", "q3_sql_shipping",
         "j1_broadcast_dims", "j2_inner_big", "l1_topk",
         "dd_minhash_lsh", "sim_lsh_ann", "mm_meta_only",
         "p4_filter_eq", "e1_event_window", "x1_asof_join",
@@ -36,7 +70,17 @@ object ExplainAudit {
         "t_repetition",
         // round 9: no-Expand approx profile twin, split-agg distinct
         // counting, cross-corpus gram-duplication fraction
-        "p11b_profile_approx", "d2_approx_distinct", "dd_gram_dupfrac")
+        "p11b_profile_approx", "d2_approx_distinct", "dd_gram_dupfrac",
+        // round 11: the two new operator consumers
+        "dd_winnow_pairs", "sim_quantize_topk")
+    val names = only match {
+      case Some(n) => Seq(n)
+      case None =>
+        val costed = costRankedNames().filterNot(curated.contains)
+        if (costed.nonEmpty) println(
+          s"// cost-ranked additions (>= $AuditCostThresholdSec s " +
+            s"in newest bench artifact): ${costed.mkString(", ")}")
+        curated ++ costed
     }
     names.foreach { name =>
       println(s"\n========== $name ==========")
