@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale rehearsal for the dedup/LSH stack (VERDICT r7
+  * task #5) and, since r11, the ANN + winnow paths (VERDICT r10
   * task #5): the plan SHAPES say bounded — band-keyed equi-joins,
-  * hot-bucket caps, broadcast eval grams — this main PROVES it by
+  * hot-bucket caps, broadcast eval grams, probe-ball equi-joins,
+  * census-pruned fingerprint joins — this main PROVES it by
   * measuring candidate-pair counts, hot-bucket drops, and wall time
   * over synthetic corpora at ~1×/3×/10× the sf0.1 documents table
-  * (5k/15k/50k docs) and checking the growth is sub-quadratic.
+  * (5k/15k/50k docs, matching embedding collections) and checking
+  * the growth is sub-quadratic.
   *
   * Corpus: deterministic, distributed generation (spark.range +
   * hash-derived words — no driver-side materialization, no RNG
@@ -74,6 +77,22 @@ object ScaleRehearsal {
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Write a synthetic embeddings.parquet (driver schema: vec_id,
+    * embedding float[64], label) of `n` vectors — deterministic and
+    * distributed: component i of vector v is hash-derived in [-1, 1].
+    * Unstructured by design: the rehearsal measures WALL GROWTH of
+    * the index paths (bucket fan-out, KMeans fit cost and cell skew,
+    * probe joins), not recall — recall is pinned by the planted-
+    * structure specs at fixed size (SimilarityQueriesSpec). */
+  def genEmbeddings(s: SparkSession, n: Long, dir: String): Unit =
+    s.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)),
+          i => ((pmod(xxhash64(col("vec_id"), i), lit(2001)) - lit(1000))
+            .cast("double") / 1000.0).cast("float")))
+      .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -93,7 +112,10 @@ object ScaleRehearsal {
 
     // warmup: codegen + parquet reader paths on a throwaway corpus
     genCorpus(spark, 500L, s"$base/warm")
+    genEmbeddings(spark, 500L, s"$base/warm")
     runNoop(SimilarityQueries.ddMinhashLsh(spark, s"$base/warm"))
+    runNoop(SimilarityQueries.simLshAnn(spark, s"$base/warm"))
+    runNoop(TextQueries.ddWinnowPairs(spark, s"$base/warm"))
 
     val results = sizes.map { n =>
       val dir = s"$base/n$n"
@@ -148,14 +170,39 @@ object ScaleRehearsal {
         (df.count(), t)
       }
 
+      // --- ANN + winnow paths (VERDICT r10 task #5): the LSH probe
+      // join, the IVF path INCLUDING its KMeans coarse-quantizer fit
+      // (the scale risk — fit cost and cell skew grow with n), and
+      // the winnow fingerprint pair search (census prune must keep
+      // the 200-member duplicate pile from going quadratic).
+      genEmbeddings(spark, n, dir)
+      val (_, tLshAnn) =
+        time(runNoop(SimilarityQueries.simLshAnn(spark, dir)))
+      val (_, tIvf) =
+        time(runNoop(SimilarityQueries.simIvfAnn(spark, dir)))
+      val (nWinnowPairs, tWinnow) = {
+        val (df, t) = time {
+          val d = TextQueries.ddWinnowPairs(spark, dir)
+          runNoop(d); d
+        }
+        (df.count(), t)
+      }
+
       println(s"""{"metric":"scale_rehearsal","n_docs":$n,""" +
         s""""candidates":$nCand,"hot_buckets":$hot,""" +
         s""""dropped_pairs":$dropped,""" +
         s""""lsh_sec":${f"$tLsh%.2f"},"cc_sec":${f"$tCc%.2f"},""" +
         s""""cc_rows":$nClusters,""" +
-        s""""decon_sec":${f"$tDecon%.2f"},"decon_rows":$nDecon}""")
+        s""""decon_sec":${f"$tDecon%.2f"},"decon_rows":$nDecon,""" +
+        s""""lshann_sec":${f"$tLshAnn%.2f"},""" +
+        s""""ivf_sec":${f"$tIvf%.2f"},""" +
+        s""""winnow_sec":${f"$tWinnow%.2f"},""" +
+        s""""winnow_pairs":$nWinnowPairs}""")
       (n, Map("candidates" -> nCand.toDouble, "lsh_sec" -> tLsh,
-        "cc_sec" -> tCc, "decon_sec" -> tDecon))
+        "cc_sec" -> tCc, "decon_sec" -> tDecon,
+        "lshann_sec" -> tLshAnn, "ivf_sec" -> tIvf,
+        "winnow_sec" -> tWinnow,
+        "winnow_pairs" -> nWinnowPairs.toDouble))
     }
 
     // growth exponents between smallest and largest corpus:
