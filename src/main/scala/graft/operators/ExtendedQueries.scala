@@ -521,7 +521,57 @@ object ExtendedQueries {
           col("l_discount"), col("l_tax")),
         "measure", "value")
 
+  /** Range-bucket width for [[x20ScalableRownum]] — the parallelism
+    * of the numbering stage. 32 matches the session shuffle width;
+    * at 100 TB set it to the cluster's target partition count. */
+  val RownumBuckets = 32
+
+  /** Scalable global row numbering — the 100 TB replacement for
+    * `row_number() OVER (ORDER BY k)`. The naive window's empty
+    * PARTITION BY collapses the whole table into ONE window
+    * partition: Spark plans `Exchange SinglePartition` and sorts
+    * 100 TB on a single task — the canonical does-not-scale shape.
+    * Two-level reformulation, fully declarative, same answer:
+    *
+    *   1. equal-width range bucket on the key (min/max via a 1-row
+    *      broadcast aggregate — metadata, like the IVF centroids);
+    *   2. row_number PER BUCKET — parallel windows, shuffle keyed
+    *      by bucket;
+    *   3. bucket offsets = running count over the bucket CENSUS — a
+    *      window over ≤ [[RownumBuckets]] rows, constant-size at any
+    *      data scale (the only SinglePartition in the plan);
+    *   4. global rn = offset + local rn.
+    *
+    * Oracle is the naive `row_number() OVER (ORDER BY doc_id)` —
+    * DuckDB runs the semantic definition, the engine runs the
+    * scalable plan, and the hash compare pins their equality. */
+  def x20ScalableRownum(s: SparkSession, dir: String): DataFrame = {
+    val b = RownumBuckets
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          (col("doc_id") - col("lo")) * b /
+            (col("hi") - col("lo") + 1)).cast("long"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+    val censusWin = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(censusWin), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val localWin = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    bucketed
+      .withColumn("local_rn", row_number().over(localWin).cast("long"))
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("source"),
+        (col("offset") + col("local_rn")).as("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x20_scalable_rownum" -> (x20ScalableRownum _),
     "x2_pivot" -> (x2Pivot _),
     "x3_scalar_subquery" -> (x3ScalarSubquery _),
     "x4_having" -> (x4Having _),
@@ -554,6 +604,12 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the SEMANTIC definition; the engine runs the bucketed
+    // two-level plan — equality is the whole point of the oracle
+    "x20_scalable_rownum" ->
+      """SELECT doc_id, source,
+        | row_number() OVER (ORDER BY doc_id) AS rn
+        |FROM documents""".stripMargin,
     "x2_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
         | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",

@@ -146,6 +146,40 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(out.count() == nIncidents)
   }
 
+  test("scalable rownum equals the naive global window, without its plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val got = ExtendedQueries.x20ScalableRownum(spark, sfDir)
+    val naive = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("doc_id"))).cast("long"))
+    assert(got.join(naive, Seq("doc_id", "source"))
+      .filter(got("rn") =!= naive("rn")).count() == 0)
+    assert(got.count() == naive.count())
+    // plan shape: the DATA-scale window must be partitioned by
+    // bucket (parallel), and the only SinglePartition window sits
+    // over the constant-size bucket census, never the documents scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"data window must shuffle by bucket:\n$plan")
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("Exchange SinglePartition"),
+      "fixture check: the naive window does single-partition")
+    // every SinglePartition exchange in OUR plan must carry
+    // pre-aggregated rows (1-row bounds aggs, 32-row bucket census)
+    // — its immediate child is always a HashAggregate, never a scan
+    // or data-scale operator
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+          s"SinglePartition exchange over non-aggregated data at " +
+            s"line $i:\n$plan")
+      }
+  }
+
   test("posexplode ordinal count matches token count per document") {
     import org.apache.spark.sql.functions.{col, max, size, split}
     val expected = Tables.documents(spark, sfDir)
