@@ -586,6 +586,60 @@ object TextQueries {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Exact duplicated-SPAN extraction (the verify stage of exact
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"): for every candidate pair from
+    * the winnow search, the length of the LONGEST contiguous run of
+    * shared 3-gram hashes — i.e. the longest shared word substring
+    * (run + 2 words). Winnowing finds pairs probabilistically-
+    * guaranteed; this measures their overlap exactly, which is what
+    * decides clip-vs-drop in a dedup policy.
+    *
+    * Fully declarative via the gaps-and-islands trick: equi-join the
+    * two docs' positional gram hashes, diagonal = pos_a - pos_b
+    * (matches on one diagonal are consecutive iff pos_a is), island
+    * id = pos_a - row_number() per (pair, diagonal), max island size
+    * = longest run. No DP, no UDF — two window/agg stages keyed by
+    * pair.
+    *
+    * 100 TB shape: everything downstream of the gram explode is
+    * bounded by the CANDIDATE PAIR set (already census-pruned and
+    * hot-bucket-capped by [[ddWinnowPairs]]), never by |corpus|²;
+    * gram hashes travel as 8-byte longs; the windows partition by
+    * (pair, diagonal) — thousands of small partitions, no global
+    * sort. */
+  def ddDupSpans(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val pairs = ddWinnowPairs(s, dir).select("id_a", "id_b")
+    // ordered positional gram hashes — the SAME gram construction
+    // (and md5-60 hash) the winnow fp selection uses
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(
+        """transform(array(split(text, ' ')), ws ->
+          |  transform(sequence(1, greatest(size(ws) - 2, 1)),
+          |    i -> md5_hash60(concat_ws(' ', slice(ws, i, 3)))))[0]"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val matches = pairs
+      .join(grams.select(col("doc_id").as("id_a"),
+        col("pos").as("pos_a"), col("h")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"),
+        col("pos").as("pos_b"), col("h")), Seq("id_b", "h"))
+      .select(col("id_a"), col("id_b"),
+        col("pos_a"), (col("pos_a") - col("pos_b")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run")).as("max_gram_run"))
+      .select(col("id_a"), col("id_b"), col("max_gram_run"),
+        (col("max_gram_run") + 2).as("shared_words"))
+  }
+
   // ===================================================================
   // registration
   // ===================================================================
@@ -603,6 +657,7 @@ object TextQueries {
     "t_fingerprint" -> (tFingerprint _),
     "t_winnow_fp" -> (tWinnowFp _),
     "dd_winnow_pairs" -> (ddWinnowPairs _),
+    "dd_dup_spans" -> (ddDupSpans _),
     "t_lang_dist" -> (tLangDist _),
     "t_top_terms" -> (tTopTerms _),
     "t_tfidf" -> (tTfidf _),
@@ -637,6 +692,22 @@ object TextQueries {
        |          i -> list_min(h[i:i+${WinnowWindow - 1}]))) AS f
        |      FROM h),
        |fps AS (SELECT doc_id, unnest(f) AS fp FROM f)""".stripMargin
+
+  /** [[winnowFpCte]] extended with the census-pruned, threshold-
+    * filtered candidate-pair relation `pairs(id_a, id_b, n_shared)`
+    * — shared by the dd_winnow_pairs and dd_dup_spans oracles. */
+  private def winnowPairsCte: String = winnowFpCte + s"""
+     |, census AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp),
+     |kept AS (SELECT fps.doc_id, fps.fp
+     |         FROM fps JOIN census USING (fp)
+     |         WHERE census.n BETWEEN 2 AND $WinnowMaxBucket),
+     |pairs AS (
+     | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+     |        count(*) AS n_shared
+     | FROM kept a JOIN kept b
+     |   ON a.fp = b.fp AND a.doc_id < b.doc_id
+     | GROUP BY a.doc_id, b.doc_id
+     | HAVING count(*) >= $WinnowMinShared)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // joins on raw gram strings where the engine joins on their
@@ -749,25 +820,37 @@ object TextQueries {
     // ADVICE r9: a hard-coded window is a silent hash-compare time
     // bomb if the constant is ever bumped)
     "t_winnow_fp" -> (winnowFpCte + "\nSELECT doc_id, fp FROM fps"),
-    "dd_winnow_pairs" -> (winnowFpCte + s"""
-        |, census AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp),
-        |kept AS (SELECT fps.doc_id, fps.fp
-        |         FROM fps JOIN census USING (fp)
-        |         WHERE census.n BETWEEN 2 AND $WinnowMaxBucket),
-        |sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |        count(*) AS n_shared
-        | FROM kept a JOIN kept b
-        |   ON a.fp = b.fp AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id)
+    "dd_winnow_pairs" -> (winnowPairsCte + s"""
+        |, sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id)
         |SELECT id_a, id_b, n_shared,
         |  CAST(n_shared AS DOUBLE)
         |    / least(sa.n_fp, sb.n_fp) AS containment
         |FROM pairs
         |JOIN sz sa ON sa.doc_id = id_a
-        |JOIN sz sb ON sb.doc_id = id_b
-        |WHERE n_shared >= $WinnowMinShared""".stripMargin),
+        |JOIN sz sb ON sb.doc_id = id_b""".stripMargin),
+    // positional gram hashes from the shared CTE's ordered h lists;
+    // islands: matches on a diagonal are consecutive iff pos_a is
+    "dd_dup_spans" -> (winnowPairsCte + """
+        |, hp AS (SELECT doc_id, h, unnest(range(1, len(h) + 1)) AS i
+        |         FROM h),
+        |ph AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |         h[i] AS hh
+        |       FROM hp),
+        |m AS (SELECT p.id_a, p.id_b, a.pos AS pos_a,
+        |        a.pos - b.pos AS diag
+        |      FROM pairs p
+        |      JOIN ph a ON a.doc_id = p.id_a
+        |      JOIN ph b ON b.doc_id = p.id_b AND b.hh = a.hh),
+        |isl AS (SELECT id_a, id_b, diag, pos_a,
+        |          pos_a - row_number() OVER (
+        |            PARTITION BY id_a, id_b, diag
+        |            ORDER BY pos_a) AS grp
+        |        FROM m),
+        |runs AS (SELECT id_a, id_b, diag, grp, count(*) AS run
+        |         FROM isl GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, max(run) AS max_gram_run,
+        |  max(run) + 2 AS shared_words
+        |FROM runs GROUP BY id_a, id_b""".stripMargin),
     "t_lang_dist" ->
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,

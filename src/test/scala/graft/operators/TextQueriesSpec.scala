@@ -316,4 +316,37 @@ class TextQueriesSpec extends SparkSpec {
     assert(atGuarantee.contains((1L, 2L)),
       "a w+k-1-word shared run must pair at the >=1 guarantee level")
   }
+
+  test("dup spans recover the exact planted overlap length") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dup_spans").toString
+    // Doc 1 and 2 share EXACTLY a 20-word run (grams fully disjoint
+    // elsewhere): longest shared gram run must be exactly 18, i.e.
+    // shared_words exactly 20 — not 19, not 21. Doc 3 shares two
+    // SEPARATE 8-word runs with doc 1; the islands must NOT bridge
+    // them (max run 6 grams = 8 words, not 16).
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val runA = (1 to 8).map(i => s"r$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, shared + " a1 a2 " + runA + " a3 a4 " + runB),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 " + shared),
+      (3L, runB + " c1 c2 c3 c4 c5 c6 c7 " + runA))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val spans = TextQueries.ddDupSpans(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(spans((1L, 2L)) == ((18L, 20L)),
+      s"planted 20-word overlap must measure exactly: $spans")
+    // pair (1,3) appears only if the winnow stage paired it; if it
+    // did, the two separate 8-word runs must not bridge
+    spans.get((1L, 3L)).foreach { case (run, words) =>
+      assert(run == 6L && words == 8L,
+        s"separate runs must not bridge: $spans")
+    }
+  }
 }
