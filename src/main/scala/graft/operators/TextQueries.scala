@@ -137,7 +137,21 @@ object TextQueries {
     * O(grams²) per doc, 11.9 s vs 0.4 s on the sf0.001 corpus. */
   val WinnowWindow = 4
 
-  def tWinnowFp(s: SparkSession, dir: String): DataFrame = {
+  /** One winnow-fp pass per (JVM, sfDir): the fingerprint table now
+    * feeds t_winnow_fp, dd_winnow_pairs AND dd_dup_spans; it is
+    * deterministic, slim (doc_id + one long), and the fp selection
+    * is the expensive map-side stage — same memoization contract as
+    * the simhash/shingle/KMeans caches (keyed by applicationId so a
+    * new context never reuses a dead plan). */
+  private val winnowFpCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def tWinnowFp(s: SparkSession, dir: String): DataFrame =
+    winnowFpCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":" + dir,
+      computeWinnowFp(s, dir).localCheckpoint())
+
+  private def computeWinnowFp(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val w = WinnowWindow
     Tables.documents(s, dir)
@@ -190,7 +204,7 @@ object TextQueries {
     * winnowing guarantee is ≥ ONE shared fp per qualifying run). */
   private[operators] def winnowPairsImpl(fps: DataFrame,
       minShared: Int): DataFrame = {
-    val fp = fps.localCheckpoint() // feeds census, sizes, and join
+    val fp = fps // already checkpointed by the tWinnowFp cache
     val census = fp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
     val keepable = census
       .filter(col("n") >= 2 && col("n") <= WinnowMaxBucket)
@@ -586,6 +600,33 @@ object TextQueries {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Unigram (word) entropy per document — the vocabulary-diversity
+    * quality signal (low entropy = repetitive/templated text; used
+    * alongside the Gopher gates). Shannon entropy in nats is
+    * H = ln(N) − (Σ c·ln c)/N over word counts c; the operator emits
+    * the EXACT integer pieces (N, distinct count, Σ c·⌊ln(c)·10⁴⌋)
+    * and leaves the float division to the consumer, so the oracle
+    * hash-compares exactly. Quantization at the ln (same discipline
+    * as t_tfidf_exact): ⌊ln(c)·10⁴⌋ per distinct count value c —
+    * both engines evaluate ln on the bit-identical small-integer
+    * double and agree within ~1 ulp, so a flip needs frac(ln(c)·10⁴)
+    * within ~2e-12 of 0 for one of the ~10² distinct c values.
+    *
+    * 100 TB shape: one explode + two hash aggregations, both keyed
+    * by doc (map-side combined); no joins, no windows. */
+  def tWordEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") *
+          floor(log(col("c").cast("double")) * 10000).cast("long"))
+          .cast("long").as("ent_q"))
+
   /** Exact duplicated-SPAN extraction (the verify stage of exact
     * substring dedup, Lee et al. 2022 "Deduplicating Training Data
     * Makes Language Models Better"): for every candidate pair from
@@ -658,6 +699,7 @@ object TextQueries {
     "t_winnow_fp" -> (tWinnowFp _),
     "dd_winnow_pairs" -> (ddWinnowPairs _),
     "dd_dup_spans" -> (ddDupSpans _),
+    "t_word_entropy" -> (tWordEntropy _),
     "t_lang_dist" -> (tLangDist _),
     "t_top_terms" -> (tTopTerms _),
     "t_tfidf" -> (tTfidf _),
@@ -851,6 +893,18 @@ object TextQueries {
         |SELECT id_a, id_b, max(run) AS max_gram_run,
         |  max(run) + 2 AS shared_words
         |FROM runs GROUP BY id_a, id_b""".stripMargin),
+    "t_word_entropy" ->
+      """WITH words AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        | FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS c
+        |       FROM words GROUP BY doc_id, word)
+        |SELECT doc_id,
+        | CAST(sum(c) AS BIGINT) AS n_tokens,
+        | count(*) AS n_distinct,
+        | CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 10000)
+        |   AS BIGINT)) AS BIGINT) AS ent_q
+        |FROM tf GROUP BY doc_id""".stripMargin,
     "t_lang_dist" ->
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,

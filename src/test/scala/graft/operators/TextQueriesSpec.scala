@@ -317,6 +317,32 @@ class TextQueriesSpec extends SparkSpec {
       "a w+k-1-word shared run must pair at the >=1 guarantee level")
   }
 
+  test("word entropy: exact pieces on a known doc, extremes ordered") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_entropy").toString
+    Seq(
+      (1L, "a a b"),                      // {a:2, b:1}
+      (2L, "x x x x x x"),                // degenerate: H = 0
+      (3L, "q w e r t y"))                // uniform: H = ln(6)
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.tWordEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 2L, 2L * math.floor(math.log(2) * 10000).toLong)))
+    assert(got(2L) == ((6L, 1L, 6L * math.floor(math.log(6) * 10000).toLong)))
+    assert(got(3L) == ((6L, 6L, 0L)))
+    // derived H: degenerate doc 0, uniform doc ln(6)
+    def h(t: (Long, Long, Long)): Double =
+      math.log(t._1.toDouble) - t._3.toDouble / (t._1 * 10000.0)
+    assert(math.abs(h(got(2L))) < 1e-3)
+    assert(math.abs(h(got(3L)) - math.log(6)) < 1e-3)
+    assert(h(got(1L)) > 0 && h(got(1L)) < math.log(3))
+  }
+
   test("dup spans recover the exact planted overlap length") {
     import spark.implicits._
     val tmp = java.nio.file.Files
