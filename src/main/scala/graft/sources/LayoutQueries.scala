@@ -72,9 +72,62 @@ object LayoutQueries {
           .as("price_cents"))
   }
 
+  /** Compaction target: rows per output file. Small for the test SF
+    * so the bound actually splits files; at 100 TB this is the
+    * 128 MB-file-size knob of the ingest compactor. */
+  val CompactionTargetRows = 200L
+
+  /** Small-files compaction — THE ingest-side layout problem at
+    * 100 TB (a fragmented table pays per-file open/footer costs and
+    * floods the driver's file index; compaction bounds both). The
+    * operator materializes a deliberately fragmented copy (64 tiny
+    * files), compacts it by clustering each source into one task
+    * (`repartition(col)` — each key in exactly one partition) with
+    * `maxRecordsPerFile` bounding output size, and returns per
+    * source the ROW count read back through the compacted layout
+    * and the REAL file count from the filesystem. Because each
+    * source is written by a single task, the file count must equal
+    * ceil(n_rows / target) exactly — which is what the arithmetic
+    * oracle asserts: any compactor bug (rows lost in the rewrite,
+    * bound not honored, source split across tasks) breaks the hash
+    * compare. FS listing is driver-side layout METADATA, same
+    * contract as the DataSkipping manifest. */
+  def l9Compaction(s: SparkSession, dir: String): DataFrame = {
+    val fragPath = s"${tmpRoot(dir)}/documents_fragmented"
+    val compPath = s"${tmpRoot(dir)}/documents_compacted"
+    writeOnce(s, compPath) {
+      Tables.documents(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(fragPath)
+      s.read.parquet(fragPath)
+        .repartition(col("source"))
+        .write.partitionBy("source")
+        .option("maxRecordsPerFile", CompactionTargetRows)
+        .mode("overwrite").parquet(compPath)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    val fileCounts = fs
+      .listStatus(new org.apache.hadoop.fs.Path(compPath))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map { st =>
+        val source = st.getPath.getName.split("=", 2)(1)
+        val n = fs.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        (source, n.toLong)
+      }.toSeq
+    import s.implicits._
+    val filesDf = fileCounts.toDF("source", "n_files")
+    s.read.parquet(compPath)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(filesDf), "source")
+      .select(col("source"), col("n_rows"), col("n_files"))
+  }
+
   val queries: Map[String, Q] = Map(
     "l4_partition_pruned" -> (l4PartitionPruned _),
-    "l5_manifest_skip" -> (l5ManifestSkip _)
+    "l5_manifest_skip" -> (l5ManifestSkip _),
+    "l9_compaction" -> (l9Compaction _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -93,6 +146,13 @@ object LayoutQueries {
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |   AS price_cents
         |FROM orders
-        |WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin
+        |WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    // the engine counts REAL part-files on disk; the oracle states
+    // what a correct single-task-per-source compactor must produce
+    "l9_compaction" ->
+      s"""SELECT source, count(*) AS n_rows,
+         | CAST(ceil(count(*) / ${CompactionTargetRows}.0) AS BIGINT)
+         |   AS n_files
+         |FROM documents GROUP BY source""".stripMargin
   )
 }

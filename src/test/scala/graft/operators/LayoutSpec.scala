@@ -85,6 +85,32 @@ class LayoutSpec extends SparkSpec {
       s"manifest should prune: ${cand.size}/${m.count()} files touched")
   }
 
+  test("compaction bounds file sizes and splits exactly at the target") {
+    import spark.implicits._
+    // Corpus forcing real splits: 450 rows of one source, 120 of
+    // another -> ceil(450/200)=3 and ceil(120/200)=1 files.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    ((1 to 450).map(i => (i.toLong, s"text $i", "en", "srcA")) ++
+      (1 to 120).map(i => (500L + i, s"text $i", "en", "srcB")))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.sources.LayoutQueries.l9Compaction(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("srcA") == ((450L, 3L)), s"srcA must split: $got")
+    assert(got("srcB") == ((120L, 1L)), s"srcB must not: $got")
+    // the fragmented precursor really was the small-files shape
+    val tag = tmp.replaceAll("[^A-Za-z0-9.]", "_")
+    val frag = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_layout_$tag/documents_fragmented")
+    val nFrag = frag.listFiles().count(f =>
+      f.isFile && f.getName.startsWith("part-"))
+    assert(nFrag > 10, s"fragmented copy should be many files, got $nFrag")
+  }
+
   test("IVF ANN probes beat random: high overlap with brute force") {
     val brute = SimilarityQueries.simBruteTopK(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
