@@ -71,8 +71,11 @@ object ExplainAudit {
         // round 9: no-Expand approx profile twin, split-agg distinct
         // counting, cross-corpus gram-duplication fraction
         "p11b_profile_approx", "d2_approx_distinct", "dd_gram_dupfrac",
-        // round 11: the two new operator consumers
-        "dd_winnow_pairs", "sim_quantize_topk")
+        // round 11: the two new operator consumers, the span
+        // extractor (most expensive query in the r11 clean bench),
+        // the scalable rownum, and the compaction layout
+        "dd_winnow_pairs", "sim_quantize_topk", "dd_dup_spans",
+        "x20_scalable_rownum", "l9_compaction")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
