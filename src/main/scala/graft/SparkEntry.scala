@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, DedupCluster, ExtendedQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, SketchQueries, SkewJoin, TextQueries}
+import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, SketchQueries, SkewJoin, TextQueries}
 import graft.sources.LayoutQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,6 +33,7 @@ object SparkEntry {
       SketchQueries.queries ++
       ExtendedQueries.queries ++
       SkewJoin.queries ++
+      BloomJoin.queries ++
       LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       SketchQueries.oracle ++
       ExtendedQueries.oracle ++
       SkewJoin.oracle ++
+      BloomJoin.oracle ++
       LayoutQueries.oracle
 }

@@ -23,4 +23,15 @@ object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Expression ↔ Column bridges — needed to drive PUBLIC but
+    * unregistered Catalyst expressions (e.g. BloomFilterAggregate /
+    * BloomFilterMightContain, the runtime-filter machinery) from the
+    * DataFrame API. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
