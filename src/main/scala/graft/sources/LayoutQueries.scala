@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -124,10 +124,64 @@ object LayoutQueries {
       .select(col("source"), col("n_rows"), col("n_files"))
   }
 
+  /** Morton/Z-order bit interleave of two `bits`-bit non-negative
+    * keys — a pure chain of shift/and/add column expressions, fully
+    * codegen'd (no UDF). Bit 2i of the result is bit i of `a`, bit
+    * 2i+1 is bit i of `b`. */
+  private[sources] def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order (space-filling-curve) clustering — the multi-column
+    * data-skipping layout (Delta/Iceberg `ZORDER BY`): range-
+    * clustering on ONE key makes only that key's ranges prunable; a
+    * 100 TB table queried by range on a SECONDARY column re-scans
+    * every file. Interleaving the bits of both keys (each first
+    * normalized to a fixed 10-bit domain via driver-side bounds —
+    * index metadata, the x20/IVF contract) gives every file a tight
+    * min/max box in BOTH dimensions, so the same min/max manifest
+    * prunes on either column.
+    *
+    * The registered query range-queries the SECONDARY column
+    * (o_custkey) through the z-clustered copy's manifest — the exact
+    * access pattern single-key clustering cannot serve (LayoutSpec
+    * measures the pruning difference against l5's orderkey-clustered
+    * layout). Oracle is the plain range aggregate: layout must be
+    * semantics-preserving. */
+  def l10Zorder(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${tmpRoot(dir)}/orders_zorder"
+    writeOnce(s, path) {
+      val b = Tables.orders(s, dir).agg(
+        min(col("o_orderkey")).cast("long"),
+        max(col("o_orderkey")).cast("long"),
+        min(col("o_custkey")).cast("long"),
+        max(col("o_custkey")).cast("long")).head()
+      val (loK, hiK, loC, hiC) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val n = 1024L // 10-bit normalized domain per dimension
+      val za = (col("o_orderkey") - loK) * n / (hiK - loK + 1)
+      val zc = (col("o_custkey") - loC) * n / (hiC - loC + 1)
+      Tables.orders(s, dir)
+        .withColumn("__z", zValue(za, zc, 10))
+        .repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    }
+    val manifest = DataSkipping.buildManifest(s, path, "o_custkey")
+    DataSkipping.prunedRead(s, manifest, "o_custkey", 100L, 300L)
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("price_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "l4_partition_pruned" -> (l4PartitionPruned _),
     "l5_manifest_skip" -> (l5ManifestSkip _),
-    "l9_compaction" -> (l9Compaction _)
+    "l9_compaction" -> (l9Compaction _),
+    "l10_zorder" -> (l10Zorder _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +207,12 @@ object LayoutQueries {
       s"""SELECT source, count(*) AS n_rows,
          | CAST(ceil(count(*) / ${CompactionTargetRows}.0) AS BIGINT)
          |   AS n_files
-         |FROM documents GROUP BY source""".stripMargin
+         |FROM documents GROUP BY source""".stripMargin,
+    "l10_zorder" ->
+      """SELECT count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS price_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300""".stripMargin
   )
 }

@@ -111,6 +111,39 @@ class LayoutSpec extends SparkSpec {
     assert(nFrag > 10, s"fragmented copy should be many files, got $nFrag")
   }
 
+  test("z-order makes the SECONDARY column prunable; linear clustering doesn't") {
+    // Materialize both layouts, then compare what the same custkey
+    // range can prune: the orderkey-clustered copy (l5) gives every
+    // file the full custkey span -> no pruning; the z-clustered copy
+    // boxes both dimensions -> real pruning.
+    val zq = graft.sources.LayoutQueries.l10Zorder(spark, sfDir)
+    val row = zq.collect().head
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").between(100, 300))
+      .agg(count(lit(1)),
+        sum(round(col("o_totalprice") * 100).cast("long"))).head()
+    assert(row.getLong(0) == expected.getLong(0))
+    assert(row.getLong(1) == expected.getLong(1))
+    graft.sources.LayoutQueries.l5ManifestSkip(spark, sfDir).collect()
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$tag"
+    val zManifest = graft.sources.DataSkipping
+      .buildManifest(spark, s"$root/orders_zorder", "o_custkey")
+    val zCand = graft.sources.DataSkipping
+      .candidateFiles(zManifest, 100L, 300L)
+    val zTotal = zManifest.count()
+    assert(zCand.nonEmpty && zCand.size * 2 <= zTotal,
+      s"z-order should prune at least half the files for a ~13% " +
+        s"custkey band: ${zCand.size}/$zTotal")
+    val linManifest = graft.sources.DataSkipping
+      .buildManifest(spark, s"$root/orders_clustered", "o_custkey")
+    val linCand = graft.sources.DataSkipping
+      .candidateFiles(linManifest, 100L, 300L)
+    assert(linCand.size == linManifest.count(),
+      s"orderkey-clustered layout must NOT prune on custkey " +
+        s"(that's the gap z-order closes): ${linCand.size}/${linManifest.count()}")
+  }
+
   test("IVF ANN probes beat random: high overlap with brute force") {
     val brute = SimilarityQueries.simBruteTopK(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
