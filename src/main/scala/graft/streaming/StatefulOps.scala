@@ -89,6 +89,30 @@ object StatefulOps {
         sum(col("amount")).as("volume"),
         sum(col("isFraud")).as("n_fraud"))
 
+  /** Native session windows (`session_window`, Spark 3.2+): per-
+    * account activity sessions closed by `gap` of inactivity — the
+    * built-in declarative twin of the gap-based sessionizers
+    * elsewhere in this engine (batch `e2_sessionize` via lag/cumsum,
+    * custom streaming state via flatMapGroupsWithState). Here the
+    * ENGINE owns the merge/expire logic in its session-window state
+    * store: state is keyed (account, session), merged when late
+    * events bridge two sessions, and evicted once the watermark
+    * passes a session's end — the bounded-state contract at 100 TB.
+    * Append mode emits a session exactly once, when it can no longer
+    * grow. */
+  def sessionWindowCounts(parsed: DataFrame,
+      gap: String = "2 hours"): DataFrame =
+    withEventTime(parsed)
+      .withWatermark("eventTime", "4 hours")
+      .groupBy(session_window(col("eventTime"), gap), col("nameOrig"))
+      .agg(
+        count(lit(1)).as("n_txns"),
+        sum(col("amount")).as("volume"))
+      .select(col("nameOrig"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_txns"), col("volume"))
+
   /** Streaming exact dedup bounded by the watermark: drop re-deliveries
     * of the same logical transaction (at-least-once sources replay —
     * the reference's Kafka feed has no dedup at all, so every replay

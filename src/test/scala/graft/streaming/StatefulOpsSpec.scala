@@ -97,6 +97,41 @@ class StatefulOpsSpec extends SparkSpec {
     assert(total == parsed.count())
   }
 
+  test("session windows: gap splits sessions, watermark emits closed ones") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val sessions = StatefulOps.sessionWindowCounts(input.toDF())
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_sink").outputMode(OutputMode.Append()).start()
+    try {
+      // A: steps 1,2 (one session — within the 2h gap) then step 10
+      // (a second session); B: step 1 only.
+      input.addData(
+        txn(1, "A", 100.0, 60.0), txn(2, "A", 60.0, 30.0),
+        txn(10, "A", 30.0, 10.0), txn(1, "B", 50.0, 50.0))
+      q.processAllAvailable()
+      // push the watermark (maxEvent - 4h) far past every session's
+      // end; two batches because the watermark is computed from the
+      // PREVIOUS batch's max event time
+      input.addData(txn(40, "C", 1.0, 1.0))
+      q.processAllAvailable()
+      input.addData(txn(41, "C", 1.0, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_sink")
+        .select(col("nameOrig"), col("n_txns")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val aSessions = rows.filter(_._1 == "A").map(_._2).sorted.toSeq
+      assert(aSessions == Seq(1L, 2L),
+        s"A must emit two closed sessions (2 txns, then 1): " +
+          s"${rows.mkString(",")}")
+      assert(rows.count(_._1 == "B") == 1 &&
+        rows.find(_._1 == "B").get._2 == 1L)
+      // C's session is still open (watermark has not passed it)
+      assert(!rows.exists(_._1 == "C"))
+    } finally q.stop()
+  }
+
   test("dedup-within-watermark drops replayed transactions across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
