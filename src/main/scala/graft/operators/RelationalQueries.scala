@@ -606,6 +606,37 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** NATIVE session windows in batch (`session_window`) — the same
+    * gap semantics as [[e2Sessionize]] but with the ENGINE owning
+    * session assignment (the operator Structured Streaming uses for
+    * its session state store, here cross-validated against the
+    * declarative lag/cumsum construction at oracle grade). Output is
+    * one row per (user, session) with the exact MICRO start and
+    * event count — integers, no window-struct timestamps, so the
+    * oracle hash-compares (micros is the shared resolution: DuckDB
+    * reads the TIMESTAMP(NANOS) column at micro precision).
+    *
+    * Precision contract: the events clock is long NANOS
+    * (nanosAsLong); session_window needs a timestamp, so events are
+    * floored to micros for the session DECISION, and the oracle
+    * floors identically (epoch_ns // 1000) — decision-identical in
+    * both engines. Spark merges two events into one session iff
+    * their micro gap is STRICTLY under the 30-min gap; the oracle's
+    * new-session flag is therefore `diff >= gap`, not `>`. */
+  def e4SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      .groupBy(col("user_id"),
+        session_window(col("ets"), "30 minutes"))
+      .agg(
+        // micros, not nanos: DuckDB reads the TIMESTAMP(NANOS)
+        // column at micro precision, so micros is the exact shared
+        // resolution (min/floor commute — the flooring is monotone)
+        min(expr("ts div 1000")).cast("long").as("start_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("n_events"))
+
   /** Time-series gap filling (resample): per-type hourly event
     * counts with ZERO-filled buckets across the whole span — the
     * calendar is generated (`sequence`), not scanned, so downstream
@@ -670,6 +701,7 @@ object RelationalQueries {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
+    "e4_session_window" -> (e4SessionWindow _),
     "e3_gap_fill" -> (e3GapFill _),
     "d3_kmv_distinct" -> (d3KmvDistinct _)
   )
@@ -958,6 +990,26 @@ object RelationalQueries {
         |SELECT user_id,
         | CAST(sum(new_session) AS BIGINT) AS n_sessions,
         | count(*) AS n_events
-        |FROM flagged GROUP BY user_id""".stripMargin
+        |FROM flagged GROUP BY user_id""".stripMargin,
+    // micro-floored gap decision + >= flag: decision-identical to
+    // Spark's session_window merge rule (strictly-less overlap)
+    "e4_session_window" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+        |  CASE WHEN lag(epoch_ns(ts) // 1000, 1) OVER w IS NULL
+        |        OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000, 1)
+        |           OVER w >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, tsn,
+        |  sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY tsn, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged)
+        |SELECT user_id, CAST(min(tsn // 1000) AS BIGINT) AS start_us,
+        | count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -93,6 +93,24 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("native session_window census agrees with the lag/cumsum sessionizer") {
+    // Two independent formulations of the same gap semantics: the
+    // per-user session COUNT and total event count must agree (e2's
+    // nano-gap vs e4's micro-floored decision can only diverge on a
+    // sub-microsecond boundary gap, absent from the corpus).
+    val viaWindow = RelationalQueries.e4SessionWindow(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions_w"),
+        sum(col("n_events")).cast("long").as("n_events_w"))
+    val viaLag = RelationalQueries.e2Sessionize(spark, sfDir)
+    val mismatches = viaWindow.join(viaLag, "user_id")
+      .filter(col("n_sessions_w") =!= col("n_sessions") ||
+        col("n_events_w") =!= col("n_events"))
+      .count()
+    assert(mismatches == 0)
+    assert(viaWindow.count() == viaLag.count())
+  }
+
   test("d2 approximate distinct is within 5% of exact") {
     val exact = RelationalQueries.d1CountDistinct(spark, sfDir).head()
     val approx = RelationalQueries.d2ApproxDistinct(spark, sfDir).head()
