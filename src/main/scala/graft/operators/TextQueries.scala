@@ -627,6 +627,49 @@ object TextQueries {
           floor(log(col("c").cast("double")) * 10000).cast("long"))
           .cast("long").as("ent_q"))
 
+  /** Vocabulary size cap for [[tVocabEncode]] — top-V words by
+    * corpus frequency get ids 1..V, everything else is OOV id 0.
+    * 500 forces real OOV traffic on the test corpus; a production
+    * run sets it to the model's vocab (e.g. 50k). The vocab is
+    * BOUNDED by this constant, which is what makes the global rank
+    * window metadata-scale (≤ V rows after the cap) at any corpus
+    * size. */
+  val VocabSize = 500
+
+  /** Vocabulary build + token-id encoding — the last hop of a
+    * training-data pipeline before tensors: rank words by corpus
+    * frequency (count DESC, word ASC — a total order, so ids are
+    * deterministic), keep the top [[VocabSize]] as ids 1..V, and
+    * re-encode every document as (doc_id, pos, token_id) with OOV →
+    * 0. Emitted exploded so the oracle hash-compares every token.
+    *
+    * 100 TB shape: the word census is one map-side-combined
+    * aggregate; the rank window runs over the CENSUS (vocab-bounded,
+    * not corpus-bounded — the aggregate output is already ≤ distinct
+    * words, and only the top V survive); encoding is a broadcast
+    * join of the V-row vocab against the positional explode. No
+    * data-scale window, no shuffle of text. */
+  def tVocabEncode(s: SparkSession, dir: String): DataFrame =
+    vocabEncodeImpl(s, dir, VocabSize)
+
+  private[operators] def vocabEncodeImpl(s: SparkSession, dir: String,
+      vocabSize: Int): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val census = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word"))
+    val vocab = census
+      .withColumn("token_id", row_number().over(rankWin).cast("long"))
+      .filter(col("token_id") <= vocabSize)
+      .select(col("word"), col("token_id"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
   /** Exact duplicated-SPAN extraction (the verify stage of exact
     * substring dedup, Lee et al. 2022 "Deduplicating Training Data
     * Makes Language Models Better"): for every candidate pair from
@@ -700,6 +743,7 @@ object TextQueries {
     "dd_winnow_pairs" -> (ddWinnowPairs _),
     "dd_dup_spans" -> (ddDupSpans _),
     "t_word_entropy" -> (tWordEntropy _),
+    "t_vocab_encode" -> (tVocabEncode _),
     "t_lang_dist" -> (tLangDist _),
     "t_top_terms" -> (tTopTerms _),
     "t_tfidf" -> (tTfidf _),
@@ -893,6 +937,21 @@ object TextQueries {
         |SELECT id_a, id_b, max(run) AS max_gram_run,
         |  max(run) + 2 AS shared_words
         |FROM runs GROUP BY id_a, id_b""".stripMargin),
+    "t_vocab_encode" -> (s"""WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wp AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+        |       FROM w),
+        |words AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |            ws[i] AS word
+        |          FROM wp),
+        |census AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+        |vocab AS (SELECT word,
+        |            CAST(row_number() OVER (ORDER BY n DESC, word ASC)
+        |              AS BIGINT) AS token_id
+        |          FROM census
+        |          QUALIFY token_id <= $VocabSize)
+        |SELECT doc_id, pos, coalesce(token_id, 0) AS token_id
+        |FROM words LEFT JOIN vocab USING (word)""".stripMargin),
     "t_word_entropy" ->
       """WITH words AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -343,6 +343,40 @@ class TextQueriesSpec extends SparkSpec {
     assert(h(got(1L)) > 0 && h(got(1L)) < math.log(3))
   }
 
+  test("vocab encode: frequency-ranked ids, deterministic ties, OOV = 0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_vocab").toString
+    // corpus counts: a×3 (2 in doc1 + 1 in doc2), b×3, c×1, z×1;
+    // cap 2 -> the a/b tie resolves alphabetically (a=1, b=2), c and
+    // z are OOV(0). Tie determinism is the point of the word ASC
+    // tiebreak.
+    Seq((1L, "b b b a a c"), (2L, "a z"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val enc = TextQueries.vocabEncodeImpl(spark, tmp, vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // doc 1: b b b a a c -> 2 2 2 1 1 0
+    assert((0 to 5).map(p => enc((1L, p))) == Seq(2L, 2L, 2L, 1L, 1L, 0L))
+    // doc 2: a z -> 1 0 (z is below the cap)
+    assert(enc((2L, 0)) == 1L && enc((2L, 1)) == 0L)
+    // real corpus: ids within [0, VocabSize]; OOV tokens exist
+    // exactly when the corpus vocabulary exceeds the cap
+    val distinctWords = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().count()
+    val stats = TextQueries.tVocabEncode(spark, sfDir)
+      .agg(min(col("token_id")), max(col("token_id"))).head()
+    assert(stats.getLong(1) <= TextQueries.VocabSize)
+    if (distinctWords > TextQueries.VocabSize)
+      assert(stats.getLong(0) == 0L, "cap exceeded but no OOV emitted")
+    else
+      assert(stats.getLong(0) == 1L, "no OOV possible under the cap")
+  }
+
   test("dup spans recover the exact planted overlap length") {
     import spark.implicits._
     val tmp = java.nio.file.Files
