@@ -75,7 +75,8 @@ object ExplainAudit {
         // extractor (most expensive query in the r11 clean bench),
         // the scalable rownum, and the compaction layout
         "dd_winnow_pairs", "sim_quantize_topk", "dd_dup_spans",
-        "x20_scalable_rownum", "l9_compaction")
+        "x20_scalable_rownum", "l9_compaction", "l10_zorder",
+        "j7_bloom_semi", "e4_session_window", "t_vocab_encode")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
