@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, SketchQueries, SkewJoin, TextQueries}
+import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, GraphQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, SketchQueries, SkewJoin, TextQueries}
 import graft.sources.LayoutQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,6 +34,7 @@ object SparkEntry {
       ExtendedQueries.queries ++
       SkewJoin.queries ++
       BloomJoin.queries ++
+      GraphQueries.queries ++
       LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       ExtendedQueries.oracle ++
       SkewJoin.oracle ++
       BloomJoin.oracle ++
+      GraphQueries.oracle ++
       LayoutQueries.oracle
 }

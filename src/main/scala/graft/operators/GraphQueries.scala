@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Iterative graph analytics beyond connected components
+  * (DedupCluster): PageRank over the bipartite part↔supplier graph
+  * implied by lineitem, with every arithmetic step INTEGER-QUANTIZED
+  * so a fixed iteration count is bit-reproducible under any
+  * partitioning AND replicable in the DuckDB oracle — float PageRank
+  * sums in accumulation order, which no distributed engine can pin.
+  *
+  * Quantization: ranks are integers scaled by [[PrScale]]; each
+  * iteration sends `pr div outdeg` along every edge (integer floor —
+  * deterministic mass loss, same floor in both engines) and applies
+  * damping as `0.15·scale + (sum·85) div 100` — all closed under
+  * 64-bit integers.
+  *
+  * 100 TB shape: each iteration is one equi-join (edges ⋈ ranks, both
+  * keyed by src) plus one map-side-combined aggregate keyed by dst —
+  * the standard distributed PageRank step; edges are localCheckpointed
+  * once and reused by all [[PrIters]] iterations. Nodes are encoded
+  * part→2k, supplier→2k+1 so the two id spaces never collide; edges
+  * carry both directions, so every node has outdeg ≥ 1 (no dangling
+  * mass) and survives every iteration.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed iteration count — the oracle unrolls the same number. */
+  val PrIters = 3
+
+  /** Integer rank scale (1.0 ≙ 1,000,000). */
+  val PrScale = 1000000L
+
+  def g5Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val fwd = pairs.select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // consumed by outdeg + every iteration
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    var pr = outdeg.select(col("src").as("node"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val rate = pr
+        .join(outdeg.withColumnRenamed("src", "node"), "node")
+        .select(col("node").as("src"), expr("pr div outdeg").as("rate"))
+      pr = edges.join(rate, "src")
+        .groupBy(col("dst").as("node"))
+        .agg((lit(PrScale * 15 / 100) +
+          expr("(sum(rate) * 85) div 100")).as("pr"))
+    }
+    pr.select(col("node"), col("pr"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g5_pagerank" -> (g5Pagerank _)
+  )
+
+  /** The oracle unrolls the [[PrIters]] iterations as CTE stages —
+    * all-integer arithmetic, so every rank hash-compares. */
+  val oracle: Map[String, String] = {
+    val base =
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |edges AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |          FROM pairs
+        |          UNION ALL
+        |          SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |pr0 AS (SELECT src AS node, 1000000::BIGINT AS pr FROM outdeg)""".stripMargin
+    val iters = (1 to PrIters).map { i =>
+      s"""it$i AS (SELECT e.dst AS node,
+         |  CAST(150000 + (sum(p.pr // o.outdeg) * 85) // 100 AS BIGINT) AS pr
+         |FROM edges e
+         |JOIN ${if (i == 1) "pr0" else s"it${i - 1}"} p ON e.src = p.node
+         |JOIN outdeg o ON o.src = e.src
+         |GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    Map("g5_pagerank" ->
+      (base + ",\n" + iters + s"\nSELECT node, pr FROM it$PrIters"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class GraphQueriesSpec extends SparkSpec {
+
+  test("pagerank: symmetric pair is a fixed point at the initial rank") {
+    import spark.implicits._
+    // One part ↔ one supplier: both outdeg 1, so every iteration each
+    // node receives the other's full rank and 150000 + 85% of 1e6 =
+    // 1e6 exactly — the quantized fixed point, checkable by hand.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_pagerank").toString
+    Seq((1L, 1L)).toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val pr = GraphQueries.g5Pagerank(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == Map(2L -> 1000000L, 3L -> 1000000L), s"got $pr")
+  }
+
+  test("pagerank on the corpus: ranks bounded below, hubs outrank leaves") {
+    val pr = GraphQueries.g5Pagerank(spark, sfDir)
+    // damping floor: every node keeps at least the teleport mass
+    assert(pr.filter(col("pr") < GraphQueries.PrScale * 15 / 100)
+      .count() == 0)
+    // suppliers (odd ids) are the high-degree side of the bipartite
+    // graph (each supplier serves many parts) — their mean rank must
+    // exceed the parts' mean rank
+    val means = pr
+      .groupBy((col("node") % 2).as("side"))
+      .agg(avg(col("pr")).as("mean_pr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(means(1L) > means(0L),
+      s"high-degree suppliers must outrank parts: $means")
+    // node count = parts + suppliers present in lineitem
+    val li = Tables.lineitem(spark, sfDir)
+    val expectedNodes = li.select("l_partkey").distinct().count() +
+      li.select("l_suppkey").distinct().count()
+    assert(pr.count() == expectedNodes)
+  }
+}
