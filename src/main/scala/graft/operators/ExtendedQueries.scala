@@ -486,6 +486,27 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_remaining"))
   }
 
+  /** Schema-drift union (`unionByName(allowMissingColumns = true)`):
+    * two vintages of the same table with different column sets union
+    * by NAME with null-padding — the ingest reality of a 100 TB lake
+    * whose producers evolve independently (a positional union would
+    * silently mis-align columns; a strict union would refuse). The
+    * census aggregate proves padding landed in the right columns. */
+  def u5UnionByName(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val v2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("price_cents")).as("n_with_price"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        sum(col("price_cents")).cast("long").as("sum_cents"))
+  }
+
   /** Histogram / binning: fixed-width price buckets with a top
     * catch-all, pure integer-cent math (`div`), one
     * map-side-combined groupBy — the single-pass distribution scan a
@@ -600,7 +621,8 @@ object ExtendedQueries {
     "x18_fuzzy_match" -> (x18FuzzyMatch _),
     "x19_histogram" -> (x19Histogram _),
     "a7_arg_extremes" -> (a7ArgExtremes _),
-    "u4_except_all" -> (u4ExceptAll _)
+    "u4_except_all" -> (u4ExceptAll _),
+    "u5_union_by_name" -> (u5UnionByName _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -849,6 +871,20 @@ object ExtendedQueries {
         |rem AS (SELECT * FROM hi EXCEPT ALL SELECT * FROM recent)
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_remaining
         |FROM rem GROUP BY o_custkey""".stripMargin,
+    "u5_union_by_name" ->
+      """WITH u AS (
+        | SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  NULL AS o_orderpriority
+        | FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL
+        | SELECT o_orderkey, NULL, o_orderpriority
+        | FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT count(*) AS n_rows,
+        | count(price_cents) AS n_with_price,
+        | count(o_orderpriority) AS n_with_priority,
+        | CAST(sum(price_cents) AS BIGINT) AS sum_cents
+        |FROM u""".stripMargin,
     "x19_histogram" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
         |             AS cents FROM orders)
