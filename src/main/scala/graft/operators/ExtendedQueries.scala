@@ -486,6 +486,34 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_remaining"))
   }
 
+  /** NULL-safe equi-join (`<=>`): NULL keys MATCH each other instead
+    * of vanishing — the semantics reconciliation/auditing joins need
+    * (a plain equi-join silently drops every NULL-keyed row; at
+    * 100 TB that is a correctness bug that looks like a row-count
+    * drift). Catalyst plans `<=>` as a hash-joinable equi-condition
+    * (EqualNullSafe is a valid hash key), NOT a theta-join — the
+    * plan stays a BroadcastHashJoin (spec-asserted). Keys are made
+    * nullable via nullif; the broadcast dim carries an explicit
+    * NULL-keyed row that must capture exactly the nulled-out
+    * fact rows. */
+  def j8NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val facts = Tables.orders(s, dir)
+      .select(
+        expr("nullif(o_orderpriority, '3-MEDIUM')").as("prio_key"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dim = Seq(
+      (Option("1-URGENT"), "urgent"),
+      (Option("2-HIGH"), "high"),
+      (Option.empty[String], "medium-bucket"))
+      .toDF("prio_key", "label")
+    facts.join(broadcast(dim),
+        facts("prio_key") <=> dim("prio_key"), "inner")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+  }
+
   /** Schema-drift union (`unionByName(allowMissingColumns = true)`):
     * two vintages of the same table with different column sets union
     * by NAME with null-padding — the ingest reality of a 100 TB lake
@@ -622,7 +650,8 @@ object ExtendedQueries {
     "x19_histogram" -> (x19Histogram _),
     "a7_arg_extremes" -> (a7ArgExtremes _),
     "u4_except_all" -> (u4ExceptAll _),
-    "u5_union_by_name" -> (u5UnionByName _)
+    "u5_union_by_name" -> (u5UnionByName _),
+    "j8_nullsafe_join" -> (j8NullsafeJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -871,6 +900,17 @@ object ExtendedQueries {
         |rem AS (SELECT * FROM hi EXCEPT ALL SELECT * FROM recent)
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_remaining
         |FROM rem GROUP BY o_custkey""".stripMargin,
+    "j8_nullsafe_join" ->
+      """WITH f AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |d AS (SELECT * FROM (VALUES ('1-URGENT', 'urgent'),
+        |        ('2-HIGH', 'high'), (NULL, 'medium-bucket'))
+        |      AS t(k, label))
+        |SELECT label, count(*) AS n_orders,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
+        |GROUP BY label""".stripMargin,
     "u5_union_by_name" ->
       """WITH u AS (
         | SELECT o_orderkey,

@@ -180,6 +180,25 @@ class ExtendedQueriesSpec extends SparkSpec {
       }
   }
 
+  test("null-safe join matches NULL keys and stays a hash join") {
+    val out = ExtendedQueries.j8NullsafeJoin(spark, sfDir)
+    val got = out.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the NULL-keyed dim row must capture exactly the medium orders
+    val medium = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "3-MEDIUM").count()
+    assert(got("medium-bucket") == medium,
+      s"NULL key must match all nulled facts: $got vs $medium")
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(got("urgent") == urgent)
+    // <=> is hash-joinable: never a nested-loop/cartesian plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("posexplode ordinal count matches token count per document") {
     import org.apache.spark.sql.functions.{col, max, size, split}
     val expected = Tables.documents(spark, sfDir)
