@@ -76,7 +76,8 @@ object ExplainAudit {
         // the scalable rownum, and the compaction layout
         "dd_winnow_pairs", "sim_quantize_topk", "dd_dup_spans",
         "x20_scalable_rownum", "l9_compaction", "l10_zorder",
-        "j7_bloom_semi", "e4_session_window", "t_vocab_encode")
+        "j7_bloom_semi", "e4_session_window", "t_vocab_encode",
+        "g5_pagerank", "j8_nullsafe_join")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
