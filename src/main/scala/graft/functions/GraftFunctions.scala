@@ -14,6 +14,7 @@ object GraftFunctions {
     Simhash32.register(ext)
     JaccardSim.register(ext)
     SignLshBucket.register(ext)
+    WinnowFps.register(ext)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -23,5 +24,6 @@ object GraftFunctions {
     Simhash32.ensureRegistered(spark)
     JaccardSim.ensureRegistered(spark)
     SignLshBucket.ensureRegistered(spark)
+    WinnowFps.ensureRegistered(spark)
   }
 }

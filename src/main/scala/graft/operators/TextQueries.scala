@@ -153,21 +153,34 @@ object TextQueries {
 
   private def computeWinnowFp(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val w = WinnowWindow
+    // Native fused selection (graft.functions.WinnowFps) — one
+    // codegen'd loop replacing the three-stage interpreted HOF chain
+    // kept below in [[winnowFpHof]] for the bit-equality spec.
     Tables.documents(s, dir)
-      .select(col("doc_id"), expr(
-        // ORDERED grams — deliberately not wordGramExpr (which dedups):
-        // winnowing is positional.
-        s"""transform(array(split(text, ' ')), ws ->
-           |  transform(array(transform(
-           |      sequence(1, greatest(size(ws) - 2, 1)),
-           |      i -> md5_hash60(concat_ws(' ', slice(ws, i, 3))))),
-           |    hs -> array_distinct(transform(
-           |      sequence(1, greatest(size(hs) - ${w - 1}, 1)),
-           |      i -> array_min(slice(hs, i, $w))))
-           |  )[0]
-           |)[0]""".stripMargin).as("fps"))
+      .select(col("doc_id"),
+        expr(s"winnow_fps(split(text, ' '), $WinnowWindow)").as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
+  /** Reference HOF composition the native winnow_fps expression
+    * replaces (same let-binding trick as before — each expensive
+    * intermediate pinned to a lambda variable computed once per
+    * row). Takes the NAME of an array<string> words column; kept for
+    * WinnowFpsSpec's corpus-wide bit-equality pin. */
+  private[graft] def winnowFpHof(wsColName: String): Column = {
+    val w = WinnowWindow
+    expr(
+      // ORDERED grams — deliberately not wordGramExpr (which dedups):
+      // winnowing is positional.
+      s"""transform(array($wsColName), ws ->
+         |  transform(array(transform(
+         |      sequence(1, greatest(size(ws) - 2, 1)),
+         |      i -> md5_hash60(concat_ws(' ', slice(ws, i, 3))))),
+         |    hs -> array_distinct(transform(
+         |      sequence(1, greatest(size(hs) - ${w - 1}, 1)),
+         |      i -> array_min(slice(hs, i, $w))))
+         |  )[0]
+         |)[0]""".stripMargin)
   }
 
   /** Hot-bucket cap for [[ddWinnowPairs]]: a fingerprint shared by
