@@ -15,6 +15,7 @@ object GraftFunctions {
     JaccardSim.register(ext)
     SignLshBucket.register(ext)
     WinnowFps.register(ext)
+    GramHashes.register(ext)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -25,5 +26,6 @@ object GraftFunctions {
     JaccardSim.ensureRegistered(spark)
     SignLshBucket.ensureRegistered(spark)
     WinnowFps.ensureRegistered(spark)
+    GramHashes.ensureRegistered(spark)
   }
 }

@@ -73,6 +73,72 @@ case class WinnowFps(child: Expression, window: Int)
 class WinnowFpsHelper extends Serializable {
   def winnow(words: ArrayData, window: Int): ArrayData =
     WinnowFps.winnow(words, window)
+
+  def gramHashes(words: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(WinnowFps.gramHashArray(words))
+}
+
+/** Native positional gram-hash table: `gram_hashes(words)` ≡
+  * `transform(sequence(1, greatest(size(ws) - 2, 1)),
+  * i -> md5_hash60(concat_ws(' ', slice(ws, i, 3))))` — the ordered
+  * 3-gram md5-60 array the dup-span search positionally explodes.
+  * Same digest loop as [[WinnowFps]], minus the windowing; same
+  * HOF-parity edges (short docs yield one clamped gram; null in →
+  * null out). */
+case class GramHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      WinnowFps.gramHashArray(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val helperCls = classOf[WinnowFpsHelper].getName
+    val helper = ctx.addReferenceObj("winnowFpsHelper",
+      WinnowFps.helper, helperCls)
+    defineCodeGen(ctx, ev, c => s"$helper.gramHashes($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object GramHashes {
+  val ident: FunctionIdentifier = FunctionIdentifier("gram_hashes")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[GramHashes].getName, "gram_hashes")
+
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"gram_hashes expects 1 argument, got ${exprs.length}")
+    GramHashes(exprs.head)
+  }
+
+  def register(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((ident, info, builder))
+
+  def registerTo(registry: FunctionRegistry): Unit =
+    registry.registerFunction(ident, info, builder)
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry =
+      org.apache.spark.sql.GraftSqlShims.functionRegistry(spark)
+    if (registry.lookupFunctionBuilder(ident).isEmpty)
+      registerTo(registry)
+  }
 }
 
 object WinnowFps {
@@ -80,9 +146,12 @@ object WinnowFps {
 
   private val emptyUtf8 = UTF8String.fromString("")
 
-  def winnow(words: ArrayData, window: Int): ArrayData = {
+  /** Ordered 3-gram md5-60 hashes of a words array — HOF parity:
+    * greatest(size - 2, 1) grams, slice clamps short docs. Shared by
+    * [[WinnowFps]] (fp selection) and [[GramHashes]] (positional
+    * gram table for the dup-span search). */
+  private[functions] def gramHashArray(words: ArrayData): Array[Long] = {
     val m = words.numElements()
-    // HOF parity: greatest(size - 2, 1) grams, slice clamps short docs
     val g = math.max(m - 2, 1)
     val hs = new Array[Long](g)
     var i = 0
@@ -101,11 +170,16 @@ object WinnowFps {
       hs(i) = Md5Hash60.hash60(if (gram == null) emptyUtf8 else gram)
       i += 1
     }
+    hs
+  }
+
+  def winnow(words: ArrayData, window: Int): ArrayData = {
+    val hs = gramHashArray(words)
+    val g = hs.length
     val wCount = math.max(g - window + 1, 1)
     val seen = new mutable.HashSet[Long]
     val out = new mutable.ArrayBuilder.ofLong
-    var n = 0
-    i = 0
+    var i = 0
     while (i < wCount) {
       val end = math.min(i + window, g)
       var mn = Long.MaxValue
@@ -114,7 +188,7 @@ object WinnowFps {
         if (hs(j) < mn) mn = hs(j)
         j += 1
       }
-      if (seen.add(mn)) { out += mn; n += 1 }
+      if (seen.add(mn)) out += mn
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out.result())

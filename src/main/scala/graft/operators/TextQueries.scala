@@ -709,13 +709,12 @@ object TextQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val pairs = ddWinnowPairs(s, dir).select("id_a", "id_b")
     // ordered positional gram hashes — the SAME gram construction
-    // (and md5-60 hash) the winnow fp selection uses
+    // (and md5-60 digest loop) the winnow fp selection uses, via the
+    // native gram_hashes expression (bit-equal to the HOF spelling,
+    // WinnowFpsSpec)
     val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(
-        """transform(array(split(text, ' ')), ws ->
-          |  transform(sequence(1, greatest(size(ws) - 2, 1)),
-          |    i -> md5_hash60(concat_ws(' ', slice(ws, i, 3)))))[0]"""
-          .stripMargin).as("hs"))
+      .select(col("doc_id"),
+        expr("gram_hashes(split(text, ' '))").as("hs"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
     val matches = pairs
       .join(grams.select(col("doc_id").as("id_a"),

@@ -47,6 +47,20 @@ class WinnowFpsSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("native gram_hashes is bit-identical to the composed HOF transform") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val diff = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        expr("gram_hashes(words)").as("fast"),
+        expr("transform(sequence(1, greatest(size(words) - 2, 1)), " +
+          "i -> md5_hash60(concat_ws(' ', slice(words, i, 3))))")
+          .as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("winnow_fps stays inside a WholeStageCodegen span") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val plan = Tables.documents(spark, sfDir)
