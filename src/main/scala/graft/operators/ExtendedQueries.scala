@@ -486,6 +486,31 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_remaining"))
   }
 
+  /** Single-pass data-quality constraint check (Deequ-style): every
+    * rule — null counts, key uniqueness, range bounds, domain
+    * membership — evaluated in ONE scan as conditional aggregates
+    * (plus one distinct for uniqueness, the only rule that needs
+    * state beyond a counter). The reference's monitoring layer runs
+    * one job per check; at 100 TB N checks must cost one pass, not
+    * N. Output is a single row of violation counters — zero means
+    * the contract holds, and the oracle pins the exact violation
+    * counts either way. */
+  def p13DqConstraints(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+        .cast("long").as("null_keys"),
+      (count(lit(1)) - countDistinct(col("o_orderkey")))
+        .cast("long").as("dup_keys"),
+      sum(when(col("o_totalprice") < 0.0 ||
+        col("o_totalprice") > 600000.0, 1L).otherwise(0L))
+        .cast("long").as("price_range_viol"),
+      sum(when(not(col("o_orderstatus").isin("F", "O", "P")), 1L)
+        .otherwise(0L)).cast("long").as("status_domain_viol"),
+      sum(when(col("o_orderdate") <
+        to_timestamp(lit("1990-01-01 00:00:00")), 1L).otherwise(0L))
+        .cast("long").as("date_floor_viol"))
+
   /** NULL-safe equi-join (`<=>`): NULL keys MATCH each other instead
     * of vanishing — the semantics reconciliation/auditing joins need
     * (a plain equi-join silently drops every NULL-keyed row; at
@@ -651,7 +676,8 @@ object ExtendedQueries {
     "a7_arg_extremes" -> (a7ArgExtremes _),
     "u4_except_all" -> (u4ExceptAll _),
     "u5_union_by_name" -> (u5UnionByName _),
-    "j8_nullsafe_join" -> (j8NullsafeJoin _)
+    "j8_nullsafe_join" -> (j8NullsafeJoin _),
+    "p13_dq_constraints" -> (p13DqConstraints _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -900,6 +926,21 @@ object ExtendedQueries {
         |rem AS (SELECT * FROM hi EXCEPT ALL SELECT * FROM recent)
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_remaining
         |FROM rem GROUP BY o_custkey""".stripMargin,
+    "p13_dq_constraints" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS null_keys,
+        | CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |   AS dup_keys,
+        | CAST(sum(CASE WHEN o_totalprice < 0.0
+        |   OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS price_range_viol,
+        | CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS status_domain_viol,
+        | CAST(sum(CASE WHEN o_orderdate <
+        |   TIMESTAMP '1990-01-01 00:00:00' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS date_floor_viol
+        |FROM orders""".stripMargin,
     "j8_nullsafe_join" ->
       """WITH f AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -180,6 +180,39 @@ class ExtendedQueriesSpec extends SparkSpec {
       }
   }
 
+  test("dq constraints count planted violations exactly, one scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dq").toString
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    val old = java.sql.Timestamp.valueOf("1989-12-31 00:00:00")
+    Seq(
+      (Option(1L), "F", 100.0, ts),      // clean
+      (Option(1L), "O", 200.0, ts),      // dup key
+      (Option.empty[Long], "P", 300.0, ts), // null key
+      (Option(2L), "X", 400.0, ts),      // bad status
+      (Option(3L), "F", -5.0, ts),       // price below range
+      (Option(4L), "O", 700000.0, ts),   // price above range
+      (Option(5L), "P", 500.0, old))     // date before floor
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = ExtendedQueries.p13DqConstraints(spark, tmp).head()
+    assert(r.getLong(0) == 7)  // n_rows
+    assert(r.getLong(1) == 1)  // null_keys
+    // dup_keys = count - countDistinct; countDistinct ignores NULL,
+    // so 7 - 5 distinct non-null keys = 2 (the dup AND the null row
+    // both surface — a null key is a key-contract violation too)
+    assert(r.getLong(2) == 2)
+    assert(r.getLong(3) == 2)  // price range
+    assert(r.getLong(4) == 1)  // status domain
+    assert(r.getLong(5) == 1)  // date floor
+    // single scan: exactly one FileScan in the plan
+    val plan = ExtendedQueries.p13DqConstraints(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 == 1,
+      s"all rules must share ONE scan:\n$plan")
+  }
+
   test("null-safe join matches NULL keys and stays a hash join") {
     val out = ExtendedQueries.j8NullsafeJoin(spark, sfDir)
     val got = out.collect()
