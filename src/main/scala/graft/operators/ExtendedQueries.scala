@@ -644,8 +644,46 @@ object ExtendedQueries {
         (col("offset") + col("local_rn")).as("rn"))
   }
 
+  /** NTILE bucket count for [[x21ScalableRanks]]. */
+  val NtileBuckets = 8
+
+  /** The global RANK FAMILY derived from the scalable row number —
+    * ntile, percent_rank, cume_dist over a total order, none of them
+    * through the single-partition window Spark would otherwise plan.
+    * Each is a closed-form function of (rn, n): NTILE's exact split
+    * (first n mod k buckets get ⌈n/k⌉ rows), percent_rank =
+    * (rn−1)/(n−1), cume_dist = rn/n — the divisions are IEEE ops on
+    * identical integers in both engines, so the whole family stays
+    * hash-compare exact. `n` is a 1-row broadcast aggregate. The
+    * point: once [[x20ScalableRownum]] exists, EVERY dense global
+    * ranking op derives from it map-side — no new shuffle, no global
+    * sort, for any of them. */
+  def x21ScalableRanks(s: SparkSession, dir: String): DataFrame = {
+    val k = NtileBuckets
+    val rn = x20ScalableRownum(s, dir)
+    val total = rn.agg(count(lit(1)).as("n"))
+    rn.crossJoin(broadcast(total))
+      .withColumn("q", expr("n div " + k))
+      .withColumn("r", col("n") % k)
+      .withColumn("ntile", expr(
+        // integer `div`, not `/` (Column./ is double division)
+        """CASE WHEN rn <= r * (q + 1)
+          |  THEN (rn - 1) div (q + 1) + 1
+          |  ELSE r + (rn - r * (q + 1) - 1) div q + 1
+          |END""".stripMargin).cast("long"))
+      .withColumn("percent_rank",
+        when(col("n") > 1,
+          (col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+          .otherwise(lit(0.0d)))
+      .withColumn("cume_dist",
+        col("rn").cast("double") / col("n").cast("double"))
+      .select(col("doc_id"), col("rn"), col("ntile"),
+        col("percent_rank"), col("cume_dist"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x20_scalable_rownum" -> (x20ScalableRownum _),
+    "x21_scalable_ranks" -> (x21ScalableRanks _),
     "x2_pivot" -> (x2Pivot _),
     "x3_scalar_subquery" -> (x3ScalarSubquery _),
     "x4_having" -> (x4Having _),
@@ -926,6 +964,16 @@ object ExtendedQueries {
         |rem AS (SELECT * FROM hi EXCEPT ALL SELECT * FROM recent)
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_remaining
         |FROM rem GROUP BY o_custkey""".stripMargin,
+    // semantic-definition windows; the engine derives all three from
+    // the bucketed scalable row number
+    "x21_scalable_ranks" ->
+      s"""SELECT doc_id,
+         | row_number() OVER w AS rn,
+         | CAST(ntile($NtileBuckets) OVER w AS BIGINT) AS ntile,
+         | percent_rank() OVER w AS percent_rank,
+         | cume_dist() OVER w AS cume_dist
+         |FROM documents
+         |WINDOW w AS (ORDER BY doc_id)""".stripMargin,
     "p13_dq_constraints" ->
       """SELECT count(*) AS n_rows,
         | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)

@@ -180,6 +180,24 @@ class ExtendedQueriesSpec extends SparkSpec {
       }
   }
 
+  test("scalable rank family equals the naive global windows") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ExtendedQueries.x21ScalableRanks(spark, sfDir)
+    val w = Window.orderBy(col("doc_id"))
+    val naive = Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .withColumn("ntile_n",
+        ntile(ExtendedQueries.NtileBuckets).over(w).cast("long"))
+      .withColumn("pr_n", percent_rank().over(w))
+      .withColumn("cd_n", cume_dist().over(w))
+    val bad = got.join(naive, "doc_id")
+      .filter(col("ntile") =!= col("ntile_n") ||
+        col("percent_rank") =!= col("pr_n") ||
+        col("cume_dist") =!= col("cd_n"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("dq constraints count planted violations exactly, one scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files
