@@ -681,9 +681,55 @@ object ExtendedQueries {
         col("percent_rank"), col("cume_dist"))
   }
 
+  /** Correlated LATERAL subquery (Spark 3.4+/DuckDB shared syntax):
+    * top-2 orders per customer expressed as the SQL-standard lateral
+    * join rather than a window — the form generated SQL and BI tools
+    * emit. Catalyst decorrelates it into a ranked join (no
+    * per-customer re-scan); result is total-ordered by the cents
+    * value with an orderkey tiebreak so the LIMIT inside the lateral
+    * is deterministic in both engines. */
+  def x22LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c.o_custkey, t.o_orderkey, t.cents
+        |FROM (SELECT DISTINCT o_custkey FROM orders_lat) c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders_lat o
+        |  WHERE o.o_custkey = c.o_custkey
+        |  ORDER BY cents DESC, o_orderkey
+        |  LIMIT 2
+        |) t""".stripMargin)
+  }
+
+  /** Recursive CTE (WITH RECURSIVE, Spark 4.x): hierarchical walk
+    * over the implicit binary tree on part keys (children of part p
+    * are 2p and 2p+1, pruned by membership in the part table) —
+    * the BOM-explosion / org-chart query shape that previously
+    * required driver-side iteration (DedupCluster's loop). The
+    * recursion is engine-planned; per-level counts and key sums are
+    * exact integers. */
+  def x23RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_rec")
+    s.sql(
+      """WITH RECURSIVE tree(pk, depth) AS (
+        |  SELECT p_partkey, 0 FROM part_rec WHERE p_partkey = 1
+        |  UNION ALL
+        |  SELECT p.p_partkey, t.depth + 1
+        |  FROM tree t JOIN part_rec p
+        |    ON p.p_partkey IN (t.pk * 2, t.pk * 2 + 1)
+        |)
+        |SELECT depth, count(*) AS n_parts,
+        |  CAST(sum(pk) AS BIGINT) AS sum_keys
+        |FROM tree GROUP BY depth""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "x20_scalable_rownum" -> (x20ScalableRownum _),
     "x21_scalable_ranks" -> (x21ScalableRanks _),
+    "x22_lateral_topk" -> (x22LateralTopk _),
+    "x23_recursive_cte" -> (x23RecursiveCte _),
     "x2_pivot" -> (x2Pivot _),
     "x3_scalar_subquery" -> (x3ScalarSubquery _),
     "x4_having" -> (x4Having _),
@@ -964,6 +1010,29 @@ object ExtendedQueries {
         |rem AS (SELECT * FROM hi EXCEPT ALL SELECT * FROM recent)
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_remaining
         |FROM rem GROUP BY o_custkey""".stripMargin,
+    // shared SQL-standard LATERAL syntax — DuckDB runs the same text
+    "x22_lateral_topk" ->
+      """SELECT c.o_custkey, t.o_orderkey, t.cents
+        |FROM (SELECT DISTINCT o_custkey FROM orders) c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.o_custkey
+        |  ORDER BY cents DESC, o_orderkey
+        |  LIMIT 2
+        |) t""".stripMargin,
+    "x23_recursive_cte" ->
+      """WITH RECURSIVE tree(pk, depth) AS (
+        |  SELECT p_partkey, 0 FROM part WHERE p_partkey = 1
+        |  UNION ALL
+        |  SELECT p.p_partkey, t.depth + 1
+        |  FROM tree t JOIN part p
+        |    ON p.p_partkey IN (t.pk * 2, t.pk * 2 + 1)
+        |)
+        |SELECT depth, count(*) AS n_parts,
+        |  CAST(sum(pk) AS BIGINT) AS sum_keys
+        |FROM tree GROUP BY depth""".stripMargin,
     // semantic-definition windows; the engine derives all three from
     // the bucketed scalable row number
     "x21_scalable_ranks" ->

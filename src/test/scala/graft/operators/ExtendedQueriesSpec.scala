@@ -198,6 +198,33 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("lateral top-k: <=2 rows per customer, equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ExtendedQueries.x22LateralTopk(spark, sfDir)
+    assert(got.groupBy("o_custkey").count()
+      .filter(col("count") > 2).count() == 0)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    val viaWindow = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).drop("rk")
+    assert(got.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(got).count() == 0)
+  }
+
+  test("recursive CTE walks the binary part tree with doubling levels") {
+    val levels = ExtendedQueries.x23RecursiveCte(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(levels(0) == 1L)
+    // full binary levels double until the part-table boundary prunes
+    val full = levels.keys.max - 1
+    (1 until full).foreach(d =>
+      assert(levels(d) == 2L * levels(d - 1),
+        s"level $d should double: $levels"))
+  }
+
   test("dq constraints count planted violations exactly, one scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files
