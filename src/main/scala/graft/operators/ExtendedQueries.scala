@@ -703,26 +703,35 @@ object ExtendedQueries {
         |) t""".stripMargin)
   }
 
+  /** Depth bound for [[x23RecursiveCte]] — every recursion level is
+    * a sequential distributed job, so an UNBOUNDED walk is a scale
+    * anti-pattern regardless of data size; production BOM/hierarchy
+    * queries always cap depth. Interpolated into BOTH engines'
+    * SQL. */
+  val RecursionDepthCap = 9
+
   /** Recursive CTE (WITH RECURSIVE, Spark 4.x): hierarchical walk
     * over the implicit binary tree on part keys (children of part p
-    * are 2p and 2p+1, pruned by membership in the part table) —
-    * the BOM-explosion / org-chart query shape that previously
-    * required driver-side iteration (DedupCluster's loop). The
-    * recursion is engine-planned; per-level counts and key sums are
+    * are 2p and 2p+1, pruned by membership in the part table and by
+    * [[RecursionDepthCap]]) — the BOM-explosion / org-chart query
+    * shape that previously required driver-side iteration
+    * (DedupCluster's loop). The recursion is engine-planned; each
+    * level is one join stage; per-level counts and key sums are
     * exact integers. */
   def x23RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir).createOrReplaceTempView("part_rec")
     s.sql(
-      """WITH RECURSIVE tree(pk, depth) AS (
-        |  SELECT p_partkey, 0 FROM part_rec WHERE p_partkey = 1
-        |  UNION ALL
-        |  SELECT p.p_partkey, t.depth + 1
-        |  FROM tree t JOIN part_rec p
-        |    ON p.p_partkey IN (t.pk * 2, t.pk * 2 + 1)
-        |)
-        |SELECT depth, count(*) AS n_parts,
-        |  CAST(sum(pk) AS BIGINT) AS sum_keys
-        |FROM tree GROUP BY depth""".stripMargin)
+      s"""WITH RECURSIVE tree(pk, depth) AS (
+         |  SELECT p_partkey, 0 FROM part_rec WHERE p_partkey = 1
+         |  UNION ALL
+         |  SELECT p.p_partkey, t.depth + 1
+         |  FROM tree t JOIN part_rec p
+         |    ON p.p_partkey IN (t.pk * 2, t.pk * 2 + 1)
+         |  WHERE t.depth < $RecursionDepthCap
+         |)
+         |SELECT depth, count(*) AS n_parts,
+         |  CAST(sum(pk) AS BIGINT) AS sum_keys
+         |FROM tree GROUP BY depth""".stripMargin)
   }
 
   val queries: Map[String, Q] = Map(
@@ -1023,16 +1032,17 @@ object ExtendedQueries {
         |  LIMIT 2
         |) t""".stripMargin,
     "x23_recursive_cte" ->
-      """WITH RECURSIVE tree(pk, depth) AS (
-        |  SELECT p_partkey, 0 FROM part WHERE p_partkey = 1
-        |  UNION ALL
-        |  SELECT p.p_partkey, t.depth + 1
-        |  FROM tree t JOIN part p
-        |    ON p.p_partkey IN (t.pk * 2, t.pk * 2 + 1)
-        |)
-        |SELECT depth, count(*) AS n_parts,
-        |  CAST(sum(pk) AS BIGINT) AS sum_keys
-        |FROM tree GROUP BY depth""".stripMargin,
+      s"""WITH RECURSIVE tree(pk, depth) AS (
+         |  SELECT p_partkey, 0 FROM part WHERE p_partkey = 1
+         |  UNION ALL
+         |  SELECT p.p_partkey, t.depth + 1
+         |  FROM tree t JOIN part p
+         |    ON p.p_partkey IN (t.pk * 2, t.pk * 2 + 1)
+         |  WHERE t.depth < $RecursionDepthCap
+         |)
+         |SELECT depth, count(*) AS n_parts,
+         |  CAST(sum(pk) AS BIGINT) AS sum_keys
+         |FROM tree GROUP BY depth""".stripMargin,
     // semantic-definition windows; the engine derives all three from
     // the bucketed scalable row number
     "x21_scalable_ranks" ->
