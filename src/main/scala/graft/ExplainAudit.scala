@@ -77,7 +77,8 @@ object ExplainAudit {
         "dd_winnow_pairs", "sim_quantize_topk", "dd_dup_spans",
         "x20_scalable_rownum", "l9_compaction", "l10_zorder",
         "j7_bloom_semi", "e4_session_window", "t_vocab_encode",
-        "g5_pagerank", "j8_nullsafe_join")
+        "g5_pagerank", "j8_nullsafe_join", "x21_scalable_ranks",
+        "x22_lateral_topk", "x23_recursive_cte", "p13_dq_constraints")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
