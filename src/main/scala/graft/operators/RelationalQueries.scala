@@ -637,6 +637,37 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("start_us"), col("n_events"))
 
+  /** Event funnel with STRICT ordering (view → click → purchase):
+    * per user, the first view, the first click AFTER that view, the
+    * first purchase AFTER that click — then the corpus-level funnel
+    * counts. Unordered "did all three" funnels overcount (a purchase
+    * before the view is not a conversion); the sequenced version is
+    * the product-analytics semantics.
+    *
+    * Shape: three conditional aggregates, each keyed by user_id and
+    * joined back on it — one shuffle key reused end to end (at
+    * 100 TB the stages co-partition; no re-shuffle after the first
+    * exchange under AQE). Timestamps compared at MICRO resolution on
+    * both engines (the e4 contract: DuckDB reads TIMESTAMP(NANOS)
+    * at micros). */
+  def e5Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tsu") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("tsu") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t_purchase"))
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n_viewed"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_clicked_after"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchased_after"))))
+  }
+
   /** Time-series gap filling (resample): per-type hourly event
     * counts with ZERO-filled buckets across the whole span — the
     * calendar is generated (`sequence`), not scanned, so downstream
@@ -702,6 +733,7 @@ object RelationalQueries {
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
     "e4_session_window" -> (e4SessionWindow _),
+    "e5_funnel" -> (e5Funnel _),
     "e3_gap_fill" -> (e3GapFill _),
     "d3_kmv_distinct" -> (d3KmvDistinct _)
   )
@@ -991,6 +1023,24 @@ object RelationalQueries {
         | CAST(sum(new_session) AS BIGINT) AS n_sessions,
         | count(*) AS n_events
         |FROM flagged GROUP BY user_id""".stripMargin,
+    // micro-resolution strict ordering (the e4 contract)
+    "e5_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_ns(ts) // 1000 AS tsu FROM events),
+        |v AS (SELECT user_id, min(tsu) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(tsu) AS t_click
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tsu > t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(tsu) AS t_purchase
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tsu > t_click
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+        |  (SELECT count(*) FROM v) AS n_viewed,
+        |  (SELECT count(*) FROM c) AS n_clicked_after,
+        |  (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin,
     // micro-floored gap decision + >= flag: decision-identical to
     // Spark's session_window merge rule (strictly-less overlap)
     "e4_session_window" ->

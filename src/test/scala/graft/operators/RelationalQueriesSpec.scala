@@ -111,6 +111,30 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(viaWindow.count() == viaLag.count())
   }
 
+  test("funnel: strict ordering counts planted journeys exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_funnel").toString
+    val us = 1000L // 1 micro in nanos
+    // A: view->click->purchase (full conversion)
+    // B: purchase first, then view->click (click counts, purchase not)
+    // C: view only; D: click/purchase but never a view
+    Seq(
+      (1L, "A", "view", 1 * us), (2L, "A", "click", 2 * us),
+      (3L, "A", "purchase", 3 * us),
+      (4L, "B", "purchase", 1 * us), (5L, "B", "view", 2 * us),
+      (6L, "B", "click", 3 * us),
+      (7L, "C", "view", 1 * us),
+      (8L, "D", "click", 1 * us), (9L, "D", "purchase", 2 * us))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = RelationalQueries.e5Funnel(spark, tmp).head()
+    assert(r.getLong(0) == 4, "n_users")
+    assert(r.getLong(1) == 3, "A, B, C viewed")
+    assert(r.getLong(2) == 2, "A and B clicked after their view")
+    assert(r.getLong(3) == 1, "only A purchased after the click")
+  }
+
   test("d2 approximate distinct is within 5% of exact") {
     val exact = RelationalQueries.d1CountDistinct(spark, sfDir).head()
     val approx = RelationalQueries.d2ApproxDistinct(spark, sfDir).head()
