@@ -32,9 +32,15 @@ object ExplainAudit {
     * its plan deserves the audit). Empty when no artifact exists. */
   def costRankedNames(): Seq[String] = {
     val dir = new java.io.File(sys.env.getOrElse("GRAFT_BENCH_DIR", "."))
+    // sort by the ROUND NUMBER, not the filename: lexicographic order
+    // breaks at three digits (BENCH_r100 < BENCH_r99) — ADVICE r11
+    val round = """BENCH_r(\d+)\.json""".r
     val artifact = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName).lastOption
+      .flatMap(f => f.getName match {
+        case round(n) => Some(n.toInt -> f)
+        case _        => None
+      })
+      .sortBy(_._1).lastOption.map(_._2)
     artifact.toSeq.flatMap { f =>
       val text = {
         val src = scala.io.Source.fromFile(f)

@@ -76,17 +76,19 @@ object GraphQueries {
   /** The oracle unrolls the [[PrIters]] iterations as CTE stages —
     * all-integer arithmetic, so every rank hash-compares. */
   val oracle: Map[String, String] = {
+    // PrScale interpolated, never re-hard-coded (ADVICE r11): the
+    // engine derives 150000 as PrScale*15/100, so the oracle must too
     val base =
-      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |edges AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |          FROM pairs
         |          UNION ALL
         |          SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-        |pr0 AS (SELECT src AS node, 1000000::BIGINT AS pr FROM outdeg)""".stripMargin
+        |pr0 AS (SELECT src AS node, $PrScale::BIGINT AS pr FROM outdeg)""".stripMargin
     val iters = (1 to PrIters).map { i =>
       s"""it$i AS (SELECT e.dst AS node,
-         |  CAST(150000 + (sum(p.pr // o.outdeg) * 85) // 100 AS BIGINT) AS pr
+         |  CAST(${PrScale * 15 / 100} + (sum(p.pr // o.outdeg) * 85) // 100 AS BIGINT) AS pr
          |FROM edges e
          |JOIN ${if (i == 1) "pr0" else s"it${i - 1}"} p ON e.src = p.node
          |JOIN outdeg o ON o.src = e.src

@@ -135,7 +135,15 @@ object MultimodalQueries {
       require(width > 0 && height > 0, s"bad dims $width x $height")
       require(maxval > 0 && maxval < 256,
         s"only 8-bit PGM supported, maxval $maxval")
-      pos += 1 // exactly ONE whitespace byte after maxval (spec)
+      // exactly ONE whitespace byte after maxval (spec) — but VERIFY
+      // it is whitespace, and absorb a CRLF pair as one delimiter: an
+      // external producer writing "\r\n" would otherwise shift the
+      // raster by one byte and decode garbage (ADVICE r11)
+      require(peek == ' ' || peek == '\n' || peek == '\r' ||
+        peek == '\t', s"expected whitespace after maxval, got $peek")
+      val wasCr = peek == '\r'
+      pos += 1
+      if (wasCr && peek == '\n') pos += 1
       val n = width * height
       require(payload.length - pos >= n,
         s"truncated pixel section: need $n, have ${payload.length - pos}")

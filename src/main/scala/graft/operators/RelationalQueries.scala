@@ -580,6 +580,13 @@ object RelationalQueries {
           graft.core.PortableHash.Bits).as("kmv_supps"))
   }
 
+  /** The ONE 30-minute session gap, interpolated into both engines'
+    * e2/e4 expressions AND both oracle SQL thresholds (ADVICE r11:
+    * the gap was previously written as "30 minutes" in the engine
+    * and 1800000000 micros in the oracle — two unrelated literals
+    * that silently break the hash compare if one is bumped). */
+  val SessionGapMinutes = 30L
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle > 30 min; session id = cumulative count of session starts
     * (lag + conditional sum — the batch formulation of a session
@@ -588,7 +595,7 @@ object RelationalQueries {
   def e2Sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val gapNs = 30L * 60 * 1000000000L
+    val gapNs = SessionGapMinutes * 60L * 1000000000L
     val flagged = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -628,7 +635,7 @@ object RelationalQueries {
       .select(col("user_id"), col("ts"),
         timestamp_micros(expr("ts div 1000")).as("ets"))
       .groupBy(col("user_id"),
-        session_window(col("ets"), "30 minutes"))
+        session_window(col("ets"), s"$SessionGapMinutes minutes"))
       .agg(
         // micros, not nanos: DuckDB reads the TIMESTAMP(NANOS)
         // column at micro precision, so micros is the exact shared
@@ -1011,11 +1018,11 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
     "e2_sessionize" ->
-      """WITH flagged AS (
+      s"""WITH flagged AS (
         | SELECT user_id, event_id,
         |  CASE WHEN lag(epoch_ns(ts), 1) OVER w IS NULL
         |        OR epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER w
-        |           > 1800000000000
+        |           > ${SessionGapMinutes * 60L * 1000000000L}
         |       THEN 1 ELSE 0 END AS new_session
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
@@ -1044,11 +1051,11 @@ object RelationalQueries {
     // micro-floored gap decision + >= flag: decision-identical to
     // Spark's session_window merge rule (strictly-less overlap)
     "e4_session_window" ->
-      """WITH flagged AS (
+      s"""WITH flagged AS (
         | SELECT user_id, event_id, epoch_ns(ts) AS tsn,
         |  CASE WHEN lag(epoch_ns(ts) // 1000, 1) OVER w IS NULL
         |        OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000, 1)
-        |           OVER w >= 1800000000
+        |           OVER w >= ${SessionGapMinutes * 60L * 1000000L}
         |       THEN 1 ELSE 0 END AS new_session
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

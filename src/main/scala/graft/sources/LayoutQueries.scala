@@ -104,10 +104,13 @@ object LayoutQueries {
         .option("maxRecordsPerFile", CompactionTargetRows)
         .mode("overwrite").parquet(compPath)
     }
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(s.sparkContext.hadoopConfiguration)
+    // resolve the filesystem OF compPath, not the default FS — the
+    // audit must keep working if tmpRoot points at s3a/hdfs (ADVICE r11)
+    val compHadoopPath = new org.apache.hadoop.fs.Path(compPath)
+    val fs = compHadoopPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fileCounts = fs
-      .listStatus(new org.apache.hadoop.fs.Path(compPath))
+      .listStatus(compHadoopPath)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map { st =>
         val source = st.getPath.getName.split("=", 2)(1)

@@ -83,6 +83,19 @@ class MultimodalQueriesSpec extends SparkSpec {
       .getBytes("US-ASCII") ++ px
     val (w2, h2, back2) = PgmCodec.decode(commented)
     assert((w2, h2) == ((3, 2)) && back2.toSeq == px.toSeq)
+    // CRLF producer: "\r\n" after maxval is ONE delimiter — the
+    // raster must not shift by a byte (ADVICE r11)
+    val crlf = "P5\r\n3 2\r\n255\r\n".getBytes("US-ASCII") ++ px
+    val (w3, h3, back3) = PgmCodec.decode(crlf)
+    assert((w3, h3) == ((3, 2)) && back3.toSeq == px.toSeq)
+    // a LONE '\r' delimiter still works (it is whitespace)
+    val crOnly = "P5\r3 2\r255\r".getBytes("US-ASCII") ++ px
+    assert(PgmCodec.decode(crOnly)._3.toSeq == px.toSeq)
+    // EOF right after maxval must refuse at the delimiter check,
+    // not run off the end
+    intercept[IllegalArgumentException] {
+      PgmCodec.decode("P5\n3 2\n255".getBytes("US-ASCII"))
+    }
     // a foreign magic number must refuse, not misparse
     val bad = intercept[IllegalArgumentException] {
       PgmCodec.decode("P6\n3 2\n255\nxxxxxx".getBytes("US-ASCII"))
