@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, GraphQueries, MergeOps, MultimodalQueries, RelationalQueries, SimilarityQueries, SketchQueries, SkewJoin, TextQueries}
+import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, GraphQueries, MergeOps, MultimodalQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SketchQueries, SkewJoin, TemporalQueries, TextQueries}
 import graft.sources.LayoutQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -35,6 +35,8 @@ object SparkEntry {
       SkewJoin.queries ++
       BloomJoin.queries ++
       GraphQueries.queries ++
+      RetrievalQueries.queries ++
+      TemporalQueries.queries ++
       LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +55,7 @@ object SparkEntry {
       SkewJoin.oracle ++
       BloomJoin.oracle ++
       GraphQueries.oracle ++
+      RetrievalQueries.oracle ++
+      TemporalQueries.oracle ++
       LayoutQueries.oracle
 }

@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{PortableHash, Tables}
+
+/** Retrieval + data-selection operators for the training-data
+  * pipeline surface: BM25 lexical top-k (the retrieval baseline every
+  * RAG/dedup-audit stack needs), DSIR-style hashed importance weights
+  * (Xie et al. 2023 — select raw-corpus documents that look like a
+  * target domain), and CCNet-style chunk-level dedup (Wenzek et al.
+  * 2020 dedup at paragraph granularity; the `documents` corpus is
+  * single-line, so the unit here is a fixed [[ChunkWords]]-word
+  * chunk, same pipeline shape).
+  *
+  * Oracle discipline (same playbook as TextQueries): every score is
+  * integer arithmetic after a single quantized-ln step per DISTINCT
+  * count value (`floor(ln(·)·1e4 + 1e-6)`), so DuckDB hash-compares
+  * exactly; shuffles carry md5 digests or 8-byte ints, never document
+  * bodies; every constant is interpolated into BOTH the engine
+  * expression and the oracle SQL from the single Scala definition.
+  */
+object RetrievalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // =================================================================
+  // t_bm25_topk — BM25 lexical retrieval
+  // =================================================================
+
+  /** Fixed query-term bag (present in the synthetic vocabulary). */
+  val BmTerms: Seq[String] = Seq("table", "scan", "merge")
+  val BmK = 10
+
+  /** k1 = 6/5, b = 3/4 (the classic 1.2 / 0.75), kept as rationals so
+    * the whole score clears to integer arithmetic. Multiplying the
+    * BM25 term through by `K1Den·BDen·T` (T = corpus token count):
+    *
+    *   score_q = (BmNumMul·T·q_idf·tf) div
+    *             (BmScale·T·tf + BmConstMul·T + BmDlMul·dl·N)
+    *
+    * with q_idf = floor(ln(1 + (N-df+0.5)/(df+0.5))·1e4 + 1e-6) — the
+    * Lucene BM25 idf, strictly positive, so floor-vs-truncate integer
+    * division agrees across engines. Headroom: the numerator is
+    * ≤ 44·T·12e4·tf — safe in a signed 64-bit long up to T ≈ 1e11
+    * tokens with tf ≤ 100; past that, rescale the quantum (the score
+    * is a ×1e4 fixed-point, not money).
+    */
+  val BmK1Num = 6; val BmK1Den = 5; val BmBNum = 3; val BmBDen = 4
+  val BmScale = BmK1Den * BmBDen                        // 20
+  val BmNumMul = BmScale + BmScale * BmK1Num / BmK1Den  // (k1+1)·Scale = 44
+  val BmConstMul = BmK1Num * (BmBDen - BmBNum)          // 6
+  val BmDlMul = BmK1Num * BmBNum                        // 18
+
+  /** BM25 top-[[BmK]] over `documents` for the [[BmTerms]] bag.
+    *
+    * 100 TB shape: the only full-corpus work is the map-side `dl`
+    * projection (no shuffle — `size(split(text))` at the scan) and
+    * the term-filtered tf aggregate, whose input is pre-filtered to
+    * the query terms AT THE EXPLODE (the filter runs before the
+    * shuffle, so the exchange carries only matching (doc, term)
+    * rows). df/N/T are term-count-sized aggregates (driver scalars —
+    * |BmTerms| + 2 values, same bounded-literal contract as
+    * tLmScore's corpus total). Final top-k is TakeOrderedAndProject:
+    * per-partition heaps, no global sort. */
+  def tBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val dl = docs.select(col("doc_id"),
+      size(col("ws")).cast("long").as("dl"))
+    val scal = dl.agg(count(lit(1)).cast("long"),
+      sum(col("dl")).cast("long")).head()
+    val (n, t) = (scal.getLong(0), scal.getLong(1))
+    val tf = docs
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(BmTerms: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val idf = tf.groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .select(col("w"), floor(
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1e4 + 1e-6)
+        .cast("long").as("q_idf"))
+    tf.join(broadcast(idf), "w")
+      .join(dl, "doc_id")
+      .select(col("doc_id"),
+        expr(s"($BmNumMul * ${t}L * q_idf * tf) div " +
+          s"($BmScale * ${t}L * tf + $BmConstMul * ${t}L + " +
+          s"$BmDlMul * dl * ${n}L)").as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast("long").as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(BmK)
+  }
+
+  // =================================================================
+  // t_dsir_weight — hashed importance weights (DSIR)
+  // =================================================================
+
+  /** Target-domain sources; everything else is the raw pool. */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1")
+  val DsirBuckets = 256
+
+  /** Per-document importance weight under hashed unigram bucket
+    * language models: w(d) = Σ_tokens [ln p̂_target(b) − ln p̂_raw(b)]
+    * with add-one smoothing, b = portable-md5-60(word) mod
+    * [[DsirBuckets]]. Emitted as the exact integer sum of per-bucket
+    * quantized log-ratios (one quantize per DISTINCT bucket count —
+    * the t_lm_score playbook), so the oracle hash-compares.
+    *
+    * 100 TB shape: the bucket LM is [[DsirBuckets]] rows — ONE
+    * conditional-sum pass over the exploded corpus builds both
+    * models, then broadcasts; the per-doc aggregate shuffles on
+    * doc_id only. Corpus totals are 2 bounded driver scalars. */
+  def tDsirWeight(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("tgt"),
+        (PortableHash.md5Hash60(col("w")) % DsirBuckets).as("b"))
+    val lm = words.groupBy(col("b")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).cast("long").as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).cast("long").as("cr"))
+    val tot = lm.agg(sum(col("ct")).cast("long"),
+      sum(col("cr")).cast("long")).head()
+    val (tt, tr) = (tot.getLong(0), tot.getLong(1))
+    val qlm = lm.select(col("b"),
+      (floor((log(col("ct") + lit(1.0)) -
+          log(lit((tt + DsirBuckets).toDouble))) * 1e4 + 1e-6) -
+        floor((log(col("cr") + lit(1.0)) -
+          log(lit((tr + DsirBuckets).toDouble))) * 1e4 + 1e-6))
+        .cast("long").as("q_lr"))
+    words.join(broadcast(qlm), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("q_lr")).cast("long").as("w_q"))
+  }
+
+  // =================================================================
+  // dd_chunk_dedup — CCNet-style chunk-level dedup
+  // =================================================================
+
+  /** Dedup granularity: consecutive [[ChunkWords]]-word chunks. */
+  val ChunkWords = 10
+
+  /** Position encoding for the global first-occurrence argmin:
+    * doc_id·[[ChunkPosCap]] + chunk_pos is a total order iff
+    * chunk_pos < cap — i.e. docs under cap·[[ChunkWords]] words
+    * (100k words/doc; the synthetic corpus tops out ~3 orders of
+    * magnitude below). */
+  val ChunkPosCap = 10000L
+
+  /** Remove every repeated chunk corpus-wide, keeping only its FIRST
+    * occurrence (ordered by doc_id, then position), then reassemble
+    * each document from its surviving chunks — the CCNet paragraph-
+    * dedup shape at chunk granularity. Emits per doc: total chunks,
+    * kept chunks, and the cleaned text (empty when every chunk was a
+    * repeat).
+    *
+    * 100 TB shape: the first-occurrence census groups on the chunk's
+    * 16-byte md5 digest — chunk BODIES never enter that exchange —
+    * and the winner joins back to the chunk table on the digest. The
+    * reassembly groups on doc_id (sort_array over ≤ chunks-per-doc
+    * structs, bounded by document length). */
+  def ddChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast((size(ws) + ${ChunkWords - 1}) " +
+          s"div $ChunkWords as int) - 1), " +
+          s"i -> array_join(slice(ws, i * $ChunkWords + 1, " +
+          s"$ChunkWords), ' '))")))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"),
+        md5(col("col")).as("h"))
+    val firsts = chunks.groupBy(col("h"))
+      .agg(min(col("doc_id") * ChunkPosCap + col("pos")).as("keep_k"))
+    val kept = chunks.join(firsts, "h")
+      .filter(col("doc_id") * ChunkPosCap + col("pos") === col("keep_k"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, chunk))), " +
+            "x -> x.chunk)"), " ").as("clean_text"))
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t_bm25_topk" -> (tBm25TopK _),
+    "t_dsir_weight" -> (tDsirWeight _),
+    "dd_chunk_dedup" -> (ddChunkDedup _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // all multipliers interpolated from the SAME Scala constants the
+    // engine uses; ln quantized once per distinct df (ADVICE
+    // discipline: quantize at the ln, never the product)
+    "t_bm25_topk" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |             FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM docs),
+         |scal AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(ws) AS w FROM docs)
+         |       WHERE w IN (${BmTerms.map("'" + _ + "'").mkString(", ")})
+         |       GROUP BY doc_id, w),
+         |idf AS (SELECT w, CAST(floor(ln(1 + (n - df + 0.5) / (df + 0.5))
+         |          * 1e4 + 1e-6) AS BIGINT) AS q_idf
+         |        FROM (SELECT w, CAST(count(*) AS BIGINT) AS df
+         |              FROM tf GROUP BY w), scal),
+         |scored AS (SELECT doc_id,
+         |  CAST(sum(($BmNumMul * t * q_idf * tf) //
+         |    ($BmScale * t * tf + $BmConstMul * t + $BmDlMul * dl * n))
+         |    AS BIGINT) AS score_q
+         | FROM tf JOIN idf USING (w) JOIN dl USING (doc_id), scal
+         | GROUP BY doc_id)
+         |SELECT doc_id, score_q FROM scored
+         |ORDER BY score_q DESC, doc_id LIMIT $BmK""".stripMargin,
+    "t_dsir_weight" ->
+      s"""WITH words AS (SELECT doc_id,
+         |   source IN (${DsirTargetSources.map("'" + _ + "'").mkString(", ")}) AS tgt,
+         |   ${PortableHash.duckSql("w")} % $DsirBuckets AS b
+         | FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         |       FROM documents)),
+         |lm AS (SELECT b,
+         |   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |   CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         | FROM words GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt,
+         |               CAST(sum(cr) AS DOUBLE) AS tr FROM lm),
+         |qlm AS (SELECT b,
+         |   CAST(floor((ln(CAST(ct + 1 AS DOUBLE)) - ln(tt + $DsirBuckets))
+         |       * 1e4 + 1e-6) AS BIGINT) -
+         |   CAST(floor((ln(CAST(cr + 1 AS DOUBLE)) - ln(tr + $DsirBuckets))
+         |       * 1e4 + 1e-6) AS BIGINT) AS q_lr
+         | FROM lm, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(q_lr) AS BIGINT) AS w_q
+         |FROM words JOIN qlm USING (b)
+         |GROUP BY doc_id""".stripMargin,
+    "dd_chunk_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |             FROM documents),
+         |chunks AS (SELECT doc_id,
+         |   unnest(range((len(ws) + ${ChunkWords - 1}) // $ChunkWords))
+         |     AS pos,
+         |   unnest(list_transform(
+         |     range((len(ws) + ${ChunkWords - 1}) // $ChunkWords),
+         |     i -> array_to_string(ws[(i * $ChunkWords + 1):
+         |                             ((i + 1) * $ChunkWords)], ' ')))
+         |     AS chunk
+         | FROM docs),
+         |firsts AS (SELECT md5(chunk) AS h,
+         |   min(doc_id * $ChunkPosCap + pos) AS keep_k
+         | FROM chunks GROUP BY md5(chunk)),
+         |kept AS (SELECT doc_id,
+         |   CAST(count(*) AS BIGINT) AS n_kept,
+         |   string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+         | FROM chunks JOIN firsts ON md5(chunk) = h
+         |  AND doc_id * $ChunkPosCap + pos = keep_k
+         | GROUP BY doc_id)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         | coalesce(any_value(n_kept), 0) AS n_kept,
+         | coalesce(any_value(clean_text), '') AS clean_text
+         |FROM chunks LEFT JOIN kept USING (doc_id)
+         |GROUP BY doc_id""".stripMargin
+  )
+}

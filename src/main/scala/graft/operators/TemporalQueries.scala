@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Temporal warehouse operators: SCD2 point-in-time dimension join,
+  * sliding-window distinct cardinality, and robust (median/MAD/mode)
+  * statistics — the three time-flavored shapes the relational surface
+  * was still missing.
+  *
+  * Scale notes per operator inline; the common discipline: version
+  * dimensions broadcast (they are dimension-sized), sliding windows
+  * expand bounded-fanout map-side instead of range-joining, and every
+  * emitted number is integer (cents / ×2 medians) so the DuckDB
+  * oracle hash-compares exactly.
+  */
+object TemporalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Money at exact integer cents (the repo-wide determinism rule). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // =================================================================
+  // x24_scd2_join — point-in-time (SCD type 2) dimension lookup
+  // =================================================================
+
+  /** Synthetic SCD2 dimension: per nation, [[Scd2Versions]] yearly
+    * tax versions starting [[Scd2BaseYear]], rate_pm (per-mille) =
+    * (nationkey·7 + version·3) mod 20 + 1 — deterministic from the
+    * nation table alone, so both engines construct the identical
+    * dimension. The version span covers the orders fixture's full
+    * o_orderdate range (1995-01 .. 2001-08; spec-asserted total
+    * coverage). */
+  val Scd2BaseYear = 1995
+  val Scd2Versions = 7
+
+  /** Point-in-time join: each order picks the dimension version
+    * whose [valid_from, valid_to) interval contains o_orderdate —
+    * THE slowly-changing-dimension lookup every warehouse ETL runs.
+    * Output: per (nation, version) order count + exact taxed cents.
+    *
+    * 100 TB shape: orders→customer is the one real shuffle (both
+    * sides key on custkey; at scale these co-partition/bucket). The
+    * versioned dimension is nations × versions rows — broadcast; the
+    * interval predicate lands as the join's non-equi condition ON TOP
+    * of the nationkey equi-key, so it is a broadcast HASH join (hash
+    * on nationkey, interval filter on the probe), never a nested-loop
+    * over facts. */
+  def x24Scd2Join(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        explode(sequence(lit(0), lit(Scd2Versions - 1))).as("v"))
+      .select(col("n_nationkey"), col("n_name"), col("v"),
+        ((col("n_nationkey") * 7 + col("v") * 3) % 20 + 1)
+          .cast("long").as("rate_pm"),
+        to_timestamp(make_date(lit(Scd2BaseYear) + col("v"),
+          lit(1), lit(1))).as("valid_from"),
+        to_timestamp(make_date(lit(Scd2BaseYear) + col("v") + 1,
+          lit(1), lit(1))).as("valid_to"))
+    val facts = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_c"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    facts.join(broadcast(dim),
+        col("c_nationkey") === col("n_nationkey") &&
+          col("o_orderdate") >= col("valid_from") &&
+          col("o_orderdate") < col("valid_to"))
+      .groupBy(col("n_name"), col("v"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_c") * col("rate_pm")).cast("long")
+          .as("taxed_pm_cents"))
+  }
+
+  // =================================================================
+  // e6_sliding_distinct — sliding-window distinct users
+  // =================================================================
+
+  val SlideHours = 24
+  val HourNs = 3600L * 1000000000L
+
+  /** Distinct users per hour AND per trailing [[SlideHours]]-hour
+    * window ending at that hour — the DAU-style rolling cardinality.
+    *
+    * 100 TB shape: `count(DISTINCT)` over a sliding window is the
+    * classic quadratic trap (a range join of every window against
+    * every event). This plan is linear: (1) dedup events to (hour,
+    * user) pairs — the only full-data shuffle, and a shrinking one;
+    * (2) EXPLODE each pair into the ≤[[SlideHours]] windows it
+    * contributes to (map-side, bounded fanout — an equi-shaped
+    * scatter, not a range join); (3) semi-join to the observed-hour
+    * spine (broadcast — hours are bounded: ~9k/year) so empty
+    * trailing windows aren't invented; (4) two-phase distinct count
+    * per window. */
+  def e6SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(s, dir)
+      .select(expr(s"ts div $HourNs").as("hb"), col("user_id"))
+      .distinct()
+    val spine = pairs.select(col("hb")).distinct()
+    val scattered = pairs
+      .select(explode(sequence(col("hb"),
+        col("hb") + (SlideHours - 1))).as("win"), col("user_id"))
+      .join(broadcast(spine.withColumnRenamed("hb", "win")), "win")
+    val rolling = scattered.groupBy(col("win"))
+      .agg(countDistinct(col("user_id")).as("n_users_roll"))
+    val hourly = pairs.groupBy(col("hb"))
+      .agg(count(lit(1)).as("n_users_hour"))
+    hourly.join(rolling, col("hb") === col("win"))
+      .select(col("hb"), col("n_users_hour"), col("n_users_roll"))
+  }
+
+  // =================================================================
+  // x25_robust_stats — median / MAD / mode per group
+  // =================================================================
+
+  /** Robust per-event-type statistics over integer cents: exact
+    * median (×2 so the even-count midpoint stays integer), exact MAD
+    * (×4: the deviation is ×2, its median again ×2), and the mode
+    * with smallest-value tie-break. The ×2/×4 scaling keeps every
+    * emitted value an exact integer both engines agree on — medians
+    * interpolate as (a+b)/2 in Spark `percentile` and DuckDB
+    * `quantile_cont` alike, so doubling recovers a+b exactly.
+    *
+    * 100 TB shape: two grouped passes (median, then deviations
+    * against the broadcast per-group medians) + one (group, value)
+    * census for the mode — every shuffle keys on the group column;
+    * exact medians per group assume per-group sort fits the
+    * executor (the x8/x8b twin rule: pair with approx_percentile
+    * when groups are unbounded). */
+  def x25RobustStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(c, 0.5)") * 2).cast("long")
+          .as("med_c_x2"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(col("c") * 2 - col("med_c_x2")).as("dev_x2"))
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev_x2, 0.5)") * 2).cast("long")
+        .as("mad_c_x4"))
+    val mode = ev.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(max_by(col("c"), struct(col("cnt"), (-col("c")).as("nc")))
+        .as("mode_c"),
+        max(col("cnt")).as("mode_n"))
+    med.join(mad, "event_type").join(mode, "event_type")
+      .select(col("event_type"), col("n"), col("med_c_x2"),
+        col("mad_c_x4"), col("mode_c"), col("mode_n"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x24_scd2_join" -> (x24Scd2Join _),
+    "e6_sliding_distinct" -> (e6SlidingDistinct _),
+    "x25_robust_stats" -> (x25RobustStats _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x24_scd2_join" ->
+      s"""WITH dim AS (SELECT n_nationkey, n_name, v,
+         |   CAST((n_nationkey * 7 + v * 3) % 20 + 1 AS BIGINT) AS rate_pm,
+         |   CAST(make_date($Scd2BaseYear + v, 1, 1) AS TIMESTAMP)
+         |     AS valid_from,
+         |   CAST(make_date($Scd2BaseYear + v + 1, 1, 1) AS TIMESTAMP)
+         |     AS valid_to
+         | FROM nation, range(0, $Scd2Versions) t(v))
+         |SELECT n_name, CAST(v AS INTEGER) AS v,
+         | count(*) AS n_orders,
+         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * rate_pm)
+         |   AS BIGINT) AS taxed_pm_cents
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN dim ON c_nationkey = n_nationkey
+         |        AND o_orderdate >= valid_from
+         |        AND o_orderdate < valid_to
+         |GROUP BY n_name, v""".stripMargin,
+    // oracle uses the O(spine·pairs) range join — fine at oracle SF,
+    // while the ENGINE uses the linear bounded-fanout scatter
+    "e6_sliding_distinct" ->
+      s"""WITH pairs AS (SELECT DISTINCT epoch_ns(ts) // $HourNs AS hb,
+         |   user_id FROM events),
+         |spine AS (SELECT DISTINCT hb FROM pairs),
+         |rolling AS (SELECT s.hb,
+         |   count(DISTINCT p.user_id) AS n_users_roll
+         | FROM spine s JOIN pairs p
+         |   ON p.hb BETWEEN s.hb - ${SlideHours - 1} AND s.hb
+         | GROUP BY s.hb),
+         |hourly AS (SELECT hb, count(*) AS n_users_hour
+         | FROM pairs GROUP BY hb)
+         |SELECT hb, n_users_hour, n_users_roll
+         |FROM hourly JOIN rolling USING (hb)""".stripMargin,
+    "x25_robust_stats" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, count(*) AS n,
+        |   CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) AS med_c_x2
+        | FROM ev GROUP BY event_type),
+        |mad AS (SELECT event_type,
+        |   CAST(round(quantile_cont(abs(c * 2 - med_c_x2), 0.5) * 2)
+        |     AS BIGINT) AS mad_c_x4
+        | FROM ev JOIN med USING (event_type)
+        | GROUP BY event_type),
+        |census AS (SELECT event_type, c, count(*) AS cnt
+        | FROM ev GROUP BY event_type, c),
+        |mode AS (SELECT event_type, c AS mode_c, cnt AS mode_n
+        | FROM (SELECT event_type, c, cnt, row_number() OVER (
+        |         PARTITION BY event_type ORDER BY cnt DESC, c ASC) AS rn
+        |       FROM census)
+        | WHERE rn = 1)
+        |SELECT event_type, n, med_c_x2, mad_c_x4, mode_c, mode_n
+        |FROM med JOIN mad USING (event_type)
+        |JOIN mode USING (event_type)""".stripMargin
+  )
+}

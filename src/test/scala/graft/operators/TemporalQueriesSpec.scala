@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalQueriesSpec extends SparkSpec {
+
+  test("SCD2 join: every order matches exactly one dimension version " +
+    "and the plan is a broadcast hash join, not a nested loop") {
+    val out = TemporalQueries.x24Scd2Join(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"versioned-dim lookup must hash on the equi key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "interval predicate must ride the hash join, not a BNL")
+    val totalOrders = graft.core.Tables.orders(spark, sfDir).count()
+    val matched = out.agg(sum("n_orders")).head().getLong(0)
+    assert(matched == totalOrders,
+      s"point-in-time lookup must cover every order exactly once: " +
+        s"$matched of $totalOrders")
+  }
+
+  test("sliding distinct: brute-force cross-check + rolling >= hourly") {
+    val rows = TemporalQueries.e6SlidingDistinct(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, h1, h24) => assert(h24 >= h1) }
+    // brute force from the raw events
+    val pairs = graft.core.Tables.events(spark, sfDir)
+      .select(expr(s"ts div ${TemporalQueries.HourNs}").as("hb"),
+        col("user_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byHour = pairs.groupBy(_._1)
+    rows.foreach { case (hb, h1, h24) =>
+      assert(h1 == byHour(hb).map(_._2).distinct.size.toLong)
+      val expect24 = pairs.filter(p =>
+        p._1 <= hb && p._1 > hb - TemporalQueries.SlideHours)
+        .map(_._2).distinct.size.toLong
+      assert(h24 == expect24, s"hour $hb: $h24 vs $expect24")
+    }
+    assert(rows.length == byHour.size)
+  }
+
+  test("robust stats: first-principles median/MAD/mode recompute") {
+    val out = TemporalQueries.x25RobustStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) 2 * s(s.length / 2)
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    ev.groupBy(_._1).foreach { case (et, vs) =>
+      val cs = vs.map(_._2).toSeq
+      val (n, m2, mad4, modeC, modeN) = out(et)
+      assert(n == cs.length.toLong)
+      assert(m2 == med2(cs), s"$et median×2")
+      assert(mad4 == med2(cs.map(c => math.abs(2 * c - m2))),
+        s"$et mad×4")
+      val census = cs.groupBy(identity).view.mapValues(_.size)
+      val bestN = census.values.max
+      val bestC = census.filter(_._2 == bestN).keys.min
+      assert((modeC, modeN) == ((bestC, bestN.toLong)), s"$et mode")
+    }
+  }
+}
