@@ -107,4 +107,55 @@ object KmvSketch {
   /** Column API: approx distinct of a pre-hashed long column. */
   def approxDistinct(hashed: Column, bits: Int = 64): Column =
     udaf(aggregatorBits(bits), Encoders.scalaLong).apply(hashed)
+
+  // ---- sketch-VALUED surface: the mergeable set-algebra API -------
+
+  /** Aggregator whose result is the sketch ITSELF (the ascending
+    * k-minimum array) rather than the collapsed estimate — what gets
+    * persisted, merged across partitions/days, and fed to the set
+    * estimators below. */
+  val sketchAggregator: Aggregator[Long, Buf, Array[Long]] =
+    new Aggregator[Long, Buf, Array[Long]] {
+      override def zero: Buf = Buf(Array.empty)
+      override def reduce(b: Buf, h: Long): Buf = insert(b, h)
+      override def merge(a: Buf, b: Buf): Buf =
+        Buf(mergeSorted(a.mins, b.mins))
+      override def finish(b: Buf): Array[Long] = b.mins
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+
+  /** Column API: the k-minimum array of a pre-hashed long column. */
+  def sketchOf(hashed: Column): Column =
+    udaf(sketchAggregator, Encoders.scalaLong).apply(hashed)
+
+  /** Merge two sketch arrays (union sketch). */
+  def unionOf(a: Array[Long], b: Array[Long]): Array[Long] =
+    mergeSorted(a, b)
+
+  /** Estimate from a sketch array — identical branch structure to
+    * [[aggregatorBits]]'s finish (exact below K, (K-1)/p above). */
+  def estimateOf(mins: Array[Long], bits: Int): Long =
+    if (mins.length < K) mins.length.toLong
+    else {
+      val norm = math.pow(2.0, bits)
+      val kth = mins(mins.length - 1)
+      val frac = kth.toDouble / norm
+      val p = if (kth < 0) frac + 1.0 else frac
+      math.round((K - 1) / p)
+    }
+
+  /** Beyer et al. (SIGMOD'07) KMV intersection: over the union's
+    * k-minimum values, the fraction present in BOTH side sketches
+    * scales the union estimate. Exact when the union sketch is not
+    * yet full (it then holds every distinct hash of both sets). */
+  def intersectEstimate(a: Array[Long], b: Array[Long],
+      bits: Int): Long = {
+    val u = unionOf(a, b)
+    val (sa, sb) = (a.toSet, b.toSet) // k-bounded; order-agnostic
+    val inBoth = u.count(h => sa(h) && sb(h))
+    if (u.length < K) inBoth.toLong
+    else math.round((inBoth * estimateOf(u, bits)) / K.toDouble)
+  }
 }

@@ -69,8 +69,64 @@ object GraphQueries {
     pr.select(col("node"), col("pr"))
   }
 
+  /** Distributed triangle counting on the co-supply graph (suppliers
+    * joined by a shared part) — the MapReduce classic (Suri &
+    * Vassilvitskii, WWW'11): orient every undirected edge from its
+    * lower-(degree, id) endpoint, enumerate wedges only at each
+    * node's out-neighborhood, and close them against the oriented
+    * edge list. Orientation bounds per-node wedge fanout by
+    * O(sqrt(|E|)) on skewed graphs — the hub that breaks the naive
+    * u<v<w triple join is exactly the node the orientation silences.
+    *
+    * 100 TB shape: three equi-joins, no inequality-only join
+    * anywhere: edge build groups on partkey (suppliers-per-part is
+    * bounded), wedge enumeration self-joins the oriented edges on
+    * src, closure is an equi-join on the (lo, hi) edge key itself.
+    * The triangle COUNT is orientation-invariant, so the oracle can
+    * use the simple id-ordered triple join — same number, different
+    * (quadratic-in-hub) plan that is fine at oracle scale. */
+  def g6Triangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = pairs.as("x").join(pairs.as("y"), Seq("p"))
+      .filter(col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("u"), col("y.sk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient: src = endpoint with smaller (degree, id); carry the
+    // dst's (degree, id) so wedge pairs can be ordered without a
+    // further degree join
+    val dedges = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(
+          struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"),
+          col("du").as("dt"))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"),
+        col("e.dt").as("ddst"))
+    // each triangle a≺b≺c is found exactly once: as the wedge
+    // (a→b, a→c) at its ≺-lowest corner, closed by oriented edge b→c
+    val wedges = dedges.as("a").join(dedges.as("b"), Seq("src"))
+      .filter(struct(col("a.ddst"), col("a.dst")) <
+        struct(col("b.ddst"), col("b.dst")))
+      .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+    val tri = wedges
+      .join(dedges.select("src", "dst"), Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(ne).crossJoin(tri)
+  }
+
   val queries: Map[String, Q] = Map(
-    "g5_pagerank" -> (g5Pagerank _)
+    "g5_pagerank" -> (g5Pagerank _),
+    "g6_triangles" -> (g6Triangles _)
   )
 
   /** The oracle unrolls the [[PrIters]] iterations as CTE stages —
@@ -95,6 +151,24 @@ object GraphQueries {
          |GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
     Map("g5_pagerank" ->
-      (base + ",\n" + iters + s"\nSELECT node, pr FROM it$PrIters"))
+      (base + ",\n" + iters + s"\nSELECT node, pr FROM it$PrIters"),
+      // the count is orientation-invariant: the oracle's id-ordered
+      // triple join and the engine's degree-ordered wedge closure
+      // agree on the number while having very different hub behavior
+      "g6_triangles" ->
+        """WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+          |              FROM lineitem),
+          |edges AS (SELECT DISTINCT x.sk AS u, y.sk AS v
+          |          FROM pairs x JOIN pairs y
+          |            ON x.p = y.p AND x.sk < y.sk),
+          |nodes AS (SELECT u AS n FROM edges
+          |          UNION SELECT v FROM edges),
+          |tri AS (SELECT count(*) AS c
+          |        FROM edges e1
+          |        JOIN edges e2 ON e2.u = e1.v
+          |        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+          |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+          |  (SELECT count(*) FROM edges) AS n_edges,
+          |  (SELECT c FROM tri) AS n_triangles""".stripMargin)
   }
 }

@@ -192,10 +192,61 @@ object RetrievalQueries {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  // =================================================================
+  // t_cdc_chunks — content-defined chunking
+  // =================================================================
+
+  /** Boundary density: a chunk boundary lands before word i when the
+    * portable hash of the bigram (w[i-1], w[i]) ≡ 0 mod [[CdcMod]] —
+    * expected chunk length [[CdcMod]] words. */
+  val CdcMod = 8
+
+  /** Content-defined chunking (the rolling-hash boundary rule of
+    * storage dedup / LLM near-dup pipelines): unlike the FIXED
+    * windows of [[ddChunkDedup]], CDC boundaries are decided by local
+    * content, so inserting one word shifts only the chunk it lands
+    * in — neighboring chunks keep their identity and still dedup.
+    * Emits per doc: chunk count and how many of its chunk
+    * occurrences are corpus-wide duplicates (identical chunk text
+    * appearing ≥ 2 times anywhere, self included).
+    *
+    * 100 TB shape: boundary flags are map-side (lag over the
+    * doc-partitioned window — one shuffle on doc_id, per-doc sort
+    * bounded by document length); the duplicate census groups on the
+    * chunk's md5 digest, so chunk BODIES never shuffle; the per-doc
+    * rollup reuses the doc_id key. */
+  def tCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("pw", lag(col("w"), 1).over(byDoc))
+      .withColumn("flag",
+        when(col("pw").isNotNull &&
+          PortableHash.md5Hash60(
+            concat(col("pw"), lit(" "), col("w"))) % CdcMod === 0,
+          1L).otherwise(0L))
+      .withColumn("cid", sum(col("flag")).over(byDoc))
+    val chunks = words.groupBy(col("doc_id"), col("cid"))
+      .agg(md5(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, w))), " +
+          "x -> x.w)"), " ")).as("h"))
+    val census = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+    chunks.join(census, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_shared"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t_bm25_topk" -> (tBm25TopK _),
     "t_dsir_weight" -> (tDsirWeight _),
-    "dd_chunk_dedup" -> (ddChunkDedup _)
+    "dd_chunk_dedup" -> (ddChunkDedup _),
+    "t_cdc_chunks" -> (tCdcChunks _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -271,6 +322,32 @@ object RetrievalQueries {
          | coalesce(any_value(n_kept), 0) AS n_kept,
          | coalesce(any_value(clean_text), '') AS clean_text
          |FROM chunks LEFT JOIN kept USING (doc_id)
+         |GROUP BY doc_id""".stripMargin,
+    "t_cdc_chunks" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |             FROM documents),
+         |words AS (SELECT doc_id,
+         |   unnest(range(len(ws))) AS pos, unnest(ws) AS w
+         | FROM docs),
+         |flagged AS (SELECT doc_id, pos, w,
+         |   CASE WHEN lag(w, 1) OVER win IS NOT NULL AND
+         |     ${PortableHash.duckSql("lag(w, 1) OVER win || ' ' || w")}
+         |       % $CdcMod = 0
+         |   THEN 1 ELSE 0 END AS flag
+         | FROM words
+         | WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |cids AS (SELECT doc_id, pos, w,
+         |   sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+         | FROM flagged),
+         |chunks AS (SELECT doc_id, cid,
+         |   md5(string_agg(w, ' ' ORDER BY pos)) AS h
+         | FROM cids GROUP BY doc_id, cid),
+         |census AS (SELECT h, count(*) AS occ FROM chunks GROUP BY h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         | CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_shared
+         |FROM chunks JOIN census USING (h)
          |GROUP BY doc_id""".stripMargin
   )
 }

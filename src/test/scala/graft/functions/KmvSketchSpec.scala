@@ -45,4 +45,42 @@ class KmvSketchSpec extends SparkSpec {
       .agg(KmvSketch.approxDistinct(col("h"))).head().getLong(0)
     assert(global == twoStage)
   }
+
+  test("set algebra: union/intersection estimates vs exact ground " +
+    "truth; exact branch below k") {
+    import graft.core.PortableHash
+    val bits = PortableHash.Bits
+    val li = Tables.lineitem(spark, sfDir)
+    def keysWhere(c: org.apache.spark.sql.Column): Set[Long] =
+      li.filter(c).select(col("l_partkey")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val heavy = keysWhere(col("l_quantity") > 25)
+    val light = keysWhere(!(col("l_quantity") > 25))
+    val sk = li.select((col("l_quantity") > 25).as("hv"),
+        PortableHash.md5Hash60(col("l_partkey")).as("h"))
+      .groupBy(col("hv"))
+      .agg(KmvSketch.sketchOf(col("h")).as("sk"))
+      .collect().map(r => r.getBoolean(0) ->
+        r.getSeq[Long](1).toArray).toMap
+    val (a, b) = (sk(true), sk(false))
+    val tol = 4.0 / math.sqrt(KmvSketch.K)
+    def check(est: Long, exact: Int, what: String): Unit = {
+      if (exact < KmvSketch.K) // exact branches must be EQUAL
+        assert(est == exact.toLong, s"$what: $est != $exact")
+      else assert(math.abs(est - exact).toDouble / exact < tol,
+        s"$what: $est vs $exact")
+    }
+    check(KmvSketch.estimateOf(a, bits), heavy.size, "heavy")
+    check(KmvSketch.estimateOf(b, bits), light.size, "light")
+    check(KmvSketch.estimateOf(KmvSketch.unionOf(a, b), bits),
+      (heavy ++ light).size, "union")
+    val interExact = (heavy & light).size
+    val interEst = KmvSketch.intersectEstimate(a, b, bits)
+    if ((heavy ++ light).size < KmvSketch.K)
+      assert(interEst == interExact.toLong)
+    else // intersection error scales by union/intersection ratio
+      assert(math.abs(interEst - interExact) <=
+        math.max(5.0, tol * (heavy ++ light).size),
+        s"intersect: $interEst vs $interExact")
+  }
 }

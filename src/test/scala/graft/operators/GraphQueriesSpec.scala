@@ -41,4 +41,37 @@ class GraphQueriesSpec extends SparkSpec {
       li.select("l_suppkey").distinct().count()
     assert(pr.count() == expectedNodes)
   }
+
+  test("triangles: planted co-supply graph counted exactly") {
+    import spark.implicits._
+    // part 1 shared by suppliers 1,2,3 (one triangle); part 2 by
+    // suppliers 3,4 (an edge that closes nothing)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tri").toString
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = GraphQueries.g6Triangles(spark, tmp).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 1L)))
+  }
+
+  test("triangles on the corpus equal a brute-force recount") {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.groupBy(_._1).values.flatMap { sup =>
+      val ss = sup.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        yield (ss(i), ss(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val brute = edges.toSeq.map { case (u, v) =>
+      (adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)).size
+    }.sum // each triangle u<v<w counted once, at edge (u,v) via w
+    val r = GraphQueries.g6Triangles(spark, sfDir).head()
+    assert(r.getLong(1) == edges.size.toLong)
+    assert(r.getLong(2) == brute.toLong,
+      s"engine ${r.getLong(2)} vs brute $brute")
+  }
 }

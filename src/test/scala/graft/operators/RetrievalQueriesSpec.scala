@@ -124,4 +124,80 @@ class RetrievalQueriesSpec extends SparkSpec {
     val novel = w.map(_ + "z").mkString(" ")
     assert(out(2L) == ((2L, 1L, novel))) // keeps only its novel chunk
   }
+
+  def md5Hash60(s: String): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      md5.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Reference CDC chunking: boundary before word i when the bigram
+    * hash ≡ 0 mod CdcMod. */
+  def cdcChunks(words: Seq[String]): Seq[Seq[String]] = {
+    import RetrievalQueries.CdcMod
+    val out = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(words.head))
+    words.sliding(2).foreach {
+      case Seq(pw, w) =>
+        if (md5Hash60(pw + " " + w) % CdcMod == 0)
+          out += scala.collection.mutable.ArrayBuffer(w)
+        else out.last += w
+      case _ => ()
+    }
+    out.map(_.toSeq).toSeq
+  }
+
+  test("CDC chunking matches the reference recompute on the corpus") {
+    import RetrievalQueries._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val refChunks = docs.map { case (id, ws) =>
+      id -> cdcChunks(ws).map(_.mkString(" ")) }
+    val census = refChunks.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size)
+    val got = tCdcChunks(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    refChunks.foreach { case (id, cs) =>
+      val shared = cs.count(c => census(c) > 1)
+      assert(got(id) == ((cs.size.toLong, shared.toLong)),
+        s"doc $id: ${got(id)} vs (${cs.size}, $shared)")
+    }
+  }
+
+  test("CDC chunks survive a single-word insertion; fixed chunks " +
+    "do not (the reason CDC exists)") {
+    import RetrievalQueries._
+    import spark.implicits._
+    // base doc long enough for several CDC chunks; mutant inserts
+    // one word mid-document
+    val base = (0 until 120).map(i => s"tok${i % 37}v$i")
+    val mutant = (base.take(60) :+ "INSERTED") ++ base.drop(60)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_cdc").toString
+    Seq((0L, base.mkString(" "), "en", "s0", 1L),
+        (1L, mutant.mkString(" "), "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = tCdcChunks(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val baseChunks = cdcChunks(base).map(_.mkString(" "))
+    val mutantChunks = cdcChunks(mutant).map(_.mkString(" "))
+    val sharedRef = baseChunks.toSet & mutantChunks.toSet
+    // localization: every chunk not touching the insertion point
+    // keeps its identity — the damage is O(1) chunks, not O(n)
+    assert(sharedRef.size >= baseChunks.size - 3,
+      s"CDC must localize the edit: ${sharedRef.size} of " +
+        s"${baseChunks.size} chunks shared")
+    assert(got(0L)._2 == baseChunks.count(sharedRef.contains),
+      "engine shared-chunk count must match the reference")
+    // fixed-size chunking loses every chunk after the insertion
+    // 120 words → 12 fixed chunks; the insertion at word 60 keeps
+    // exactly the 6 preceding chunks and shift-breaks every later one
+    val fixedBase = base.grouped(ChunkWords).map(_.mkString(" ")).toSet
+    val fixedMut = mutant.grouped(ChunkWords).map(_.mkString(" ")).toSet
+    assert((fixedBase & fixedMut).size == 6,
+      "fixed chunking should shift-break after the insertion")
+  }
 }
