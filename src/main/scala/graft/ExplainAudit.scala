@@ -84,7 +84,16 @@ object ExplainAudit {
         "x20_scalable_rownum", "l9_compaction", "l10_zorder",
         "j7_bloom_semi", "e4_session_window", "t_vocab_encode",
         "g5_pagerank", "j8_nullsafe_join", "x21_scalable_ranks",
-        "x22_lateral_topk", "x23_recursive_cte", "p13_dq_constraints")
+        "x22_lateral_topk", "x23_recursive_cte", "p13_dq_constraints",
+        // round 12: retrieval/temporal/set-algebra/graph additions,
+        // then the OLAP + similarity batch (cube Expand shape,
+        // exchange-reused pair mining, spine+LOCF, prefix-filtered
+        // edit-distance join, quantize-then-sum centroids)
+        "t_bm25_topk", "t_dsir_weight", "dd_chunk_dedup",
+        "t_cdc_chunks", "d5_kmv_setops", "g6_triangles",
+        "x24_scd2_join", "e6_sliding_distinct", "x25_robust_stats",
+        "x26_cube", "x27_copurchase", "e7_gapfill", "dd_edjoin",
+        "sim_centroids")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, GraphQueries, MergeOps, MultimodalQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SketchQueries, SkewJoin, TemporalQueries, TextQueries}
+import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, GraphQueries, MergeOps, MultimodalQueries, OlapQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SketchQueries, SkewJoin, TemporalQueries, TextQueries}
 import graft.sources.LayoutQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -37,6 +37,7 @@ object SparkEntry {
       GraphQueries.queries ++
       RetrievalQueries.queries ++
       TemporalQueries.queries ++
+      OlapQueries.queries ++
       LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +58,6 @@ object SparkEntry {
       GraphQueries.oracle ++
       RetrievalQueries.oracle ++
       TemporalQueries.oracle ++
+      OlapQueries.oracle ++
       LayoutQueries.oracle
 }

@@ -738,7 +738,127 @@ object SimilarityQueries {
       .limit(20)
   }
 
+  // =================================================================
+  // dd_edjoin — prefix-filtered edit-distance similarity join
+  // =================================================================
+
+  /** Comparison key: the first [[EdJoinKeyLen]] characters of each
+    * document (all corpus docs are ≥ 44 chars, so keys are
+    * fixed-length). Interpolated into the oracle SQL. */
+  val EdJoinKeyLen = 24
+
+  /** Maximum edit distance for a pair to be emitted. */
+  val EdJoinMaxDist = 2
+
+  /** q-gram width for the prefix filter. */
+  val EdJoinQ = 3
+
+  /** Ed-Join prefix length: one edit destroys at most q overlapping
+    * q-grams, so two strings within distance d share at least
+    * |G| − d·q grams (as a multiset) — by the prefix-filtering
+    * principle their (d·q + 1)-element prefixes under ANY fixed
+    * global element order must intersect. Lossless, no tuning knob. */
+  val EdJoinPrefix = EdJoinMaxDist * EdJoinQ + 1
+
+  /** Edit-distance similarity join (Ed-Join, Xiao/Wang/Lin VLDB'08):
+    * all document pairs whose [[EdJoinKeyLen]]-char key prefixes are
+    * within Levenshtein distance [[EdJoinMaxDist]] — the record-
+    * linkage / fuzzy-dedup shape that a naive engine runs as an N²
+    * nested loop of O(len²) dynamic programs.
+    *
+    * Plan: (1) positional q-grams per key, hashed to 8 bytes
+    * map-side — with MULTIPLICITY (element = (gram, occurrence#)),
+    * because the count-filter bound is a multiset statement;
+    * (2) global gram-frequency census (one agg — the ordering that
+    * makes prefixes maximally selective: rarest grams first);
+    * (3) per-doc prefix = first [[EdJoinPrefix]] elements under the
+    * global (freq, gram, occ) order — a row_number window over ≤ 22
+    * rows per doc; (4) candidate pairs = self-equi-join of prefixes
+    * on (gram, occ) — provably a superset of the answer (pigeonhole
+    * above), never a cartesian; (5) verify survivors with ONE
+    * codegen'd `levenshtein` per distinct pair.
+    *
+    * 100 TB shape: every shuffle carries 8-byte gram hashes or
+    * doc-id pairs, never text; bucket sizes are bounded because
+    * frequency-ranked prefixes put each doc in its RAREST grams'
+    * buckets (the same hot-bucket discipline as dd_ngram_jaccard's
+    * rarest-gram routing). The only per-pair work is the final
+    * verify, on candidates the filter already proved share a rare
+    * gram. Keys shorter than d·q + q would need a length-bucket
+    * fallback (the bound degenerates); this corpus can't produce
+    * one. */
+  def ddEdJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        substring(col("text"), 1, EdJoinKeyLen).as("k"))
+    val grams = keys
+      .select(col("doc_id"),
+        explode(expr(s"transform(" +
+          s"sequence(1, greatest(length(k) - ${EdJoinQ - 1}, 1)), " +
+          s"i -> xxhash64(substring(k, i, $EdJoinQ)))")).as("g"))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("doc_id"), col("g"))
+          .orderBy(col("g"))))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("nf"))
+    val prefix = grams.join(freq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("nf"), col("g"), col("occ"))))
+      .filter(col("rk") <= EdJoinPrefix)
+      .select(col("doc_id"), col("g"), col("occ"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(keys.select(col("doc_id").as("id_a"), col("k").as("ka")),
+        "id_a")
+      .join(keys.select(col("doc_id").as("id_b"), col("k").as("kb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ka"), col("kb")).as("dist"))
+      .filter(col("dist") <= EdJoinMaxDist)
+  }
+
+  // =================================================================
+  // sim_centroids — exact per-label embedding centroids
+  // =================================================================
+
+  /** Fixed-point scale for centroid sums: 1e6 ≈ float32's ~7 decimal
+    * digits. Interpolated into the oracle SQL. */
+  val CentroidScale = 1000000L
+
+  /** Per-label embedding centroid as EXACT integer dimension sums:
+    * quantize each float element to a scaled long FIRST, then sum —
+    * long addition is associative, so the result is independent of
+    * partitioning and task order. Summing floats and rounding after
+    * would be nondeterministic under shuffle (FP addition isn't
+    * associative) — the quantize-before-aggregate order is the whole
+    * trick, and the reason this oracle can hash-match at all. The
+    * consumer divides sum_q by n for the centroid (kept apart here
+    * so the output stays exact integers).
+    *
+    * 100 TB shape: posexplode fans each vector into 64 rows
+    * map-side, but partial aggregation collapses every partition to
+    * ≤ |labels| × 64 cells before the exchange — the shuffle carries
+    * kilobytes regardless of corpus size. This is the centroid
+    * update step of a distributed KMeans iteration, expressed
+    * declaratively. */
+  def simCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        round(col("col").cast("double") * CentroidScale)
+          .cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+
   val queries: Map[String, Q] = Map(
+    "dd_edjoin" -> (ddEdJoin _),
+    "sim_centroids" -> (simCentroids _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
@@ -834,6 +954,26 @@ object SimilarityQueries {
     }.mkString("(", "\n + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // all-pairs ground truth: verifies the prefix filter is LOSSLESS
+    // on the real corpus, not just that the verify step is right
+    "dd_edjoin" ->
+      s"""WITH k AS (SELECT doc_id, substr(text, 1, $EdJoinKeyLen)
+         |             AS k FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+         |FROM k a JOIN k b ON a.doc_id < b.doc_id
+         |WHERE levenshtein(a.k, b.k) <= $EdJoinMaxDist""".stripMargin,
+    // dim-64 index literal, corpus-specific like the other embedding
+    // oracles; i is 1-based, pos 0-based to match posexplode
+    "sim_centroids" ->
+      s"""SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(round(CAST(e[i] AS DOUBLE) * $CentroidScale)
+         |    AS BIGINT)) AS BIGINT) AS sum_q
+         |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings)
+         |CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+         |GROUP BY label, i""".stripMargin,
     "dd_gram_dupfrac" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),
