@@ -93,7 +93,8 @@ object ExplainAudit {
         "t_cdc_chunks", "d5_kmv_setops", "g6_triangles",
         "x24_scd2_join", "e6_sliding_distinct", "x25_robust_stats",
         "x26_cube", "x27_copurchase", "e7_gapfill", "dd_edjoin",
-        "sim_centroids")
+        "sim_centroids", "e8_max_concurrency", "e9_cohort_retention",
+        "l11_weighted_sample")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

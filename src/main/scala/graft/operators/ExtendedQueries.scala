@@ -734,7 +734,68 @@ object ExtendedQueries {
          |FROM tree GROUP BY depth""".stripMargin)
   }
 
+  /** Target sample size for [[l11WeightedSample]] — the stride is
+    * total_weight div this. Interpolated into the oracle SQL. */
+  val WeightedSampleK = 50
+
+  /** Systematic PPS (probability-proportional-to-size) sampling:
+    * lay every document's weight (its char count) end-to-end on an
+    * integer line, then pick the document under every stride-th
+    * tick — each doc selected with probability ∝ its weight, exactly
+    * ⌈total/stride⌉ picks, zero randomness (the deterministic
+    * systematic design; a production run would add a hashed rotation
+    * offset, which changes WHICH docs are picked but not the
+    * machinery). The weighted analogue of l7's hash split: heavy
+    * docs are training-token mass, and token-budget sampling is
+    * PPS, not uniform.
+    *
+    * All integer arithmetic (cum weights, stride `div`) — both
+    * engines agree bit-for-bit; a doc spanning several ticks is
+    * emitted once (`<` on the tick index jump).
+    *
+    * 100 TB shape: the global running weight sum reuses the
+    * x20_scalable_rownum two-level discipline — equal-width range
+    * buckets on doc_id, per-bucket window sums in parallel, bucket
+    * offsets from the constant-size (≤ [[RownumBuckets]]-row)
+    * census; the only SinglePartition window in the plan is over
+    * that census. The oracle runs the naive global window — the
+    * hash compare pins the reformulation's equality. */
+  def l11WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val b = RownumBuckets
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          (col("doc_id") - col("lo")) * b /
+            (col("hi") - col("lo") + 1)).cast("long"))
+      .select(col("doc_id"), col("w"), col("bucket"))
+    val censusWin = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("w")).as("bw"))
+      .withColumn("offset",
+        coalesce(sum(col("bw")).over(censusWin), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val total = bucketed.agg(sum(col("w")).as("tw"))
+    val localWin = Window.partitionBy(col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("local_cum", sum(col("w")).over(localWin))
+      .join(broadcast(census), "bucket")
+      .crossJoin(broadcast(total))
+      .withColumn("cum", col("offset") + col("local_cum"))
+      .withColumn("stride",
+        greatest(expr(s"tw div $WeightedSampleK"), lit(1L)))
+      .filter(expr("(cum - w) div stride") < expr("cum div stride"))
+      .select(col("doc_id"), col("w"), col("cum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "l11_weighted_sample" -> (l11WeightedSample _),
     "x20_scalable_rownum" -> (x20ScalableRownum _),
     "x21_scalable_ranks" -> (x21ScalableRanks _),
     "x22_lateral_topk" -> (x22LateralTopk _),
@@ -774,6 +835,21 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // naive global running sum — the engine runs the bucketed
+    // two-level plan; hash equality pins the reformulation
+    "l11_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, greatest(n_chars, 1) AS w
+         |           FROM documents),
+         |c AS (SELECT doc_id, w,
+         |        sum(w) OVER (ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum,
+         |        sum(w) OVER () AS tw
+         |      FROM d)
+         |SELECT doc_id, CAST(w AS BIGINT) AS w,
+         |  CAST(cum AS BIGINT) AS cum
+         |FROM c
+         |WHERE (cum - w) // greatest(tw // $WeightedSampleK, 1)
+         |    < cum // greatest(tw // $WeightedSampleK, 1)""".stripMargin,
     // the SEMANTIC definition; the engine runs the bucketed
     // two-level plan — equality is the whole point of the oracle
     "x20_scalable_rownum" ->

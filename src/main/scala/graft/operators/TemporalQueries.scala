@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -155,10 +156,109 @@ object TemporalQueries {
         col("mad_c_x4"), col("mode_c"), col("mode_n"))
   }
 
+  // =================================================================
+  // e8_max_concurrency — sweep-line interval overlap
+  // =================================================================
+
+  /** Synthetic interval duration: (cents mod [[ConcDurModS]]) +
+    * [[ConcDurMinS]] seconds — deterministic from the event row
+    * alone, so both engines construct identical intervals. pmod
+    * semantics (value cents can be negative). */
+  val ConcDurModS = 3600L
+  val ConcDurMinS = 60L
+
+  /** Max concurrent overlapping intervals per event type — the
+    * sweep-line (gaps-and-islands) staple behind "peak concurrent
+    * sessions". Each interval becomes a +1 point at its start and a
+    * −1 at its end; the running sum of deltas in time order IS the
+    * concurrency curve; intervals are half-open [start, end), so at
+    * equal timestamps ends sort before starts (delta ascending).
+    * Output: intervals, the peak, and the first instant the peak is
+    * reached — all integers.
+    *
+    * 100 TB shape: the sweep needs a total time order PER TYPE, so
+    * the window partitions by event_type — bounded partitions here
+    * (≤ |events per type|); with an unbounded single key you'd
+    * day-bucket the sweep and carry each bucket's closing sum into
+    * the next via the constant-size bucket census, exactly the
+    * x20_scalable_rownum two-level discipline. The argmax of the
+    * curve is a second grouped pass against the broadcast per-type
+    * peak, not a re-sort. */
+  def e8MaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    // microsecond timeline: DuckDB reads the parquet TIMESTAMP(NANOS)
+    // column at µs precision, so the sweep runs on identical integer
+    // instants in both engines only after `ts div 1000`
+    val iv = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000").as("t0"),
+        (expr("ts div 1000") +
+          (pmod(cents(col("value")), lit(ConcDurModS)) +
+            ConcDurMinS) * lit(1000000L)).as("t1"))
+    val points = iv.select(col("event_type"), col("event_id"),
+        col("t0").as("t"), lit(1).as("delta"))
+      .unionAll(iv.select(col("event_type"), col("event_id"),
+        col("t1").as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = points
+      .withColumn("conc", sum(col("delta")).over(w).cast("long"))
+    val peak = curve.groupBy(col("event_type"))
+      .agg(max(col("conc")).as("max_conc"))
+    curve.join(broadcast(peak), "event_type")
+      .filter(col("conc") === col("max_conc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_at_peak"),
+        max(col("max_conc")).as("max_conc"),
+        min(col("t")).as("t_first_peak"))
+      .join(broadcast(iv.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"))), "event_type")
+      .select(col("event_type"), col("n_intervals"), col("max_conc"),
+        col("t_first_peak"), col("n_at_peak"))
+  }
+
+  // =================================================================
+  // e9_cohort_retention — weekly cohort retention matrix
+  // =================================================================
+
+  val WeekNs: Long = 7L * 24L * HourNs
+
+  /** Weekly cohort retention: users grouped by their first-activity
+    * week; for every later week, how many of that cohort were active
+    * — the product-analytics retention triangle. Emitted as exact
+    * counts (n_active, cohort_n) so the ratio stays consumer-side
+    * and the oracle hash-matches.
+    *
+    * 100 TB shape: ONE shuffle key — user_id — serves both the
+    * first-week aggregate and the distinct (user, week) activity
+    * table, so the cohort join is co-partitioned (no second
+    * exchange of the big side; AQE sees both children hashed on
+    * user_id). The retention census then shuffles ≤ |cohorts| ×
+    * |offsets| rows. Cohort sizes are week-bounded — broadcast. */
+  def e9CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val acts = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts div $WeekNs").as("wk"))
+      .distinct()
+    val firsts = acts.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val sizes = firsts.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_n"))
+    acts.join(firsts, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("wk_offset"), col("n_active"),
+        col("cohort_n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x24_scd2_join" -> (x24Scd2Join _),
     "e6_sliding_distinct" -> (e6SlidingDistinct _),
-    "x25_robust_stats" -> (x25RobustStats _)
+    "x25_robust_stats" -> (x25RobustStats _),
+    "e8_max_concurrency" -> (e8MaxConcurrency _),
+    "e9_cohort_retention" -> (e9CohortRetention _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,6 +295,49 @@ object TemporalQueries {
          | FROM pairs GROUP BY hb)
          |SELECT hb, n_users_hour, n_users_roll
          |FROM hourly JOIN rolling USING (hb)""".stripMargin,
+    // identical sweep: ends-before-starts tie order (delta ASC) and
+    // event_id total-order tiebreak make the curve deterministic
+    "e8_max_concurrency" ->
+      s"""WITH iv AS (SELECT event_type, event_id,
+         |   epoch_us(ts) AS t0,
+         |   epoch_us(ts) + (((CAST(round(value * 100) AS BIGINT)
+         |     % $ConcDurModS + $ConcDurModS) % $ConcDurModS)
+         |     + $ConcDurMinS) * 1000000 AS t1
+         | FROM events WHERE value IS NOT NULL),
+         |pts AS (SELECT event_type, event_id, t0 AS t, 1 AS delta
+         |          FROM iv
+         |        UNION ALL
+         |        SELECT event_type, event_id, t1 AS t, -1 AS delta
+         |          FROM iv),
+         |curve AS (SELECT event_type, t,
+         |   CAST(sum(delta) OVER (PARTITION BY event_type
+         |     ORDER BY t, delta, event_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+         | FROM pts),
+         |peak AS (SELECT event_type, max(conc) AS max_conc
+         | FROM curve GROUP BY event_type),
+         |n AS (SELECT event_type, count(*) AS n_intervals
+         | FROM iv GROUP BY event_type)
+         |SELECT c.event_type, n_intervals, p.max_conc,
+         | min(c.t) AS t_first_peak, count(*) AS n_at_peak
+         |FROM curve c
+         |JOIN peak p ON c.event_type = p.event_type
+         |  AND c.conc = p.max_conc
+         |JOIN n ON c.event_type = n.event_type
+         |GROUP BY c.event_type, n_intervals, p.max_conc""".stripMargin,
+    "e9_cohort_retention" ->
+      s"""WITH acts AS (SELECT DISTINCT user_id,
+         |   epoch_ns(ts) // $WeekNs AS wk FROM events),
+         |firsts AS (SELECT user_id, min(wk) AS cohort_wk
+         | FROM acts GROUP BY user_id),
+         |sizes AS (SELECT cohort_wk, count(*) AS cohort_n
+         | FROM firsts GROUP BY cohort_wk)
+         |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+         | count(DISTINCT a.user_id) AS n_active, cohort_n
+         |FROM acts a
+         |JOIN firsts f ON a.user_id = f.user_id
+         |JOIN sizes s USING (cohort_wk)
+         |GROUP BY cohort_wk, wk_offset, cohort_n""".stripMargin,
     "x25_robust_stats" ->
       """WITH ev AS (SELECT event_type,
         |   CAST(round(value * 100) AS BIGINT) AS c

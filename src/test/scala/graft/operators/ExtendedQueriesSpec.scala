@@ -180,6 +180,32 @@ class ExtendedQueriesSpec extends SparkSpec {
       }
   }
 
+  test("weighted sample: equals the naive running-sum rule and " +
+    "keeps the data-scale window bucketed") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(1), 1L)))
+      .sortBy(_._1)
+    val tw = docs.map(_._2).sum
+    val stride = math.max(tw / ExtendedQueries.WeightedSampleK, 1L)
+    var cum = 0L
+    val expect = docs.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      if (before / stride < cum / stride) Some(id -> (w, cum))
+      else None
+    }.toMap
+    val out = ExtendedQueries.l11WeightedSample(spark, sfDir)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    // every pick carries weight >= any skipped doc could only by
+    // chance: instead check the systematic-design size bound
+    assert(math.abs(got.size - ExtendedQueries.WeightedSampleK) <= 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"running-sum window must shuffle by bucket:\n$plan")
+  }
+
   test("scalable rank family equals the naive global windows") {
     import org.apache.spark.sql.expressions.Window
     val got = ExtendedQueries.x21ScalableRanks(spark, sfDir)

@@ -69,4 +69,61 @@ class TemporalQueriesSpec extends SparkSpec {
       assert((modeC, modeN) == ((bestC, bestN.toLong)), s"$et mode")
     }
   }
+
+  test("max concurrency: first-principles sweep recompute") {
+    val got = TemporalQueries.e8MaxConcurrency(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val iv = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000"), round(col("value") * 100).cast("long"))
+      .collect().map { r =>
+        val c = r.getLong(3)
+        val dur = ((c % TemporalQueries.ConcDurModS +
+          TemporalQueries.ConcDurModS) % TemporalQueries.ConcDurModS +
+          TemporalQueries.ConcDurMinS) * 1000000L
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(2) + dur)
+      }
+    iv.groupBy(_._1).foreach { case (et, ivs) =>
+      val pts = ivs.flatMap(i =>
+        Seq((i._3, 1, i._2), (i._4, -1, i._2)))
+        .sortBy(p => (p._1, p._2, p._3))
+      val curve = pts.scanLeft(0L)((acc, p) => acc + p._2).tail
+      val peak = curve.max
+      val firstT = pts.zip(curve).filter(_._2 == peak).map(_._1._1)
+      val (nIv, maxC, tFirst, nAt) = got(et)
+      assert(nIv == ivs.length.toLong)
+      assert(maxC == peak, s"$et peak")
+      assert(tFirst == firstT.min, s"$et first-peak instant")
+      assert(nAt == firstT.length.toLong, s"$et rows at peak")
+    }
+    assert(got.keySet == iv.map(_._1).distinct.toSet)
+  }
+
+  test("cohort retention: driver recompute; week-0 row covers " +
+    "the full cohort") {
+    val acts = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr(s"ts div ${TemporalQueries.WeekNs}").as("wk"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val firsts = acts.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    val expect = acts.groupBy { case (u, wk) =>
+      (firsts(u), wk - firsts(u))
+    }.map { case (k, v) => k -> v.map(_._1).distinct.length.toLong }
+    val sizes = firsts.values.groupBy(identity).view
+      .mapValues(_.size.toLong)
+    val got = TemporalQueries.e9CohortRetention(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case ((cw, off), (nAct, cn)) =>
+      assert(nAct == expect((cw, off)))
+      assert(cn == sizes(cw))
+      if (off == 0L) assert(nAct == cn,
+        s"cohort $cw: every member is by definition active week 0")
+    }
+  }
 }
