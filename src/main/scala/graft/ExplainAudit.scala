@@ -94,7 +94,8 @@ object ExplainAudit {
         "x24_scd2_join", "e6_sliding_distinct", "x25_robust_stats",
         "x26_cube", "x27_copurchase", "e7_gapfill", "dd_edjoin",
         "sim_centroids", "e8_max_concurrency", "e9_cohort_retention",
-        "l11_weighted_sample")
+        "l11_weighted_sample", "x28_corr_matrix", "x29_scd2_build",
+        "p14_skew_profile", "sim_rand_proj")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -131,10 +131,148 @@ object OlapQueries {
         col("obs_c").isNull.as("is_gap"))
   }
 
+  // =================================================================
+  // x28_corr_matrix — exact-sums Pearson correlation
+  // =================================================================
+
+  /** Pearson correlations between lineitem measures from EXACT
+    * integer moment sums: quantize each measure to a long first
+    * (qty as units, price as whole dollars, discount/tax as
+    * per-mille), accumulate Σx, Σy, Σxy, Σx², Σy² as associative
+    * long sums in ONE pass, then derive r = (nΣxy − ΣxΣy) /
+    * (√(nΣx²−Σx²)·√(nΣy²−Σy²)) — both engines evaluate the SAME
+    * IEEE expression on identical integers, so even the double is
+    * hash-stable. `corr()` itself streams doubles and is
+    * partitioning-dependent; the moment-sum reformulation is the
+    * deterministic (and single-pass, map-side-combining) form.
+    *
+    * Dollar/per-mille quantization keeps Σxy ≤ ~5e6 per row —
+    * long-safe past 1e11 rows; at larger scales promote the moment
+    * sums to decimal(38,0), same plan. Output: one row per measure
+    * pair with the raw moments (auditable) and r. */
+  def x28CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir).select(
+      round(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_extendedprice")).cast("long").as("usd"),
+      round(col("l_discount") * 1000).cast("long").as("disc_pm"),
+      round(col("l_tax") * 1000).cast("long").as("tax_pm"))
+    val pairs = Seq(("qty", "usd"), ("qty", "disc_pm"),
+      ("usd", "tax_pm"))
+    val aggs = count(lit(1)).as("n") +: pairs.flatMap { case (x, y) =>
+      Seq(sum(col(x)).as(s"sx_${x}_$y"),
+        sum(col(y)).as(s"sy_${x}_$y"),
+        sum(col(x) * col(y)).as(s"sxy_${x}_$y"),
+        sum(col(x) * col(x)).as(s"sxx_${x}_$y"),
+        sum(col(y) * col(y)).as(s"syy_${x}_$y"))
+    }
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (x, y) =>
+      s"struct('${x}__$y' AS pair, sx_${x}_$y AS sx, " +
+        s"sy_${x}_$y AS sy, sxy_${x}_$y AS sxy, " +
+        s"sxx_${x}_$y AS sxx, syy_${x}_$y AS syy)"
+    }.mkString(", ")
+    wide.selectExpr("n", s"inline(array($stacked))")
+      .select(col("pair"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"),
+        // cast BEFORE combining: n·Σy² overflows int64 (1.3e19 at
+        // sf0.01 already); double products of exact ints are the
+        // same IEEE values in both engines
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .as("r"))
+  }
+
+  // =================================================================
+  // x29_scd2_build — state-change interval construction
+  // =================================================================
+
+  /** BUILDS the SCD2 history x24 consumes: collapse each user's
+    * time-ordered event stream into maximal runs of one event_type
+    * (gaps-and-islands), one interval row per run with its start,
+    * end (the next run's start; open for the live run) and event
+    * count — the change-data-capture compaction every warehouse
+    * applies to entity snapshots. Microsecond timeline (DuckDB reads
+    * parquet NANOS at µs); (ts, event_id) total order makes run
+    * boundaries deterministic.
+    *
+    * 100 TB shape: both windows partition by user_id — the natural
+    * entity key, millions of small partitions, no global sort. The
+    * run-id is a per-user cumulative sum of change flags (lag ≠
+    * current), the canonical islands id; the run table then shrinks
+    * to |runs| rows before the lead() window assigns closing
+    * timestamps. One shuffle key (user_id) serves flag, census and
+    * lead stages. */
+  def x29Scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val flagged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("t"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser)
+          .isNull.or(lag(col("event_type"), 1).over(byUser)
+            =!= col("event_type")), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("state"), // constant per run
+        min(col("t")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    runs.withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from"), col("run_id"))))
+      .select(col("user_id"), col("run_id"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
+  // =================================================================
+  // p14_skew_profile — join-key skew diagnostics
+  // =================================================================
+
+  /** Heavy keys reported by the skew profile. */
+  val SkewTopK = 10
+
+  /** Join-key skew diagnostics for l_partkey: the [[SkewTopK]]
+    * heaviest keys, each carrying the global census stats a
+    * planner's skew decision needs — key count, row count, max/median
+    * per-key multiplicity (×2-integer median), and the skew ratio
+    * max·n_keys·1000 div n_rows (1000 ≈ uniform) — the measurement
+    * step behind SkewJoin's salting decision, exposed as an operator.
+    *
+    * 100 TB shape: the census shuffles once on the key; every
+    * downstream stat is computed over |keys| rows, and the top-k is
+    * TakeOrderedAndProject (partial heaps), never a global sort. The
+    * single-row stats broadcast back onto k rows. */
+  def p14SkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val census = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val stats = census.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      round(expr("percentile(cnt, 0.5)") * 2).cast("long")
+        .as("med_cnt_x2"))
+    census.orderBy(col("cnt").desc, col("l_partkey")).limit(SkewTopK)
+      .crossJoin(broadcast(stats))
+      .select(col("l_partkey"), col("cnt"), col("n_keys"),
+        col("n_rows"), col("max_cnt"), col("med_cnt_x2"),
+        expr("max_cnt * n_keys * 1000 div n_rows").as("skew_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x26_cube" -> (x26Cube _),
     "x27_copurchase" -> (x27Copurchase _),
-    "e7_gapfill" -> (e7Gapfill _)
+    "e7_gapfill" -> (e7Gapfill _),
+    "x28_corr_matrix" -> (x28CorrMatrix _),
+    "x29_scd2_build" -> (x29Scd2Build _),
+    "p14_skew_profile" -> (p14SkewProfile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -160,6 +298,77 @@ object OlapQueries {
          |FROM pairs
          |JOIN freq f1 ON p1 = f1.p
          |JOIN freq f2 ON p2 = f2.p""".stripMargin,
+    "x28_corr_matrix" ->
+      """WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |   CAST(round(l_extendedprice) AS BIGINT) AS usd,
+        |   CAST(round(l_discount * 1000) AS BIGINT) AS disc_pm,
+        |   CAST(round(l_tax * 1000) AS BIGINT) AS tax_pm
+        | FROM lineitem),
+        |m AS (SELECT count(*) AS n,
+        |   CAST(sum(qty) AS BIGINT) AS sx1,
+        |   CAST(sum(usd) AS BIGINT) AS sy1,
+        |   CAST(sum(qty * usd) AS BIGINT) AS sxy1,
+        |   CAST(sum(qty * qty) AS BIGINT) AS sxx1,
+        |   CAST(sum(usd * usd) AS BIGINT) AS syy1,
+        |   CAST(sum(disc_pm) AS BIGINT) AS sy2,
+        |   CAST(sum(qty * disc_pm) AS BIGINT) AS sxy2,
+        |   CAST(sum(disc_pm * disc_pm) AS BIGINT) AS syy2,
+        |   CAST(sum(tax_pm) AS BIGINT) AS sy3,
+        |   CAST(sum(usd * tax_pm) AS BIGINT) AS sxy3,
+        |   CAST(sum(tax_pm * tax_pm) AS BIGINT) AS syy3
+        | FROM b)
+        |SELECT pair, n, sx, sy, sxy, sxx, syy,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM (
+        | SELECT 'qty__usd' AS pair, n, sx1 AS sx, sy1 AS sy,
+        |   sxy1 AS sxy, sxx1 AS sxx, syy1 AS syy FROM m
+        | UNION ALL
+        | SELECT 'qty__disc_pm', n, sx1, sy2, sxy2, sxx1, syy2 FROM m
+        | UNION ALL
+        | SELECT 'usd__tax_pm', n, sy1, sy3, sxy3, syy1, syy3 FROM m
+        |)""".stripMargin,
+    "x29_scd2_build" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS t FROM events),
+        |flagged AS (SELECT user_id, event_type, t, event_id,
+        |   CASE WHEN lag(event_type) OVER w IS NULL
+        |          OR lag(event_type) OVER w <> event_type
+        |        THEN 1 ELSE 0 END AS chg
+        | FROM ev
+        | WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |runs0 AS (SELECT user_id, event_type, t,
+        |   CAST(sum(chg) OVER (PARTITION BY user_id
+        |     ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS run_id
+        | FROM flagged),
+        |runs AS (SELECT user_id, run_id,
+        |   min(event_type) AS state,
+        |   min(t) AS valid_from, count(*) AS n_events
+        | FROM runs0 GROUP BY user_id, run_id)
+        |SELECT user_id, run_id, state, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id
+        |   ORDER BY valid_from, run_id) AS valid_to,
+        | n_events
+        |FROM runs""".stripMargin,
+    "p14_skew_profile" ->
+      s"""WITH census AS (SELECT l_partkey, count(*) AS cnt
+         | FROM lineitem GROUP BY l_partkey),
+         |stats AS (SELECT count(*) AS n_keys,
+         |   CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |   max(cnt) AS max_cnt,
+         |   CAST(round(quantile_cont(cnt, 0.5) * 2) AS BIGINT)
+         |     AS med_cnt_x2
+         | FROM census)
+         |SELECT l_partkey, cnt, n_keys, n_rows, max_cnt, med_cnt_x2,
+         | max_cnt * n_keys * 1000 // n_rows AS skew_pm
+         |FROM (SELECT * FROM census
+         |      ORDER BY cnt DESC, l_partkey LIMIT $SkewTopK)
+         |CROSS JOIN stats""".stripMargin,
     "e7_gapfill" ->
       s"""WITH hourly AS (SELECT event_type,
          |   epoch_ns(ts) // ${TemporalQueries.HourNs} AS hb,

@@ -856,9 +856,56 @@ object SimilarityQueries {
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
 
+  // =================================================================
+  // sim_rand_proj — Johnson-Lindenstrauss sign projection
+  // =================================================================
+
+  /** Output dimensionality of [[simRandProj]]. */
+  val ProjDims = 8
+
+  /** ±1 entry of the projection matrix for (output dim j, input dim
+    * i) — the [[planeSign]] hash chain under a different seed, so
+    * the projection matrix and the LSH planes are independent.
+    * Evaluated at plan/oracle construction time: the matrix is index
+    * metadata, embedded as literal ± terms in BOTH engines. */
+  private def projSign(j: Int, i: Int): Boolean =
+    (org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(j, org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(i, 43L)) & 1L) == 1L
+
+  /** Random sign projection (the Achlioptas/JL database-friendly
+    * variant): 64-dim float embeddings down to [[ProjDims]] integer
+    * coordinates, p_j = Σᵢ ±q_i over the quantized vector — the
+    * cheap dimensionality reduction run before clustering or
+    * coarse indexing at corpus scale. Quantize-then-sum (the
+    * [[simCentroids]] discipline) keeps every coordinate an exact
+    * long both engines agree on; the ±1 matrix needs no
+    * multiplication at all — each output is one codegen'd 64-term
+    * add/subtract chain, entirely map-side, zero shuffles.
+    *
+    * 100 TB shape: embarrassingly parallel scan→project; the only
+    * cost is the read. Downstream consumers bucket or cluster the
+    * 8-long rows instead of the 64-float originals — an 8× byte
+    * reduction before any exchange. */
+  def simRandProj(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> " +
+          s"cast(round(cast(x as double) * $CentroidScale) as bigint))")
+          .as("q"))
+    val projCols = (0 until ProjDims).map { j =>
+      val terms = (0 until 64).map { i =>
+        s"${if (projSign(j, i)) "+" else "-"} q[$i]"
+      }.mkString(" ")
+      expr(s"0L $terms").as(s"p$j")
+    }
+    q.select(col("vec_id") +: projCols: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "dd_edjoin" -> (ddEdJoin _),
     "sim_centroids" -> (simCentroids _),
+    "sim_rand_proj" -> (simRandProj _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
@@ -963,6 +1010,22 @@ object SimilarityQueries {
          |  CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
          |FROM k a JOIN k b ON a.doc_id < b.doc_id
          |WHERE levenshtein(a.k, b.k) <= $EdJoinMaxDist""".stripMargin,
+    // same literal ±-matrix transport as bucketSqlExpr; dim-64
+    // corpus-specific; 1-based e[i] mirrors the engine's 0-based q[i]
+    "sim_rand_proj" -> {
+      val projections = (0 until ProjDims).map { j =>
+        val terms = (0 until 64).map { i =>
+          s"${if (projSign(j, i)) "+" else "-"} " +
+            s"CAST(round(e[${i + 1}] * $CentroidScale) AS BIGINT)"
+        }.mkString(" ")
+        s"  (0 $terms) AS p$j"
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings)
+         |SELECT vec_id,
+         |$projections
+         |FROM q""".stripMargin
+    },
     // dim-64 index literal, corpus-specific like the other embedding
     // oracles; i is 1-based, pos 0-based to match posexplode
     "sim_centroids" ->

@@ -129,6 +129,91 @@ class OlapQueriesSpec extends SparkSpec {
         s"extra: ${(got.keySet -- expect.keySet).take(5)}")
   }
 
+  test("corr matrix: moment sums and r match a driver recompute") {
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice")).cast("long"),
+        round(col("l_discount") * 1000).cast("long"),
+        round(col("l_tax") * 1000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    def corr(xs: Array[Long], ys: Array[Long])
+      : (Long, Long, Long, Long, Long, Double) = {
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(b => b * b).sum)
+      val r = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+      (sx, sy, sxy, sxx, syy, r)
+    }
+    val expect = Map(
+      "qty__usd" -> corr(rows.map(_._1), rows.map(_._2)),
+      "qty__disc_pm" -> corr(rows.map(_._1), rows.map(_._3)),
+      "usd__tax_pm" -> corr(rows.map(_._2), rows.map(_._4)))
+    val got = OlapQueries.x28CorrMatrix(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)),
+        r.getLong(1))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (pair, (moments, n)) =>
+      assert(n == rows.length.toLong)
+      assert(moments == expect(pair), pair)
+      assert(math.abs(moments._6) <= 1.0, s"$pair r out of [-1,1]")
+    }
+  }
+
+  test("scd2 build: runs partition each user's stream, states " +
+    "alternate, intervals chain") {
+    val out = OlapQueries.x29Scd2Build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))
+    val events = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.map(_._6).sum == events.length.toLong,
+      "runs must partition the event stream")
+    out.groupBy(_._1).foreach { case (u, runs0) =>
+      val runs = runs0.sortBy(_._2)
+      // driver recompute of the run-length encoding
+      val stream = events.filter(_._1 == u).sortBy(e => (e._4, e._2))
+      val expectRuns = stream.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, (_, _, et, t)) =>
+          if (acc.nonEmpty && acc.last._1 == et)
+            acc.init :+ ((et, acc.last._2, acc.last._3 + 1))
+          else acc :+ ((et, t, 1L))
+      }
+      assert(runs.map(r => (r._3, r._4, r._6)).toVector == expectRuns,
+        s"user $u run encoding")
+      runs.sliding(2).filter(_.length == 2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a._3 != b._3, s"user $u: consecutive runs must differ")
+        assert(a._5.contains(b._4), s"user $u: valid_to must chain")
+      }
+      assert(runs.last._5.isEmpty, s"user $u: live run stays open")
+    }
+  }
+
+  test("skew profile: census recompute and skew ratio") {
+    val cnts = graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val top = cnts.sortBy(t => (-t._2, t._1)).take(OlapQueries.SkewTopK)
+    val got = OlapQueries.p14SkewProfile(spark, sfDir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      top.toSeq)
+    val r0 = got.head
+    assert(r0.getLong(2) == cnts.length.toLong)
+    assert(r0.getLong(3) == cnts.map(_._2).sum)
+    assert(r0.getLong(4) == cnts.map(_._2).max)
+    assert(r0.getLong(6) ==
+      r0.getLong(4) * r0.getLong(2) * 1000 / r0.getLong(3))
+  }
+
   test("centroids: exact integer sums match a driver recompute " +
     "and cover labels x dims") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)

@@ -329,4 +329,28 @@ class SimilarityQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gated == raw)
   }
+
+  test("random sign projection: driver recompute via the same hash " +
+    "chain; linearity over the quantized vectors") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def sign(j: Int, i: Int): Long =
+      if ((XXH64.hashInt(j, XXH64.hashInt(i, 43L)) & 1L) == 1L) 1L
+      else -1L
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val got = SimilarityQueries.simRandProj(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (1 to SimilarityQueries.ProjDims).map(c => r.getLong(c)))
+      .toMap
+    assert(got.size == emb.length)
+    emb.foreach { case (id, e) =>
+      val q = e.map(x => math.round(x.toDouble *
+        SimilarityQueries.CentroidScale))
+      val expect = (0 until SimilarityQueries.ProjDims).map { j =>
+        q.indices.map(i => sign(j, i) * q(i)).sum
+      }
+      assert(got(id) == expect, s"vec $id")
+    }
+  }
 }
