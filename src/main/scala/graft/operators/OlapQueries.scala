@@ -266,7 +266,71 @@ object OlapQueries {
         expr("max_cnt * n_keys * 1000 div n_rows").as("skew_pm"))
   }
 
+  // =================================================================
+  // x31_exact_median_2pass — distributed exact selection
+  // =================================================================
+
+  /** Coarse histogram bucket width (cents) for the two-pass exact
+    * median. Range/width ≈ 11k buckets on this corpus — census
+    * scale. */
+  val MedianBucketWidth = 1024L
+
+  /** EXACT global median in two scans and bounded memory — the
+    * 100 TB replacement for `percentile(c, 0.5)`, whose per-group
+    * sort materializes the whole column. Distributed selection:
+    * (1) coarse value-histogram census (range/[[MedianBucketWidth]]
+    * buckets) + a running count locates the bucket(s) holding the
+    * k-th elements; (2) a value census WITHIN those ≤ 2 buckets
+    * (≤ width distinct values each) ranks exactly. Lower+upper
+    * medians summed (×2) keep the even-count midpoint integer.
+    *
+    * Scale shape: two scans, shuffles keyed by bucket/value; the
+    * only SinglePartition window is over the bounded bucket census
+    * (the x20 discipline); target ranks and selected buckets travel
+    * as 1-or-2-row broadcasts. An all-ranks generalization is the
+    * same plan with k a column instead of a literal pair. */
+  def x31ExactMedian2pass(s: SparkSession, dir: String): DataFrame = {
+    val w = MedianBucketWidth
+    val vals = Tables.lineitem(s, dir)
+      .select(cents(col("l_extendedprice")).as("c"))
+    val nrow = vals.agg(count(lit(1)).as("n"))
+      .select(col("n"), expr("(n + 1) div 2").as("k1"),
+        expr("(n + 2) div 2").as("k2"))
+    val census = vals.groupBy(expr(s"c div $w").as("b"))
+      .agg(count(lit(1)).as("bn"))
+    val cw = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val coarse = census
+      .withColumn("cumb", coalesce(sum(col("bn")).over(cw), lit(0L)))
+    val sel = coarse.crossJoin(broadcast(nrow))
+      .filter((col("cumb") < col("k1") &&
+          col("k1") <= col("cumb") + col("bn")) ||
+        (col("cumb") < col("k2") &&
+          col("k2") <= col("cumb") + col("bn")))
+      .select(col("b"), col("cumb"))
+    val fw = Window.partitionBy(col("b")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals.withColumn("b", expr(s"c div $w"))
+      .join(broadcast(sel), "b")
+      .groupBy(col("b"), col("cumb"), col("c"))
+      .agg(count(lit(1)).as("vn"))
+      .withColumn("rb",
+        col("cumb") + coalesce(sum(col("vn")).over(fw), lit(0L)))
+      .crossJoin(broadcast(nrow))
+    val v1 = ranked
+      .filter(col("rb") < col("k1") &&
+        col("k1") <= col("rb") + col("vn"))
+      .select(col("n"), col("c").as("v1"))
+    val v2 = ranked
+      .filter(col("rb") < col("k2") &&
+        col("k2") <= col("rb") + col("vn"))
+      .select(col("c").as("v2"))
+    v1.crossJoin(v2)
+      .select(col("n"), (col("v1") + col("v2")).as("med_c_x2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x31_exact_median_2pass" -> (x31ExactMedian2pass _),
     "x26_cube" -> (x26Cube _),
     "x27_copurchase" -> (x27Copurchase _),
     "e7_gapfill" -> (e7Gapfill _),
@@ -298,6 +362,14 @@ object OlapQueries {
          |FROM pairs
          |JOIN freq f1 ON p1 = f1.p
          |JOIN freq f2 ON p2 = f2.p""".stripMargin,
+    // the SEMANTIC definition; the engine runs the two-pass
+    // selection — hash equality pins the reformulation
+    "x31_exact_median_2pass" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             AS c FROM lineitem)
+        |SELECT count(*) AS n,
+        | CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) AS med_c_x2
+        |FROM v""".stripMargin,
     "x28_corr_matrix" ->
       """WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
         |   CAST(round(l_extendedprice) AS BIGINT) AS usd,

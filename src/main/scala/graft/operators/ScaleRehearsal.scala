@@ -188,6 +188,22 @@ object ScaleRehearsal {
         (df.count(), t)
       }
 
+      // --- edit-distance join (r12): the prefix filter is uncapped
+      // by contract (losslessness), so what must stay bounded is its
+      // PRECISION — candidates vs verified true pairs. The planted
+      // exact-copy pile makes true pairs grow with the pile; the
+      // gate is candidates ≈ true pairs (no filter blowup), plus
+      // wall growth of the full verify path.
+      val (nEdCand, tEdCand) = time(
+        SimilarityQueries.edJoinCandidates(
+          SimilarityQueries.edJoinKeys(spark, dir)).count())
+      val (nEdPairs, tEdJoin) = {
+        val (df, t) = time {
+          val d = SimilarityQueries.ddEdJoin(spark, dir)
+          runNoop(d); d
+        }
+        (df.count(), t)
+      }
       println(s"""{"metric":"scale_rehearsal","n_docs":$n,""" +
         s""""candidates":$nCand,"hot_buckets":$hot,""" +
         s""""dropped_pairs":$dropped,""" +
@@ -197,12 +213,23 @@ object ScaleRehearsal {
         s""""lshann_sec":${f"$tLshAnn%.2f"},""" +
         s""""ivf_sec":${f"$tIvf%.2f"},""" +
         s""""winnow_sec":${f"$tWinnow%.2f"},""" +
-        s""""winnow_pairs":$nWinnowPairs}""")
+        s""""winnow_pairs":$nWinnowPairs,""" +
+        s""""edjoin_sec":${f"$tEdJoin%.2f"},""" +
+        s""""edjoin_cand_sec":${f"$tEdCand%.2f"},""" +
+        s""""edjoin_cand":$nEdCand,"edjoin_pairs":$nEdPairs}""")
+      // edjoin_cand / edjoin_pairs absolute counts are OUTPUT-bound
+      // (the planted pile's true pairs are quadratic in pile size by
+      // construction) — the gated quantities are the filter's
+      // precision (candidates per true pair; blowup would show the
+      // prefix filter degrading) and the wall time
       (n, Map("candidates" -> nCand.toDouble, "lsh_sec" -> tLsh,
         "cc_sec" -> tCc, "decon_sec" -> tDecon,
         "lshann_sec" -> tLshAnn, "ivf_sec" -> tIvf,
         "winnow_sec" -> tWinnow,
-        "winnow_pairs" -> nWinnowPairs.toDouble))
+        "winnow_pairs" -> nWinnowPairs.toDouble,
+        "edjoin_sec" -> tEdJoin,
+        "edjoin_cand_per_pair" ->
+          (nEdCand.toDouble / math.max(1L, nEdPairs))))
     }
 
     // growth exponents between smallest and largest corpus:

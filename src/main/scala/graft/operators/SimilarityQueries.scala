@@ -786,12 +786,41 @@ object SimilarityQueries {
     * verify, on candidates the filter already proved share a rare
     * gram. Keys shorter than d·q + q would need a length-bucket
     * fallback (the bound degenerates); this corpus can't produce
-    * one. */
+    * one. The filter is deliberately UNCAPPED (a hot-bucket drop
+    * would break the lossless contract the all-pairs oracle
+    * certifies), so on an exact-duplicate pile the candidate set is
+    * the pile's true n² distance-0 pairs — output-bound, not
+    * filter-bound; the pipeline discipline is exact dedup
+    * (dd_exact_group) BEFORE fuzzy join, same as every production
+    * record-linkage stack. ScaleRehearsal measures candidates vs
+    * true pairs to pin the filter's precision. */
   def ddEdJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keys = Tables.documents(s, dir)
+    val keys = edJoinKeys(s, dir)
+    edJoinCandidates(keys)
+      .join(keys.select(col("doc_id").as("id_a"), col("k").as("ka")),
+        "id_a")
+      .join(keys.select(col("doc_id").as("id_b"), col("k").as("kb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        // threshold form: banded O(d·len) DP that bails at d+1,
+        // returning -1 — not the full O(len²) matrix
+        levenshtein(col("ka"), col("kb"), EdJoinMaxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** The [[ddEdJoin]] comparison keys. */
+  private[operators] def edJoinKeys(s: SparkSession,
+      dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         substring(col("text"), 1, EdJoinKeyLen).as("k"))
+
+  /** [[ddEdJoin]] stages 1–4: the prefix-filtered candidate pair
+    * set (id_a < id_b, distinct), BEFORE levenshtein verification —
+    * exposed so ScaleRehearsal can measure candidate growth and
+    * filter precision separately from verify cost. */
+  private[operators] def edJoinCandidates(keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = keys
       .select(col("doc_id"),
         explode(expr(s"transform(" +
@@ -807,20 +836,12 @@ object SimilarityQueries {
           .orderBy(col("nf"), col("g"), col("occ"))))
       .filter(col("rk") <= EdJoinPrefix)
       .select(col("doc_id"), col("g"), col("occ"))
-    val cand = prefix.as("a")
+    prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
-      .join(keys.select(col("doc_id").as("id_a"), col("k").as("ka")),
-        "id_a")
-      .join(keys.select(col("doc_id").as("id_b"), col("k").as("kb")),
-        "id_b")
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("ka"), col("kb")).as("dist"))
-      .filter(col("dist") <= EdJoinMaxDist)
   }
 
   // =================================================================

@@ -214,6 +214,27 @@ class OlapQueriesSpec extends SparkSpec {
       r0.getLong(4) * r0.getLong(2) * 1000 / r0.getLong(3))
   }
 
+  test("2-pass median: sorted recompute; cross-bucket straddle " +
+    "resolves exactly") {
+    val cs = graft.core.Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cs.length
+    val expect = cs((n + 1) / 2 - 1) + cs((n + 2) / 2 - 1)
+    val got = OlapQueries.x31ExactMedian2pass(spark, sfDir).head()
+    assert(got.getLong(0) == n.toLong)
+    assert(got.getLong(1) == expect)
+    // planted even-count corpus whose two middle values live in
+    // DIFFERENT coarse buckets (1023 | 1025 around the 1024 edge)
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_median_straddle").toString
+    Seq(0.07, 10.23, 10.25, 99.99).toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = OlapQueries.x31ExactMedian2pass(spark, tmp).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1023L + 1025L)
+  }
+
   test("centroids: exact integer sums match a driver recompute " +
     "and cover labels x dims") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
