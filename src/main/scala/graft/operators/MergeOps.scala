@@ -49,11 +49,68 @@ object MergeOps {
           .otherwise("updated").as("action"))
   }
 
+  /** Delta cutoff for [[m11IncrAgg]]: rows shipped on/after this
+    * date are "the new batch". Mid-corpus (range 1995..2001), so
+    * both partitions are substantial. Interpolated into the
+    * oracle. */
+  val IncrAggSplit = "1999-01-01"
+
+  /** Incremental aggregate maintenance: a materialized per-(flag,
+    * status) aggregate built from the historical partition, MERGED
+    * with a freshly-aggregated delta batch by summing mergeable
+    * partials — count, sum, and sum-of-squares states re-aggregate
+    * with plain addition, and avg/variance derive from them after
+    * the merge, never before. The output must be indistinguishable
+    * from a full recompute, which is exactly what the oracle checks
+    * (it aggregates the whole table in one pass).
+    *
+    * 100 TB shape: this is the contract that lets a daily pipeline
+    * aggregate ONLY the new partition (delta scan) and fold it into
+    * yesterday's state (|keys|-sized, broadcastable) instead of
+    * rescanning history — the merge itself shuffles |keys| × 2
+    * rows. The anti-pattern it replaces: storing avg and "merging"
+    * it by averaging averages. */
+  def m11IncrAgg(s: SparkSession, dir: String): DataFrame = {
+    // whole dollars, not cents: the sum-of-squares state must stay
+    // long-safe at any corpus scale (1e5² × 1e12 rows < 2^63)
+    def partial(df: DataFrame): DataFrame = df
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice")).cast("long").as("usd"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("usd")).as("sum_usd"),
+        sum(col("usd") * col("usd")).as("sumsq_usd"))
+    val li = Tables.lineitem(s, dir)
+    val state = partial(li.filter(col("l_shipdate") < lit(IncrAggSplit)))
+    val delta = partial(li.filter(col("l_shipdate") >= lit(IncrAggSplit)))
+    state.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_usd")).as("sum_usd"),
+        sum(col("sumsq_usd")).as("sumsq_usd"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("sum_usd"), col("sumsq_usd"),
+        // derived AFTER the merge, from exact integer states
+        (col("sum_usd").cast("double") / col("n").cast("double"))
+          .as("avg_usd"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "m10_merge_upsert" -> (m10MergeUpsert _)
+    "m10_merge_upsert" -> (m10MergeUpsert _),
+    "m11_incr_agg" -> (m11IncrAgg _)
   )
 
   val oracle: Map[String, String] = Map(
+    // ONE full-table pass: if the engine's state+delta merge drifted
+    // from a clean recompute in any way, the hash would catch it
+    "m11_incr_agg" ->
+      """WITH v AS (SELECT l_returnflag, l_linestatus,
+        |   CAST(round(l_extendedprice) AS BIGINT) AS usd
+        | FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(usd) AS BIGINT) AS sum_usd,
+        | CAST(sum(usd * usd) AS BIGINT) AS sumsq_usd,
+        | CAST(sum(usd) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |   AS avg_usd
+        |FROM v GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "m10_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey,
         |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

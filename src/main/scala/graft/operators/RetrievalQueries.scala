@@ -242,7 +242,53 @@ object RetrievalQueries {
           .as("n_shared"))
   }
 
+  // =================================================================
+  // t_trgm_like — trigram-index LIKE acceleration
+  // =================================================================
+
+  /** The substring the accelerated LIKE searches for (a phrase that
+    * occurs in a handful of corpus docs at every SF). Interpolated
+    * into the oracle's `LIKE '%…%'`. */
+  val LikePattern = "spark order data"
+
+  /** Accelerated `LIKE '%pattern%'` via a trigram index — the
+    * pg_trgm plan: a doc can contain the substring only if it
+    * contains EVERY one of the substring's trigrams (lossless by
+    * construction), so candidates = docs whose trigram sets cover
+    * the pattern's trigram set, and only those few pay the actual
+    * substring verify. The naive plan `instr` scans every byte of
+    * every doc; this one touches full text only for candidates.
+    *
+    * 100 TB shape: doc trigrams are generated map-side and
+    * immediately filtered against the BROADCAST pattern-trigram
+    * array (a literal — tiny), so the exchange carries only
+    * (doc, pattern-trigram-hits): |docs| × |pattern trigrams| worst
+    * case, usually far less. The coverage census shuffles on
+    * doc_id; the verify is a join back to the docs table on its
+    * key. With a persisted postings table (doc↔trigram, the l5
+    * manifest pattern) the scan stage becomes an index lookup and
+    * nothing else changes. */
+  def tTrgmLike(s: SparkSession, dir: String): DataFrame = {
+    val q = LikePattern
+    val patGrams = (0 to q.length - 3).map(i => q.substring(i, i + 3))
+      .distinct
+    val docs = Tables.documents(s, dir)
+    val hits = docs
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(" +
+          "sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substring(text, i, 3)))")).as("g"))
+      .filter(col("g").isin(patGrams: _*))
+    val cands = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === patGrams.length)
+    cands.join(docs, "doc_id")
+      .select(col("doc_id"), instr(col("text"), q).as("first_pos"))
+      .filter(col("first_pos") > 0)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_trgm_like" -> (tTrgmLike _),
     "t_bm25_topk" -> (tBm25TopK _),
     "t_dsir_weight" -> (tDsirWeight _),
     "dd_chunk_dedup" -> (ddChunkDedup _),
@@ -250,6 +296,14 @@ object RetrievalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the SEMANTIC definition (full LIKE scan); the engine runs the
+    // trigram-index plan — equality certifies losslessness
+    "t_trgm_like" ->
+      s"""SELECT doc_id,
+         | CAST(position('$LikePattern' IN text) AS INTEGER)
+         |   AS first_pos
+         |FROM documents
+         |WHERE text LIKE '%$LikePattern%'""".stripMargin,
     // all multipliers interpolated from the SAME Scala constants the
     // engine uses; ln quantized once per distinct df (ADVICE
     // discipline: quantize at the ln, never the product)

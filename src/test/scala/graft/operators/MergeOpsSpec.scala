@@ -41,4 +41,33 @@ class MergeOpsSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("incremental agg merge is indistinguishable from a full " +
+    "recompute, and both partitions contribute") {
+    val li = Tables.lineitem(spark, sfDir)
+    val full = li
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice")).cast("long").as("usd"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("usd")).as("sum_usd"),
+        sum(col("usd") * col("usd")).as("sumsq_usd"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = MergeOps.m11IncrAgg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == full.keySet)
+    got.foreach { case (k, (n, s1, s2, avg)) =>
+      assert((n, s1, s2) == full(k), s"state+delta merge drift at $k")
+      assert(avg == s1.toDouble / n.toDouble)
+    }
+    // fixture: the split really divides the data (else the test
+    // degenerates to a plain aggregate)
+    val nOld = li.filter(col("l_shipdate") <
+      lit(MergeOps.IncrAggSplit)).count()
+    val nNew = li.filter(col("l_shipdate") >=
+      lit(MergeOps.IncrAggSplit)).count()
+    assert(nOld > 0 && nNew > 0, s"split fixture: $nOld / $nNew")
+  }
 }

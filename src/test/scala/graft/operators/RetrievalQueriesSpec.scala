@@ -200,4 +200,35 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert((fixedBase & fixedMut).size == 6,
       "fixed chunking should shift-break after the insertion")
   }
+
+  test("trgm LIKE: planted corpus — trigram-coverage false positive " +
+    "is rejected by the verify, true matches carry instr positions") {
+    import spark.implicits._
+    val p = RetrievalQueries.LikePattern // "spark order data"
+    val docs = Seq(
+      (0L, s"prefix words then $p and a tail"),       // true match
+      (1L, p),                                        // exact doc
+      // every trigram of p present (two overlapping halves swapped)
+      // but the full substring absent — coverage says candidate,
+      // verify must reject
+      (2L, "order datax yspark order dat park order data spar"),
+      (3L, "completely unrelated content here"),
+      (4L, s"double $p again $p twice")                // first pos only
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_trgm_planted").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // fixture check: doc 2 really covers all trigrams of p
+    val grams = (0 to p.length - 3).map(i => p.substring(i, i + 3)).toSet
+    val d2 = "order datax yspark order dat park order data spar"
+    val d2grams = (0 to d2.length - 3).map(i => d2.substring(i, i + 3)).toSet
+    assert(grams.subsetOf(d2grams) && !d2.contains(p),
+      "planted false positive must cover trigrams without containing")
+    val got = RetrievalQueries.tTrgmLike(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = Seq(0L, 1L, 4L).map(id =>
+      id -> (docs.collect().find(_.getLong(0) == id).get
+        .getString(1).indexOf(p) + 1)).toMap
+    assert(got == expect, s"got $got, expected $expect")
+  }
 }
