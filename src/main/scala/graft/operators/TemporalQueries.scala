@@ -184,17 +184,21 @@ object TemporalQueries {
     * x20_scalable_rownum two-level discipline. The argmax of the
     * curve is a second grouped pass against the broadcast per-type
     * peak, not a re-sort. */
-  def e8MaxConcurrency(s: SparkSession, dir: String): DataFrame = {
-    // microsecond timeline: DuckDB reads the parquet TIMESTAMP(NANOS)
-    // column at µs precision, so the sweep runs on identical integer
-    // instants in both engines only after `ts div 1000`
-    val iv = Tables.events(s, dir)
+  /** Shared synthetic intervals for e8/e10 — microsecond timeline:
+    * DuckDB reads the parquet TIMESTAMP(NANOS) column at µs
+    * precision, so the sweep runs on identical integer instants in
+    * both engines only after `ts div 1000`. */
+  private def sweepIntervals(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("event_id"),
         expr("ts div 1000").as("t0"),
         (expr("ts div 1000") +
           (pmod(cents(col("value")), lit(ConcDurModS)) +
             ConcDurMinS) * lit(1000000L)).as("t1"))
+
+  def e8MaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = sweepIntervals(s, dir)
     val points = iv.select(col("event_type"), col("event_id"),
         col("t0").as("t"), lit(1).as("delta"))
       .unionAll(iv.select(col("event_type"), col("event_id"),
@@ -216,6 +220,44 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_intervals"))), "event_type")
       .select(col("event_type"), col("n_intervals"), col("max_conc"),
         col("t_first_peak"), col("n_at_peak"))
+  }
+
+  // =================================================================
+  // e10_interval_coverage — union-of-intervals covered time
+  // =================================================================
+
+  /** Covered time per event type — the measure of the intervals'
+    * UNION (overlaps counted once): the sibling of e8's peak, via
+    * the same sweep. Between consecutive sweep points, concurrency
+    * is constant; the union length is the sum of segment widths
+    * where it is positive. Output also carries the type's total
+    * span and integer per-mille utilization.
+    *
+    * 100 TB shape: identical to e8 — per-type sweep windows (the
+    * lead() rides the SAME window sort, no extra exchange), then
+    * one grouped sum. */
+  def e10IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val iv = sweepIntervals(s, dir)
+    val points = iv.select(col("event_type"), col("event_id"),
+        col("t0").as("t"), lit(1).as("delta"))
+      .unionAll(iv.select(col("event_type"), col("event_id"),
+        col("t1").as("t"), lit(-1).as("delta")))
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+    val segs = points
+      .withColumn("conc", sum(col("delta")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", lead(col("t"), 1).over(ord))
+    val covered = segs.groupBy(col("event_type"))
+      .agg(sum(when(col("conc") > 0,
+        coalesce(col("nxt") - col("t"), lit(0L))).otherwise(0L))
+        .as("covered_us"))
+    val span = iv.groupBy(col("event_type"))
+      .agg(min(col("t0")).as("lo"), max(col("t1")).as("hi"))
+      .select(col("event_type"), (col("hi") - col("lo")).as("span_us"))
+    covered.join(span, "event_type")
+      .select(col("event_type"), col("covered_us"), col("span_us"),
+        expr("covered_us * 1000 div span_us").as("util_pm"))
   }
 
   // =================================================================
@@ -258,7 +300,8 @@ object TemporalQueries {
     "e6_sliding_distinct" -> (e6SlidingDistinct _),
     "x25_robust_stats" -> (x25RobustStats _),
     "e8_max_concurrency" -> (e8MaxConcurrency _),
-    "e9_cohort_retention" -> (e9CohortRetention _)
+    "e9_cohort_retention" -> (e9CohortRetention _),
+    "e10_interval_coverage" -> (e10IntervalCoverage _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -325,6 +368,36 @@ object TemporalQueries {
          |  AND c.conc = p.max_conc
          |JOIN n ON c.event_type = n.event_type
          |GROUP BY c.event_type, n_intervals, p.max_conc""".stripMargin,
+    "e10_interval_coverage" ->
+      s"""WITH iv AS (SELECT event_type, event_id,
+         |   epoch_us(ts) AS t0,
+         |   epoch_us(ts) + (((CAST(round(value * 100) AS BIGINT)
+         |     % $ConcDurModS + $ConcDurModS) % $ConcDurModS)
+         |     + $ConcDurMinS) * 1000000 AS t1
+         | FROM events WHERE value IS NOT NULL),
+         |pts AS (SELECT event_type, event_id, t0 AS t, 1 AS delta
+         |          FROM iv
+         |        UNION ALL
+         |        SELECT event_type, event_id, t1 AS t, -1 AS delta
+         |          FROM iv),
+         |segs AS (SELECT event_type,
+         |   CAST(sum(delta) OVER w AS BIGINT) AS conc,
+         |   lead(t) OVER w2 - t AS width
+         | FROM pts
+         | WINDOW w AS (PARTITION BY event_type
+         |   ORDER BY t, delta, event_id ROWS UNBOUNDED PRECEDING),
+         | w2 AS (PARTITION BY event_type
+         |   ORDER BY t, delta, event_id)),
+         |cov AS (SELECT event_type,
+         |   CAST(sum(CASE WHEN conc > 0
+         |     THEN coalesce(width, 0) ELSE 0 END) AS BIGINT)
+         |     AS covered_us
+         | FROM segs GROUP BY event_type),
+         |sp AS (SELECT event_type, max(t1) - min(t0) AS span_us
+         | FROM iv GROUP BY event_type)
+         |SELECT event_type, covered_us, span_us,
+         | covered_us * 1000 // span_us AS util_pm
+         |FROM cov JOIN sp USING (event_type)""".stripMargin,
     "e9_cohort_retention" ->
       s"""WITH acts AS (SELECT DISTINCT user_id,
          |   epoch_ns(ts) // $WeekNs AS wk FROM events),

@@ -102,6 +102,39 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(got.keySet == iv.map(_._1).distinct.toSet)
   }
 
+  test("interval coverage: merged-interval recompute; covered <= " +
+    "span; covered >= longest single interval") {
+    val iv = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("ts div 1000"),
+        round(col("value") * 100).cast("long"))
+      .collect().map { r =>
+        val c = r.getLong(2)
+        val dur = ((c % TemporalQueries.ConcDurModS +
+          TemporalQueries.ConcDurModS) % TemporalQueries.ConcDurModS +
+          TemporalQueries.ConcDurMinS) * 1000000L
+        (r.getString(0), r.getLong(1), r.getLong(1) + dur)
+      }
+    val got = TemporalQueries.e10IntervalCoverage(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    iv.groupBy(_._1).foreach { case (et, ivs) =>
+      // classic merge-sorted-intervals recompute
+      val sorted = ivs.map(i => (i._2, i._3)).sortBy(identity)
+      var (covered, curLo, curHi) = (0L, sorted.head._1, sorted.head._2)
+      sorted.tail.foreach { case (lo, hi) =>
+        if (lo > curHi) { covered += curHi - curLo; curLo = lo; curHi = hi }
+        else curHi = math.max(curHi, hi)
+      }
+      covered += curHi - curLo
+      val (cov, span, utilPm) = got(et)
+      assert(cov == covered, s"$et union length")
+      assert(span == sorted.map(_._2).max - sorted.map(_._1).min)
+      assert(cov <= span && cov >= ivs.map(i => i._3 - i._2).max)
+      assert(utilPm == cov * 1000 / span)
+    }
+  }
+
   test("cohort retention: driver recompute; week-0 row covers " +
     "the full cohort") {
     val acts = graft.core.Tables.events(spark, sfDir)
