@@ -96,7 +96,8 @@ object ExplainAudit {
         "sim_centroids", "e8_max_concurrency", "e9_cohort_retention",
         "l11_weighted_sample", "x28_corr_matrix", "x29_scd2_build",
         "p14_skew_profile", "sim_rand_proj", "x31_exact_median_2pass",
-        "t_trgm_like", "m11_incr_agg", "e10_interval_coverage")
+        "t_trgm_like", "m11_incr_agg", "e10_interval_coverage",
+        "x32_quantile_bands")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -329,7 +329,60 @@ object OlapQueries {
       .select(col("n"), (col("v1") + col("v2")).as("med_c_x2"))
   }
 
+  /** Per-mille quantile probes for [[x32QuantileBands]]. */
+  val QuantileBandsPm: Seq[Int] = Seq(250, 500, 750, 950, 990)
+
+  /** The all-ranks generalization [[x31ExactMedian2pass]] promises:
+    * EXACT type-1 quantiles (value at rank ⌈p·n⌉) for the whole
+    * [[QuantileBandsPm]] band set in the SAME two scans — k becomes
+    * a column, nothing else changes. The coarse census is joined
+    * against the broadcast rank table to pick each rank's bucket;
+    * the fine in-bucket census resolves every rank exactly. Output
+    * (p_pm, k, val) stays all-integer; the oracle derives the same
+    * ranks with an explicit row_number selection.
+    *
+    * Scale shape: identical to x31 — the rank table is |bands| rows,
+    * the selected-buckets broadcast ≤ |bands| rows, and the fine
+    * pass reads only those buckets' rows. percentile(array(...)) on
+    * the same data would sort every group in memory; approx twins
+    * trade exactness; this is the exact-AND-bounded plan. */
+  def x32QuantileBands(s: SparkSession, dir: String): DataFrame = {
+    val w = MedianBucketWidth
+    val vals = Tables.lineitem(s, dir)
+      .select(cents(col("l_extendedprice")).as("c"))
+    val ks = vals.agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(array(
+        QuantileBandsPm.map(p => lit(p)): _*)).as("p_pm"))
+      .select(col("p_pm"),
+        expr("(n * p_pm + 999) div 1000").as("k"))
+    val census = vals.groupBy(expr(s"c div $w").as("b"))
+      .agg(count(lit(1)).as("bn"))
+    val cw = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val coarse = census
+      .withColumn("cumb", coalesce(sum(col("bn")).over(cw), lit(0L)))
+    val sel = coarse.crossJoin(broadcast(ks))
+      .filter(col("cumb") < col("k") &&
+        col("k") <= col("cumb") + col("bn"))
+      .select(col("b"), col("cumb"), col("p_pm"), col("k"))
+    val buckets = sel.select(col("b"), col("cumb")).distinct()
+    val fw = Window.partitionBy(col("b")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals.withColumn("b", expr(s"c div $w"))
+      .join(broadcast(buckets), "b")
+      .groupBy(col("b"), col("cumb"), col("c"))
+      .agg(count(lit(1)).as("vn"))
+      .withColumn("rb",
+        col("cumb") + coalesce(sum(col("vn")).over(fw), lit(0L)))
+    ranked.join(broadcast(sel.select(col("b"), col("p_pm"),
+        col("k"))), "b")
+      .filter(col("rb") < col("k") &&
+        col("k") <= col("rb") + col("vn"))
+      .select(col("p_pm"), col("k"), col("c").as("val"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x32_quantile_bands" -> (x32QuantileBands _),
     "x31_exact_median_2pass" -> (x31ExactMedian2pass _),
     "x26_cube" -> (x26Cube _),
     "x27_copurchase" -> (x27Copurchase _),
@@ -362,6 +415,21 @@ object OlapQueries {
          |FROM pairs
          |JOIN freq f1 ON p1 = f1.p
          |JOIN freq f2 ON p2 = f2.p""".stripMargin,
+    // explicit rank selection — the engine's two-pass plan must
+    // surface the exact same (p, k, value) triples
+    "x32_quantile_bands" -> {
+      val bandList = QuantileBandsPm.mkString(", ")
+      s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         |             AS c FROM lineitem),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+         |        count(*) OVER () AS n
+         |      FROM v),
+         |p AS (SELECT unnest([$bandList]) AS p_pm)
+         |SELECT CAST(p_pm AS INTEGER) AS p_pm,
+         |  CAST((n * p_pm + 999) // 1000 AS BIGINT) AS k,
+         |  c AS val
+         |FROM r JOIN p ON rn = (n * p_pm + 999) // 1000""".stripMargin
+    },
     // the SEMANTIC definition; the engine runs the two-pass
     // selection — hash equality pins the reformulation
     "x31_exact_median_2pass" ->

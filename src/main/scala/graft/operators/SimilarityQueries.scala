@@ -829,8 +829,10 @@ object SimilarityQueries {
     * and it is what keeps low-entropy key spaces (few distinct
     * grams, many positions) from exploding the candidate set: the
     * same trigram 15 positions apart can never witness a ≤ d-edit
-    * pair. Measured on the rehearsal's 500-word-vocab corpus this
-    * position filter cut candidates ~40× at 50k docs. */
+    * pair. Measured on the rehearsal's 500-word-vocab corpus at 50k
+    * docs, the position filter cuts candidates 129.6M → 27.9M
+    * (4.6×) and end-to-end wall 230 → 23 s (10×, the banded
+    * levenshtein compounding); growth exponent 1.17 → 1.03. */
   private[operators] def edJoinCandidates(keys: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = keys

@@ -235,6 +235,23 @@ class OlapQueriesSpec extends SparkSpec {
     assert(r.getLong(0) == 4L && r.getLong(1) == 1023L + 1025L)
   }
 
+  test("quantile bands: every band matches the sorted recompute " +
+    "and bands are monotone") {
+    val cs = graft.core.Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cs.length.toLong
+    val got = OlapQueries.x32QuantileBands(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == OlapQueries.QuantileBandsPm.toSet)
+    OlapQueries.QuantileBandsPm.foreach { p =>
+      val k = (n * p + 999) / 1000
+      assert(got(p) == ((k, cs((k - 1).toInt))), s"p=$p")
+    }
+    val vals = OlapQueries.QuantileBandsPm.sorted.map(got(_)._2)
+    assert(vals == vals.sorted, "quantile values must be monotone")
+  }
+
   test("centroids: exact integer sums match a driver recompute " +
     "and cover labels x dims") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
