@@ -69,8 +69,8 @@ object GraphQueries {
     pr.select(col("node"), col("pr"))
   }
 
-  /** Distributed triangle counting on the co-supply graph (suppliers
-    * joined by a shared part) — the MapReduce classic (Suri &
+  /** Distributed triangle counting on the co-purchase graph (parts
+    * joined by a shared order) — the MapReduce classic (Suri &
     * Vassilvitskii, WWW'11): orient every undirected edge from its
     * lower-(degree, id) endpoint, enumerate wedges only at each
     * node's out-neighborhood, and close them against the oriented
@@ -78,20 +78,31 @@ object GraphQueries {
     * O(sqrt(|E|)) on skewed graphs — the hub that breaks the naive
     * u<v<w triple join is exactly the node the orientation silences.
     *
-    * 100 TB shape: three equi-joins, no inequality-only join
-    * anywhere: edge build groups on partkey (suppliers-per-part is
-    * bounded), wedge enumeration self-joins the oriented edges on
-    * src, closure is an equi-join on the (lo, hi) edge key itself.
+    * Graph choice (r12): parts-per-ORDER, not suppliers-per-part —
+    * the supplier universe is so small that by sf0.1 its co-supply
+    * graph saturated to the COMPLETE K₁₀₀₀ (499,500 = C(1000,2)
+    * edges, 1.66e8 triangles, 26 s of pure output enumeration);
+    * the part graph stays sparse at every SF (sf0.1: 20k nodes,
+    * 1.2M edges, 1.9M triangles) and is the market-basket graph
+    * x27 mines pairwise.
+    *
+    * 100 TB shape: equi-joins only, no inequality-only join
+    * anywhere: edge build groups on orderkey (parts-per-order is
+    * basket-bounded), and the closure is the EDGE-ITERATOR — each
+    * oriented edge meets the two endpoints' sorted out-neighbor
+    * arrays (size ≤ O(√E) by the orientation) and counts their
+    * intersection in a codegen'd expression, so the exchange
+    * carries |E| adjacency-decorated edges, never the wedge fanout.
     * The triangle COUNT is orientation-invariant, so the oracle can
     * use the simple id-ordered triple join — same number, different
     * (quadratic-in-hub) plan that is fine at oracle scale. */
   def g6Triangles(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(s, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val edges = pairs.as("x").join(pairs.as("y"), Seq("p"))
-      .filter(col("x.sk") < col("y.sk"))
-      .select(col("x.sk").as("u"), col("y.sk").as("v"))
+    val edges = pairs.as("x").join(pairs.as("y"), Seq("o"))
+      .filter(col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
       .distinct()
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
@@ -104,21 +115,25 @@ object GraphQueries {
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(when(
           struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          struct(col("u").as("s"), col("v").as("t"),
-            col("dv").as("dt")))
-        .otherwise(struct(col("v").as("s"), col("u").as("t"),
-          col("du").as("dt"))).as("e"))
-      .select(col("e.s").as("src"), col("e.t").as("dst"),
-        col("e.dt").as("ddst"))
-    // each triangle a≺b≺c is found exactly once: as the wedge
-    // (a→b, a→c) at its ≺-lowest corner, closed by oriented edge b→c
-    val wedges = dedges.as("a").join(dedges.as("b"), Seq("src"))
-      .filter(struct(col("a.ddst"), col("a.dst")) <
-        struct(col("b.ddst"), col("b.dst")))
-      .select(col("a.dst").as("src"), col("b.dst").as("dst"))
-    val tri = wedges
-      .join(dedges.select("src", "dst"), Seq("src", "dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t")))
+        .as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"))
+    // edge-iterator closure: a triangle with oriented edges a→b,
+    // a→c, b→c is counted exactly once, at edge (a,b), as a common
+    // out-neighbor c ∈ N⁺(a) ∩ N⁺(b). Carrying SORTED adjacency
+    // arrays (out-degree ≤ O(√E) by the orientation) to each edge
+    // replaces the wedge fanout — the wedge-join formulation
+    // shuffled ~70M wedge rows at sf0.1 (11.5 s); the per-edge
+    // codegen'd array_intersect does the same closure in-place.
+    val adj = dedges.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tri = dedges
+      .join(adj, "src")
+      .join(adj.select(col("src").as("dst"),
+        col("nbrs").as("nbrs_dst")), Seq("dst"))
+      .agg(sum(size(array_intersect(col("nbrs"), col("nbrs_dst"))))
+        .cast("long").as("n_triangles"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri)
@@ -156,11 +171,11 @@ object GraphQueries {
       // triple join and the engine's degree-ordered wedge closure
       // agree on the number while having very different hub behavior
       "g6_triangles" ->
-        """WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+        """WITH pairs AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
           |              FROM lineitem),
-          |edges AS (SELECT DISTINCT x.sk AS u, y.sk AS v
+          |edges AS (SELECT DISTINCT x.p AS u, y.p AS v
           |          FROM pairs x JOIN pairs y
-          |            ON x.p = y.p AND x.sk < y.sk),
+          |            ON x.o = y.o AND x.p < y.p),
           |nodes AS (SELECT u AS n FROM edges
           |          UNION SELECT v FROM edges),
           |tri AS (SELECT count(*) AS c

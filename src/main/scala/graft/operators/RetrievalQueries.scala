@@ -273,12 +273,15 @@ object RetrievalQueries {
     val patGrams = (0 to q.length - 3).map(i => q.substring(i, i + 3))
       .distinct
     val docs = Tables.documents(s, dir)
+    // intersect with the literal pattern-gram array BEFORE exploding:
+    // <= |pattern grams| rows leave each doc, not its whole gram set
+    val patLit = patGrams.map(g => s"'${g.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
     val hits = docs
       .select(col("doc_id"),
-        explode(expr("array_distinct(transform(" +
+        explode(expr("array_intersect(array_distinct(transform(" +
           "sequence(1, greatest(length(text) - 2, 1)), " +
-          "i -> substring(text, i, 3)))")).as("g"))
-      .filter(col("g").isin(patGrams: _*))
+          s"i -> substring(text, i, 3))), $patLit)")).as("g"))
     val cands = hits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("ng"))
       .filter(col("ng") === patGrams.length)

@@ -42,14 +42,14 @@ class GraphQueriesSpec extends SparkSpec {
     assert(pr.count() == expectedNodes)
   }
 
-  test("triangles: planted co-supply graph counted exactly") {
+  test("triangles: planted co-purchase graph counted exactly") {
     import spark.implicits._
-    // part 1 shared by suppliers 1,2,3 (one triangle); part 2 by
-    // suppliers 3,4 (an edge that closes nothing)
+    // order 1 contains parts 1,2,3 (one triangle); order 2 parts
+    // 3,4 (an edge that closes nothing)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_tri").toString
     Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
-      .toDF("l_partkey", "l_suppkey")
+      .toDF("l_orderkey", "l_partkey")
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
     val r = GraphQueries.g6Triangles(spark, tmp).head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 1L)))
@@ -57,7 +57,7 @@ class GraphQueriesSpec extends SparkSpec {
 
   test("triangles on the corpus equal a brute-force recount") {
     val pairs = Tables.lineitem(spark, sfDir)
-      .select("l_partkey", "l_suppkey").distinct().collect()
+      .select("l_orderkey", "l_partkey").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val edges = pairs.groupBy(_._1).values.flatMap { sup =>
       val ss = sup.map(_._2).distinct.sorted
