@@ -100,10 +100,14 @@ object GraphQueries {
     val pairs = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+    // the basket self-join + distinct is the expensive subtree and
+    // feeds THREE consumers (degree census, orientation, edge
+    // count) — materialize once, the g5 edge-cache discipline
     val edges = pairs.as("x").join(pairs.as("y"), Seq("o"))
       .filter(col("x.p") < col("y.p"))
       .select(col("x.p").as("u"), col("y.p").as("v"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -119,6 +123,8 @@ object GraphQueries {
         .otherwise(struct(col("v").as("s"), col("u").as("t")))
         .as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"))
+      .localCheckpoint() // consumed by the adjacency build AND the
+                         // per-edge closure join
     // edge-iterator closure: a triangle with oriented edges a→b,
     // a→c, b→c is counted exactly once, at edge (a,b), as a common
     // out-neighbor c ∈ N⁺(a) ∩ N⁺(b). Carrying SORTED adjacency
