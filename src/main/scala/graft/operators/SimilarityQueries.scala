@@ -891,6 +891,84 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
 
   // =================================================================
+  // dd_containment — asymmetric near-superset detection
+  // =================================================================
+
+  /** Per-mille containment threshold: emit (a, b) when
+    * |Ga ∩ Gb| / |Ga| ≥ this/1000. Interpolated into the oracle. */
+  val ContainmentTauPm = 800L
+
+  /** Hot-postings cap for the candidate join: grams whose global
+    * document frequency exceeds this are dropped from the POSTING
+    * side (boilerplate grams index nothing useful). The cap never
+    * binds on the oracle corpus — the hash-green all-pairs compare
+    * certifies that — and at scale it bounds the worst posting
+    * list exactly like the LSH hot-bucket discipline. */
+  val ContainmentPostingsCap = 64L
+
+  /** Directional containment join: all ORDERED pairs (a, b) with
+    * |Ga ∩ Gb| ≥ τ·|Ga| over word-3-gram sets — the asymmetric
+    * near-SUPERSET relation symmetric Jaccard cannot see (a doc
+    * quoted wholesale inside a larger one scores Jaccard ≈
+    * |a|/|b| → 0 but containment 1.0). The dedup policy this feeds:
+    * drop the contained doc, keep the superset.
+    *
+    * Candidate generation is the asymmetric prefix filter: if
+    * |Ga ∩ Gb| ≥ τ|Ga|, then among the (|Ga| − ⌈τ|Ga|⌉ + 1) RAREST
+    * grams of a (global frequency order), at least one lies in Gb
+    * (pigeonhole) — so probing the inverted gram index with only
+    * each doc's short rare-prefix is lossless. The probe side is
+    * |docs| × prefix rows of 8-byte hashes; the posting side is the
+    * capped inverted index; verification is one codegen'd
+    * array_intersect per surviving ordered pair.
+    *
+    * 100 TB shape: the postings table IS the inverted index a
+    * production system would persist; probe grams are each doc's
+    * rarest, so the equi-join's per-key fanout is small by
+    * construction and capped at [[ContainmentPostingsCap]] against
+    * boilerplate. Shuffles carry hashes and ids only; full gram
+    * arrays travel once, to decorate the verify join. */
+  def ddContainment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        transform(wordGramExpr("words", 3), g => xxhash64(g)).as("g"))
+      .withColumn("na", size(col("g")).cast("long"))
+      .localCheckpoint() // grams + postings + both verify sides
+    val grams = docs.select(col("doc_id"), col("na"),
+      explode(col("g")).as("gr"))
+    val freq = grams.groupBy(col("gr")).agg(count(lit(1)).as("nf"))
+    val prefix = grams.join(freq, "gr")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("nf"), col("gr"))))
+      .filter(col("rk") <=
+        col("na") - expr(s"($ContainmentTauPm * na + 999) div 1000")
+          + 1)
+      .select(col("doc_id").as("id_a"), col("gr"))
+    val posts = grams
+      .join(freq.filter(col("nf") <= ContainmentPostingsCap), "gr")
+      .select(col("gr"), col("doc_id").as("id_b"))
+    val cand = prefix.join(posts, "gr")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("g").as("ga"),
+        col("na")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("g").as("gb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long")
+          .as("n_shared"),
+        col("na"))
+      .filter(col("n_shared") * 1000 >= lit(ContainmentTauPm) * col("na"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("na"),
+        (col("n_shared").cast("double") / col("na").cast("double"))
+          .as("containment"))
+  }
+
+  // =================================================================
   // sim_rand_proj — Johnson-Lindenstrauss sign projection
   // =================================================================
 
@@ -938,6 +1016,7 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     "dd_edjoin" -> (ddEdJoin _),
+    "dd_containment" -> (ddContainment _),
     "sim_centroids" -> (simCentroids _),
     "sim_rand_proj" -> (simRandProj _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -1035,6 +1114,25 @@ object SimilarityQueries {
     }.mkString("(", "\n + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // all-ORDERED-pairs ground truth over the string gram sets —
+    // certifies both the asymmetric prefix filter's losslessness
+    // and that the postings cap never bound on this corpus
+    "dd_containment" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_distinct(list_transform(
+         |          range(1, greatest(len(w) - 2, 1) + 1),
+         |          i -> array_to_string(w[i:i+2], ' '))) AS g
+         |      FROM w)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared,
+         |  CAST(len(a.g) AS BIGINT) AS na,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |    / CAST(len(a.g) AS DOUBLE) AS containment
+         |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.g, b.g)) * 1000
+         |  >= $ContainmentTauPm * len(a.g)""".stripMargin,
     // all-pairs ground truth: verifies the prefix filter is LOSSLESS
     // on the real corpus, not just that the verify step is right
     "dd_edjoin" ->

@@ -47,6 +47,19 @@ class DeterminismSpec extends SparkSpec {
       "raw sums should at least be close")
   }
 
+  test("quantize-then-sum centroids are bitwise stable across " +
+    "partitionings — the order sim_centroids fixes") {
+    def run(parts: Int) = canon(
+      Tables.embeddings(spark, sfDir).repartition(parts)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+          round(col("col").cast("double") *
+            SimilarityQueries.CentroidScale).cast("long").as("q"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q")))
+    assert(run(2) == run(13))
+  }
+
   test("windowed running totals are stable across partitionings") {
     import org.apache.spark.sql.expressions.Window
     def run(parts: Int) = canon {

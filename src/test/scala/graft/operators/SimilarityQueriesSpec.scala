@@ -330,6 +330,31 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(gated == raw)
   }
 
+  test("containment: a doc quoted inside a larger one is caught at " +
+    "1.0 where Jaccard would score it away; direction matters") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val big = small + " " + (1 to 60).map(i => s"beta$i").mkString(" ")
+    val other = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_containment").toString
+    Seq((0L, small), (1L, big), (2L, other)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SimilarityQueries.ddContainment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (shared, na, cont) = got((0L, 1L))
+    assert(cont == 1.0 && shared == na,
+      s"small-inside-big must be full containment: $cont")
+    assert(!got.contains((1L, 0L)),
+      "the superset is NOT contained in the subset")
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // the relation Jaccard can't see: Ga ⊆ Gb makes the union just
+    // Gb — 10 alpha grams + 2 boundary-bridge grams + 58 beta grams
+    val jac = shared.toDouble / 70.0
+    assert(jac < 0.5, s"planted pair must be Jaccard-invisible: $jac")
+  }
+
   test("random sign projection: driver recompute via the same hash " +
     "chain; linearity over the quantized vectors") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
