@@ -16,6 +16,7 @@ object GraftFunctions {
     SignLshBucket.register(ext)
     WinnowFps.register(ext)
     GramHashes.register(ext)
+    IntersectCount.register(ext)
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -27,5 +28,6 @@ object GraftFunctions {
     SignLshBucket.ensureRegistered(spark)
     WinnowFps.ensureRegistered(spark)
     GramHashes.ensureRegistered(spark)
+    IntersectCount.ensureRegistered(spark)
   }
 }

@@ -132,14 +132,17 @@ object GraphQueries {
     // replaces the wedge fanout — the wedge-join formulation
     // shuffled ~70M wedge rows at sf0.1 (11.5 s); the per-edge
     // codegen'd array_intersect does the same closure in-place.
+    graft.functions.IntersectCount.ensureRegistered(s)
     val adj = dedges.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val tri = dedges
       .join(adj, "src")
       .join(adj.select(col("src").as("dst"),
         col("nbrs").as("nbrs_dst")), Seq("dst"))
-      .agg(sum(size(array_intersect(col("nbrs"), col("nbrs_dst"))))
-        .cast("long").as("n_triangles"))
+      // native sorted-merge count: no per-pair hash table, no
+      // materialized intersection array (adjacency is sort_array'd)
+      .agg(sum(call_function("intersect_count", col("nbrs"),
+        col("nbrs_dst"))).cast("long").as("n_triangles"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri)

@@ -930,10 +930,14 @@ object SimilarityQueries {
     * arrays travel once, to decorate the verify join. */
   def ddContainment(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.IntersectCount.ensureRegistered(s)
     val docs = Tables.documents(s, dir)
       .withColumn("words", split(col("text"), " "))
+      // sort ONCE per doc so the verify can run the native
+      // sorted-merge intersect_count per pair
       .select(col("doc_id"),
-        transform(wordGramExpr("words", 3), g => xxhash64(g)).as("g"))
+        sort_array(transform(wordGramExpr("words", 3),
+          g => xxhash64(g))).as("g"))
       .withColumn("na", size(col("g")).cast("long"))
       .localCheckpoint() // grams + postings + both verify sides
     val grams = docs.select(col("doc_id"), col("na"),
@@ -959,7 +963,7 @@ object SimilarityQueries {
       .join(docs.select(col("doc_id").as("id_b"), col("g").as("gb")),
         "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ga"), col("gb"))).cast("long")
+        call_function("intersect_count", col("ga"), col("gb"))
           .as("n_shared"),
         col("na"))
       .filter(col("n_shared") * 1000 >= lit(ContainmentTauPm) * col("na"))
