@@ -381,7 +381,43 @@ object OlapQueries {
       .select(col("p_pm"), col("k"), col("c").as("val"))
   }
 
+  // =================================================================
+  // p15_impute — group-median null imputation
+  // =================================================================
+
+  /** Null repair by group statistic: every null `value` filled with
+    * its event_type's median (integer floor of the ×2-exact median,
+    * so both engines agree bit-for-bit), original kept alongside and
+    * the repair flagged — the imputation step every feature pipeline
+    * runs before training, with the provenance column that makes it
+    * auditable. The driver corpus happens to be null-free (the
+    * oracle then pins the fill expression and flags), so the
+    * null-repair path itself is exercised by the planted-null
+    * spec.
+    *
+    * 100 TB shape: the median table is |types| rows (broadcast); the
+    * fill itself is map-side coalesce. Exact per-group medians
+    * assume per-group sort fits the executor (the x8/x8b twin rule);
+    * with unbounded groups swap in the x31/x32 two-pass selection —
+    * same broadcast join, same fill. */
+  def p15Impute(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("value").isNotNull, cents(col("value"))).as("c"))
+    val med = ev.filter(col("c").isNotNull)
+      .groupBy(col("event_type"))
+      // shiftright = FLOOR halving for either sign, matching the
+      // oracle's `// 2` (Spark `div` truncates toward zero instead)
+      .agg(expr("shiftright(CAST(round(percentile(c, 0.5) * 2) " +
+        "AS BIGINT), 1)").as("med_c"))
+    ev.join(broadcast(med), "event_type")
+      .select(col("event_id"), col("event_type"), col("c"),
+        coalesce(col("c"), col("med_c")).as("filled_c"),
+        col("c").isNull.as("was_imputed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p15_impute" -> (p15Impute _),
     "x32_quantile_bands" -> (x32QuantileBands _),
     "x31_exact_median_2pass" -> (x31ExactMedian2pass _),
     "x26_cube" -> (x26Cube _),
@@ -415,6 +451,19 @@ object OlapQueries {
          |FROM pairs
          |JOIN freq f1 ON p1 = f1.p
          |JOIN freq f2 ON p2 = f2.p""".stripMargin,
+    "p15_impute" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |   CASE WHEN value IS NOT NULL
+        |        THEN CAST(round(value * 100) AS BIGINT) END AS c
+        | FROM events),
+        |med AS (SELECT event_type,
+        |   CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) // 2
+        |     AS med_c
+        | FROM ev WHERE c IS NOT NULL GROUP BY event_type)
+        |SELECT event_id, ev.event_type, c,
+        | coalesce(c, med_c) AS filled_c,
+        | c IS NULL AS was_imputed
+        |FROM ev JOIN med USING (event_type)""".stripMargin,
     // explicit rank selection — the engine's two-pass plan must
     // surface the exact same (p, k, value) triples
     "x32_quantile_bands" -> {

@@ -252,6 +252,25 @@ class OlapQueriesSpec extends SparkSpec {
     assert(vals == vals.sorted, "quantile values must be monotone")
   }
 
+  test("impute: planted nulls fill with the group median floor, " +
+    "originals flagged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_impute").toString
+    Seq((1L, "a", Some(1.0)), (2L, "a", Some(2.0)),
+      (3L, "a", Some(3.0)), (4L, "a", None),
+      (5L, "b", Some(10.0)), (6L, "b", None))
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = OlapQueries.p15Impute(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(4L) == ((200L, true)), "a-median 2.00 fills the null")
+    assert(got(6L) == ((1000L, true)), "b-median 10.00 fills the null")
+    assert(got(1L) == ((100L, false)) && got(5L) == ((1000L, false)))
+    assert(got.size == 6)
+  }
+
   test("centroids: exact integer sums match a driver recompute " +
     "and cover labels x dims") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
