@@ -97,7 +97,8 @@ object ExplainAudit {
         "l11_weighted_sample", "x28_corr_matrix", "x29_scd2_build",
         "p14_skew_profile", "sim_rand_proj", "x31_exact_median_2pass",
         "t_trgm_like", "m11_incr_agg", "e10_interval_coverage",
-        "x32_quantile_bands", "dd_containment", "p15_impute")
+        "x32_quantile_bands", "dd_containment", "p15_impute",
+        "p16_benford", "e11_conversion_lag")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

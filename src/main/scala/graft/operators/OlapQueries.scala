@@ -416,7 +416,45 @@ object OlapQueries {
         col("c").isNull.as("was_imputed"))
   }
 
+  // =================================================================
+  // p16_benford — first-digit distribution vs Benford's law
+  // =================================================================
+
+  /** Benford expectation per leading digit, in per-mille:
+    * ⌊log10(1 + 1/d) · 1000⌋ — computed ONCE here and interpolated
+    * into both engines, the single-source-of-truth discipline. */
+  val BenfordPm: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1000).toLong)
+
+  /** First-digit census of price cents against Benford's law — the
+    * classic fabricated-data screen, as a data-quality operator:
+    * per digit, the exact count, observed per-mille, and the
+    * Benford expectation, plus the absolute deviation the consumer
+    * thresholds on. All integer (the log10 constants are baked at
+    * plan-construction time).
+    *
+    * 100 TB shape: one scan, map-side digit extraction, a 9-row
+    * census, broadcast total. Nothing else. */
+  def p16Benford(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(s, dir)
+      .select(substring(cents(col("l_extendedprice"))
+        .cast("string"), 1, 1).cast("int").as("digit"))
+    val census = digits.groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = census.agg(sum(col("n")).as("tot"))
+    val expect = BenfordPm.map { case (d, pm) =>
+      s"WHEN digit = $d THEN ${pm}L"
+    }.mkString("CASE ", " ", " END")
+    census.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div tot").as("observed_pm"),
+        expr(expect).as("benford_pm"))
+      .withColumn("deviation_pm",
+        abs(col("observed_pm") - col("benford_pm")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p16_benford" -> (p16Benford _),
     "p15_impute" -> (p15Impute _),
     "x32_quantile_bands" -> (x32QuantileBands _),
     "x31_exact_median_2pass" -> (x31ExactMedian2pass _),
@@ -451,6 +489,22 @@ object OlapQueries {
          |FROM pairs
          |JOIN freq f1 ON p1 = f1.p
          |JOIN freq f2 ON p2 = f2.p""".stripMargin,
+    "p16_benford" -> {
+      val expect = BenfordPm.map { case (d, pm) =>
+        s"WHEN digit = $d THEN $pm"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(
+         |   l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+         |   AS INTEGER) AS digit FROM lineitem),
+         |census AS (SELECT digit, count(*) AS n FROM d
+         |           GROUP BY digit),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM census)
+         |SELECT digit, n, n * 1000 // tot AS observed_pm,
+         | CAST($expect AS BIGINT) AS benford_pm,
+         | abs(n * 1000 // tot - CAST($expect AS BIGINT))
+         |   AS deviation_pm
+         |FROM census CROSS JOIN t""".stripMargin
+    },
     "p15_impute" ->
       """WITH ev AS (SELECT event_id, event_type,
         |   CASE WHEN value IS NOT NULL

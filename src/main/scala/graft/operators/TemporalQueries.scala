@@ -295,7 +295,38 @@ object TemporalQueries {
         col("cohort_n"))
   }
 
+  // =================================================================
+  // e11_conversion_lag — first-view → first-purchase latency
+  // =================================================================
+
+  /** Per-user conversion latency: the gap between a user's FIRST
+    * view and their first purchase at-or-after it — the timing
+    * metric the e5 funnel's pure counts leave out. Emitted as exact
+    * integer microseconds for every converting user; consumers
+    * aggregate (x8/x32 quantiles) downstream.
+    *
+    * 100 TB shape: both aggregates key on user_id — the
+    * first-view table and the purchase stream co-partition, so the
+    * candidate join adds no exchange beyond the grouped mins. The
+    * at-or-after predicate rides the hash join as its non-equi
+    * residual. */
+  def e11ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("tv"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t"))
+    firstView.join(purchases, "user_id")
+      .filter(col("t") >= col("tv"))
+      .groupBy(col("user_id"), col("tv"))
+      .agg(min(col("t")).as("tp"))
+      .select(col("user_id"), (col("tp") - col("tv")).as("lag_us"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e11_conversion_lag" -> (e11ConversionLag _),
     "x24_scd2_join" -> (x24Scd2Join _),
     "e6_sliding_distinct" -> (e6SlidingDistinct _),
     "x25_robust_stats" -> (x25RobustStats _),
@@ -368,6 +399,14 @@ object TemporalQueries {
          |  AND c.conc = p.max_conc
          |JOIN n ON c.event_type = n.event_type
          |GROUP BY c.event_type, n_intervals, p.max_conc""".stripMargin,
+    "e11_conversion_lag" ->
+      """WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS tv
+        | FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (SELECT f.user_id, tv, min(epoch_us(ts)) AS tp
+        | FROM fv f JOIN events e ON f.user_id = e.user_id
+        | WHERE e.event_type = 'purchase' AND epoch_us(ts) >= tv
+        | GROUP BY f.user_id, tv)
+        |SELECT user_id, tp - tv AS lag_us FROM fp""".stripMargin,
     "e10_interval_coverage" ->
       s"""WITH iv AS (SELECT event_type, event_id,
          |   epoch_us(ts) AS t0,

@@ -271,6 +271,27 @@ class OlapQueriesSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("benford: digit census recompute; constants from one source") {
+    val cs = graft.core.Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    val census = cs.map(_.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val got = OlapQueries.p16Benford(spark, sfDir).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == census.keySet.toSet)
+    got.foreach { case (d, (n, obsPm, benPm, dev)) =>
+      assert(n == census(d))
+      assert(obsPm == n * 1000 / cs.length)
+      assert(benPm == OlapQueries.BenfordPm.toMap.apply(d))
+      assert(dev == math.abs(obsPm - benPm))
+    }
+    // sanity: the expectation column really is Benford (d=1 ~ 30.1%)
+    assert(OlapQueries.BenfordPm.head == ((1, 301L)))
+  }
+
   test("centroids: exact integer sums match a driver recompute " +
     "and cover labels x dims") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)

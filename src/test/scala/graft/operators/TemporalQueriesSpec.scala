@@ -135,6 +135,26 @@ class TemporalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("conversion lag: first-principles recompute; only " +
+    "converting users appear; lags non-negative") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val after = rows.filter(r => r._2 == "purchase" && r._3 >= tv)
+        if (after.isEmpty) None else Some(u -> (after.map(_._3).min - tv))
+      }
+    }
+    val got = TemporalQueries.e11ConversionLag(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect.toMap)
+    got.values.foreach(l => assert(l >= 0))
+  }
+
   test("cohort retention: driver recompute; week-0 row covers " +
     "the full cohort") {
     val acts = graft.core.Tables.events(spark, sfDir)
