@@ -47,7 +47,8 @@ object BatchScoring {
     try {
       val total = scored.count()
       val fraud = scored.filter(col("fraud_prediction") === 1)
-        .select(input.columns.map(col) :+ col("fraud_probability"): _*)
+        .select((input.columns.map(col) :+ col("fraud_probability"))
+          .toIndexedSeq: _*)
       val nFraud = fraud.count()
       if (nFraud > 0) Sinks.csvAppend(fraud, fraudCsvDir)
       val stats = InferenceStats(total, nFraud,

@@ -580,13 +580,15 @@ object SimilarityQueries {
     val ball = masks.map(_ ^ qBucket)
     val lshRow = emb.filter(col("vec_id") =!= 0).agg(
       count(lit(1)).as("n"),
-      sum(when(col("bucket").isin(ball.map(java.lang.Long.valueOf): _*),
+      sum(when(col("bucket")
+          .isin(ball.map(java.lang.Long.valueOf).toIndexedSeq: _*),
         1L).otherwise(0L)).as("scanned")).head()
     val lshFrac = lshRow.getLong(1).toDouble / math.max(1L, lshRow.getLong(0))
     val (assigned, probes, _) = ivfTopology(s, dir)
     val ivfRow = assigned.filter(col("vec_id") =!= 0).agg(
       count(lit(1)).as("n"),
-      sum(when(col("cell").isin(probes.map(Integer.valueOf): _*),
+      sum(when(col("cell")
+          .isin(probes.map(Integer.valueOf).toIndexedSeq: _*),
         1L).otherwise(0L)).as("scanned")).head()
     val ivfFrac = ivfRow.getLong(1).toDouble / math.max(1L, ivfRow.getLong(0))
     (lshFrac, ivfFrac)
@@ -693,7 +695,8 @@ object SimilarityQueries {
     graft.functions.CosineSimilarity.ensureRegistered(s)
     val (assigned, probes, query) = ivfTopology(s, dir)
     assigned
-      .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("cell")
+        .isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
         expr(s"cosine_sim(e, cast(array(${query.mkString(",")}) " +

@@ -68,7 +68,7 @@ object StatefulOps {
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       key: String, maxDelay: String = "1 hour"): DataFrame = {
     val l = left.withWatermark("eventTime", maxDelay)
-    val r = right.toDF(right.columns.map("r_" + _): _*)
+    val r = right.toDF(right.columns.map("r_" + _).toIndexedSeq: _*)
       .withWatermark("r_eventTime", maxDelay)
     l.join(r,
       col(key) === col(s"r_$key") &&
