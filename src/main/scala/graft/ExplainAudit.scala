@@ -98,7 +98,8 @@ object ExplainAudit {
         "p14_skew_profile", "sim_rand_proj", "x31_exact_median_2pass",
         "t_trgm_like", "m11_incr_agg", "e10_interval_coverage",
         "x32_quantile_bands", "dd_containment", "p15_impute",
-        "p16_benford", "e11_conversion_lag")
+        "p16_benford", "e11_conversion_lag", "x33_winsorize",
+        "e12_anomaly")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

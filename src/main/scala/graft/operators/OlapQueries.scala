@@ -453,7 +453,51 @@ object OlapQueries {
         abs(col("observed_pm") - col("benford_pm")))
   }
 
+  // =================================================================
+  // x33_winsorize — exact per-group percentile clipping
+  // =================================================================
+
+  /** Winsorization band in per-mille: clip below p[lo] and above
+    * p[hi]. Interpolated into the oracle. */
+  val WinsorLoPm = 50
+  val WinsorHiPm = 950
+
+  /** Winsorize event values per type at exact type-1 quantiles
+    * (value at rank ⌈p·n⌉) — the outlier-capping feature-prep step,
+    * emitted with the original value and a clip direction so the
+    * repair is auditable. Type-1 quantiles are plain integers both
+    * engines select identically; no interpolation, no floats.
+    *
+    * 100 TB shape: rank windows partition by event_type (the x8
+    * per-group-sort caveat; unbounded groups → the x31/x32 two-pass
+    * selection per group, same join-back). Bounds are a |types|-row
+    * broadcast; the clip is map-side. */
+  def x33Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        cents(col("value")).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val bounds = ranked
+      .filter(col("rn") === expr(s"(n * $WinsorLoPm + 999) div 1000") ||
+        col("rn") === expr(s"(n * $WinsorHiPm + 999) div 1000"))
+      .groupBy(col("event_type"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("c"),
+        greatest(least(col("c"), col("hi")), col("lo"))
+          .as("clipped_c"),
+        when(col("c") < col("lo"), lit("low"))
+          .when(col("c") > col("hi"), lit("high"))
+          .otherwise(lit("kept")).as("clip"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x33_winsorize" -> (x33Winsorize _),
     "p16_benford" -> (p16Benford _),
     "p15_impute" -> (p15Impute _),
     "x32_quantile_bands" -> (x32QuantileBands _),
@@ -489,6 +533,25 @@ object OlapQueries {
          |FROM pairs
          |JOIN freq f1 ON p1 = f1.p
          |JOIN freq f2 ON p2 = f2.p""".stripMargin,
+    "x33_winsorize" ->
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |   CAST(round(value * 100) AS BIGINT) AS c
+         | FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, c,
+         |   row_number() OVER (PARTITION BY event_type ORDER BY c)
+         |     AS rn,
+         |   count(*) OVER (PARTITION BY event_type) AS n
+         | FROM ev),
+         |b AS (SELECT event_type, min(c) AS lo, max(c) AS hi
+         | FROM r
+         | WHERE rn = (n * $WinsorLoPm + 999) // 1000
+         |    OR rn = (n * $WinsorHiPm + 999) // 1000
+         | GROUP BY event_type)
+         |SELECT event_id, ev.event_type, c,
+         | greatest(least(c, hi), lo) AS clipped_c,
+         | CASE WHEN c < lo THEN 'low' WHEN c > hi THEN 'high'
+         |      ELSE 'kept' END AS clip
+         |FROM ev JOIN b USING (event_type)""".stripMargin,
     "p16_benford" -> {
       val expect = BenfordPm.map { case (d, pm) =>
         s"WHEN digit = $d THEN $pm"

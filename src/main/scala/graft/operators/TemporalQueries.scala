@@ -325,7 +325,59 @@ object TemporalQueries {
       .select(col("user_id"), (col("tp") - col("tv")).as("lag_us"))
   }
 
+  // =================================================================
+  // e12_anomaly — rolling z-score burst detection
+  // =================================================================
+
+  /** Trailing window length (hours) and z threshold for
+    * [[e12Anomaly]]. Interpolated into the oracle. */
+  val AnomTrailHours = 24
+
+  /** Hourly event-count anomalies per type: each hour scored
+    * against the mean/stddev of the previous [[AnomTrailHours]]
+    * hours (current hour EXCLUDED — a burst must not mask itself).
+    * The spine is dense (missing hours count 0, the e7 discipline),
+    * otherwise "24 trailing rows" silently stops meaning "24
+    * trailing hours". The moment sums are exact integers; mean,
+    * sample stddev and z are the same IEEE expression on identical
+    * ints in both engines, so even the doubles hash-compare.
+    * Constant windows (stddev 0) yield NULL z.
+    *
+    * 100 TB shape: identical to e7 — one shrinking pre-aggregation,
+    * a sequence-explode spine, hour-bounded per-type windows. */
+  def e12Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = HourNs
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr(s"ts div $hourNs").as("hb"))
+      .groupBy(col("event_type"), col("hb"))
+      .agg(count(lit(1)).as("x"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hb")).as("mn"), max(col("hb")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hb"))
+    val dense = spine.join(hourly, Seq("event_type", "hb"), "left")
+      .select(col("event_type"), col("hb"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+      .rowsBetween(-AnomTrailHours, -1)
+    dense
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("sw", sum(col("x")).over(w))
+      .withColumn("ssw", sum(col("x") * col("x")).over(w))
+      .filter(col("wn") === AnomTrailHours)
+      .withColumn("z", expr(
+        s"""CASE WHEN $AnomTrailHours * ssw - sw * sw > 0 THEN
+           |  (CAST(x AS DOUBLE) - CAST(sw AS DOUBLE) / $AnomTrailHours.0)
+           |  / sqrt(CAST($AnomTrailHours * ssw - sw * sw AS DOUBLE)
+           |         / ${AnomTrailHours * (AnomTrailHours - 1)}.0)
+           |END""".stripMargin))
+      .select(col("event_type"), col("hb"), col("x"), col("sw"),
+        col("ssw"), col("z"),
+        coalesce(abs(col("z")) > 3.0d, lit(false)).as("is_anomaly"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e12_anomaly" -> (e12Anomaly _),
     "e11_conversion_lag" -> (e11ConversionLag _),
     "x24_scd2_join" -> (x24Scd2Join _),
     "e6_sliding_distinct" -> (e6SlidingDistinct _),
@@ -399,6 +451,39 @@ object TemporalQueries {
          |  AND c.conc = p.max_conc
          |JOIN n ON c.event_type = n.event_type
          |GROUP BY c.event_type, n_intervals, p.max_conc""".stripMargin,
+    "e12_anomaly" -> {
+      val h = AnomTrailHours
+      s"""WITH hourly AS (SELECT event_type,
+         |   epoch_ns(ts) // $HourNs AS hb, count(*) AS x
+         | FROM events GROUP BY event_type, hb),
+         |spine AS (SELECT event_type,
+         |   unnest(generate_series(mn, mx)) AS hb
+         | FROM (SELECT event_type, min(hb) AS mn, max(hb) AS mx
+         |       FROM hourly GROUP BY event_type)),
+         |dense AS (SELECT s.event_type, s.hb,
+         |   coalesce(h.x, 0) AS x
+         | FROM spine s LEFT JOIN hourly h
+         |   ON s.event_type = h.event_type AND s.hb = h.hb),
+         |win AS (SELECT event_type, hb, x,
+         |   count(*) OVER w AS wn,
+         |   CAST(sum(x) OVER w AS BIGINT) AS sw,
+         |   CAST(sum(x * x) OVER w AS BIGINT) AS ssw
+         | FROM dense
+         | WINDOW w AS (PARTITION BY event_type ORDER BY hb
+         |   ROWS BETWEEN $h PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, hb, CAST(x AS BIGINT) AS x, sw, ssw,
+         | CASE WHEN $h * ssw - sw * sw > 0 THEN
+         |   (CAST(x AS DOUBLE) - CAST(sw AS DOUBLE) / $h.0)
+         |   / sqrt(CAST($h * ssw - sw * sw AS DOUBLE)
+         |          / ${h * (h - 1)}.0)
+         | END AS z,
+         | coalesce(abs(CASE WHEN $h * ssw - sw * sw > 0 THEN
+         |   (CAST(x AS DOUBLE) - CAST(sw AS DOUBLE) / $h.0)
+         |   / sqrt(CAST($h * ssw - sw * sw AS DOUBLE)
+         |          / ${h * (h - 1)}.0)
+         | END) > 3.0, false) AS is_anomaly
+         |FROM win WHERE wn = $h""".stripMargin
+    },
     "e11_conversion_lag" ->
       """WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS tv
         | FROM events WHERE event_type = 'view' GROUP BY user_id),

@@ -292,6 +292,35 @@ class OlapQueriesSpec extends SparkSpec {
     assert(OlapQueries.BenfordPm.head == ((1, 301L)))
   }
 
+  test("winsorize: bounds are the exact type-1 group quantiles; " +
+    "clip arithmetic and flags recompute") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bounds = ev.groupBy(_._2).map { case (et, rows) =>
+      val cs = rows.map(_._3).sorted
+      val n = cs.length.toLong
+      def q(pm: Int) = cs(((n * pm + 999) / 1000 - 1).toInt)
+      et -> (q(OlapQueries.WinsorLoPm), q(OlapQueries.WinsorHiPm))
+    }
+    val got = OlapQueries.x33Winsorize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toMap
+    assert(got.size == ev.length)
+    ev.foreach { case (id, et, c) =>
+      val (lo, hi) = bounds(et)
+      val (_, c2, clipped, flag) = got(id)
+      assert(c2 == c)
+      assert(clipped == math.max(math.min(c, hi), lo))
+      assert(flag == (if (c < lo) "low" else if (c > hi) "high"
+        else "kept"))
+    }
+    // the band actually clips something on this corpus
+    assert(got.values.exists(_._4 != "kept"))
+  }
+
   test("centroids: exact integer sums match a driver recompute " +
     "and cover labels x dims") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)

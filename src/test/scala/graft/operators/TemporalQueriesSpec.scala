@@ -155,6 +155,39 @@ class TemporalQueriesSpec extends SparkSpec {
     got.values.foreach(l => assert(l >= 0))
   }
 
+  test("anomaly: planted burst flagged, wobbling baseline not; " +
+    "constant window yields NULL z") {
+    import spark.implicits._
+    val h = TemporalQueries.HourNs
+    // type "a": alternating 4/6 events per hour (nonzero variance),
+    // then a 50-event burst at hour 29; type "b": constant 5/hour
+    // (zero variance -> z must be NULL, never +-Infinity)
+    val rows =
+      (0 until 30).flatMap { hb =>
+        val n = if (hb == 29) 50 else if (hb % 2 == 0) 4 else 6
+        Seq.fill(n)(("a", hb * h + 1L))
+      } ++ (0 until 30).flatMap(hb => Seq.fill(5)(("b", hb * h + 1L)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_anomaly").toString
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = TemporalQueries.e12Anomaly(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getBoolean(6))).toMap
+    val (zBurst, flagged) = got(("a", 29L))
+    assert(flagged && zBurst.exists(_ > 3.0), s"burst: $zBurst")
+    (24 until 29).foreach { hb =>
+      val (z, f) = got(("a", hb.toLong))
+      assert(!f && z.exists(math.abs(_) <= 3.0), s"baseline hour $hb")
+    }
+    got.keys.filter(_._1 == "b").foreach { k =>
+      assert(got(k) == ((None, false)), s"constant window at $k")
+    }
+    // rows only appear once the trailing window is FULL
+    assert(!got.contains(("a", 23L)) && got.contains(("a", 24L)))
+  }
+
   test("cohort retention: driver recompute; week-0 row covers " +
     "the full cohort") {
     val acts = graft.core.Tables.events(spark, sfDir)
