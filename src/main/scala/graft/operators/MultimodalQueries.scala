@@ -12,7 +12,9 @@ import graft.core.Tables
   * batch transforms.
   *
   * Codec status: [[PgmCodec]] is a REAL image codec (binary Netpbm
-  * PGM — full header grammar, raw raster) driving `mm_pgm_decode`;
+  * PGM — full header grammar, raw raster) driving `mm_pgm_decode`,
+  * and [[WavCodec]] a REAL audio codec (RIFF/WAVE PCM mono-16,
+  * chunk-walking parser) driving `mm_wav_decode`;
   * compressed-format libs (libjpeg/ffmpeg) are NOT in this
   * environment, so the generic feature path keeps a clearly-marked
   * deterministic fake (`FakeCodec`) — the Spark-side contract
@@ -152,6 +154,159 @@ object MultimodalQueries {
     }
   }
 
+  /** REAL audio codec: RIFF/WAVE, PCM mono 16-bit little-endian.
+    * Encode writes the canonical 44-byte header; decode WALKS the
+    * chunk list (fmt / data, skipping unknown chunks like LIST) —
+    * the actual container grammar, so externally-produced files
+    * with extra chunks parse correctly, and foreign magic or
+    * truncation fails loudly. */
+  object WavCodec {
+    private def le32(out: Array[Byte], pos: Int, v: Int): Unit = {
+      out(pos) = (v & 0xff).toByte
+      out(pos + 1) = ((v >> 8) & 0xff).toByte
+      out(pos + 2) = ((v >> 16) & 0xff).toByte
+      out(pos + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def le16(out: Array[Byte], pos: Int, v: Int): Unit = {
+      out(pos) = (v & 0xff).toByte
+      out(pos + 1) = ((v >> 8) & 0xff).toByte
+    }
+
+    /** Encode mono 16-bit PCM at `rate` Hz. */
+    def encode(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def tag(pos: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("US-ASCII"), 0, out, pos, 4)
+      tag(0, "RIFF"); le32(out, 4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); le32(out, 16, 16)
+      le16(out, 20, 1) // PCM
+      le16(out, 22, 1) // mono
+      le32(out, 24, rate)
+      le32(out, 28, rate * 2) // byte rate
+      le16(out, 32, 2) // block align
+      le16(out, 34, 16) // bits/sample
+      tag(36, "data"); le32(out, 40, dataLen)
+      var i = 0
+      while (i < samples.length) {
+        le16(out, 44 + i * 2, samples(i) & 0xffff)
+        i += 1
+      }
+      out
+    }
+
+    /** Decode: (sampleRate, samples). Chunk-walking parser. */
+    def decode(payload: Array[Byte]): (Int, Array[Short]) = {
+      def u8(p: Int): Int = java.lang.Byte.toUnsignedInt(payload(p))
+      def rd32(p: Int): Int =
+        u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
+      def rd16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+      def tag(p: Int): String = {
+        require(payload.length >= p + 4, s"truncated at byte $p")
+        new String(payload, p, 4, "US-ASCII")
+      }
+      require(tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"not a RIFF/WAVE container (magic '${tag(0)}')")
+      var pos = 12
+      var rate = -1
+      var samples: Array[Short] = null
+      while (pos + 8 <= payload.length &&
+        (rate < 0 || samples == null)) {
+        val id = tag(pos)
+        val len = rd32(pos + 4)
+        require(len >= 0 && pos + 8 + len <= payload.length,
+          s"truncated '$id' chunk: declared $len at byte $pos")
+        id match {
+          case "fmt " =>
+            require(rd16(pos + 8) == 1, "only PCM (format 1) supported")
+            require(rd16(pos + 10) == 1, "only mono supported")
+            require(rd16(pos + 22) == 16, "only 16-bit supported")
+            rate = rd32(pos + 12)
+          case "data" =>
+            require(rate >= 0, "data chunk before fmt")
+            require(len % 2 == 0, s"odd PCM data length $len")
+            samples = new Array[Short](len / 2)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = rd16(pos + 8 + i * 2).toShort
+              i += 1
+            }
+          case _ => // skip unknown chunk (LIST, fact, ...)
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(rate >= 0 && samples != null,
+        "missing fmt or data chunk")
+      (rate, samples)
+    }
+  }
+
+  /** Deterministic synthetic WAV corpus — real encoded audio,
+    * distributed generation: n = 64 + id%128 samples at rate
+    * 8000 + (id%4)·4000, sample(i) = (id·37 + i·11) mod 4096 −
+    * 2048. The closed form is what the oracle recomputes. */
+  def wavAssets(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    Tables.documents(s, dir).select("doc_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (64 + id % 128).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val smp = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            smp(i) = ((id * 37 + i * 11) % 4096 - 2048).toShort
+            i += 1
+          }
+          Row(id, WavCodec.encode(rate, smp))
+        }
+      }(enc)
+  }
+
+  /** Decode the WAV corpus and recover per-clip audio statistics —
+    * rate from the fmt chunk, everything else from the PCM bytes;
+    * the oracle recomputes from the generator closed form, so any
+    * header/chunk/sample parsing bug hash-mismatches. Energy is the
+    * exact integer sum of squares (the loudness feature a filter
+    * pipeline thresholds on). */
+  def mmWavDecode(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_s", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("min_s", IntegerType, nullable = false),
+      StructField("max_s", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    wavAssets(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (rate, smp) = WavCodec.decode(r.getAs[Array[Byte]](1))
+        var sum = 0L
+        var energy = 0L
+        var min = Int.MaxValue
+        var max = Int.MinValue
+        var i = 0
+        while (i < smp.length) {
+          val v = smp(i).toInt
+          sum += v
+          energy += v.toLong * v
+          if (v < min) min = v
+          if (v > max) max = v
+          i += 1
+        }
+        Row(id, rate, smp.length.toLong, sum, energy, min, max)
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic PGM corpus derived from doc_id — real
     * encoded images (header + raster), distributed generation, no
     * driver state: w = 8 + id%16, h = 6 + id%10, pixel(r,c) =
@@ -286,6 +441,7 @@ object MultimodalQueries {
     "mm_meta_only" -> (mmMetaOnly _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_pgm_decode" -> (mmPgmDecode _),
+    "mm_wav_decode" -> (mmWavDecode _),
     "mm_binary_ops" -> (mmBinaryOps _)
   )
 
@@ -326,6 +482,26 @@ object MultimodalQueries {
         |  CAST(list_min(p) AS INTEGER) AS min_pixel,
         |  CAST(list_max(p) AS INTEGER) AS max_pixel
         |FROM px""".stripMargin,
+    // mm_wav_decode: engine walks the RIFF chunks and reads PCM
+    // bytes; oracle recomputes from the generator closed form
+    "mm_wav_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(64 + doc_id % 128 AS BIGINT) AS n,
+        |             CAST(8000 + (doc_id % 4) * 4000 AS INTEGER)
+        |               AS rate
+        |           FROM documents),
+        |s AS (SELECT doc_id, n, rate,
+        |        list_transform(range(0, n), i ->
+        |          (doc_id * 37 + i * 11) % 4096 - 2048) AS smp
+        |      FROM d)
+        |SELECT doc_id AS asset_id, rate AS sample_rate,
+        |  n AS n_samples,
+        |  CAST(list_sum(smp) AS BIGINT) AS sum_s,
+        |  CAST(list_sum(list_transform(smp, v -> v * v)) AS BIGINT)
+        |    AS energy,
+        |  CAST(list_min(smp) AS INTEGER) AS min_s,
+        |  CAST(list_max(smp) AS INTEGER) AS max_s
+        |FROM s""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id AS asset_id,
         | CAST(256 + length(text) % 512 AS INTEGER) AS width,

@@ -107,6 +107,52 @@ class MultimodalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec: round trip, chunk walking past a LIST chunk, " +
+    "loud refusal of foreign magic and truncation") {
+    val smp = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val enc = MultimodalQueries.WavCodec.encode(16000, smp)
+    assert(enc.length == 44 + 12)
+    assert(new String(enc, 0, 4, "US-ASCII") == "RIFF")
+    val (rate, back) = MultimodalQueries.WavCodec.decode(enc)
+    assert(rate == 16000 && back.toSeq == smp.toSeq)
+    // splice a LIST chunk between fmt and data — an external
+    // producer shape the chunk walker must skip
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = enc.slice(0, 36) ++ listChunk ++
+      enc.slice(36, enc.length)
+    // fix the RIFF size field (bytes 4..7, little endian)
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte
+    spliced(5) = ((total >> 8) & 0xff).toByte
+    val (rate2, back2) = MultimodalQueries.WavCodec.decode(spliced)
+    assert(rate2 == 16000 && back2.toSeq == smp.toSeq)
+    // refusals
+    val corrupt = enc.clone(); corrupt(0) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      MultimodalQueries.WavCodec.decode(corrupt)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalQueries.WavCodec.decode(enc.slice(0, 50))
+    }
+  }
+
+  test("WAV decode query recovers the generator's closed-form stats") {
+    val got = MultimodalQueries.mmWavDecode(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val n = (64 + id % 128).toInt
+      assert(r.getInt(1) == (8000 + (id % 4) * 4000).toInt)
+      assert(r.getLong(2) == n.toLong)
+      val vals = (0 until n).map(i =>
+        ((id * 37 + i * 11) % 4096 - 2048).toInt)
+      assert(r.getLong(3) == vals.map(_.toLong).sum)
+      assert(r.getLong(4) == vals.map(v => v.toLong * v).sum)
+      assert(r.getInt(5) == vals.min && r.getInt(6) == vals.max)
+    }
+  }
+
   test("PGM decode query recovers the generator's closed-form stats") {
     // The engine must get every stat from PARSING the bytes; compare
     // against the closed form the generator used.
