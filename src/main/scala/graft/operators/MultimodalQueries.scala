@@ -307,6 +307,47 @@ object MultimodalQueries {
     }(enc)
   }
 
+  /** Downsample-by-2 on the decoded WAV corpus — the audio "resize":
+    * each output sample is the TRUNCATED average of an input pair
+    * ((a + b) / 2 in Java int division, truncation toward zero —
+    * exactly DuckDB's `// 2`; an arithmetic shift would FLOOR and
+    * diverge on negative odd sums), an odd tail sample is dropped,
+    * and the rate halves. Stats of the downsampled signal are
+    * emitted (exact integers) rather than the signal itself — the
+    * payload-stays-executor-side discipline.
+    *
+    * A real transform over really-decoded bytes: decode → transform
+    * → stats all happen per partition; the oracle recomputes the
+    * downsampled stats from the generator closed form, so a pairing
+    * or rounding bug hash-mismatches. */
+  def mmWavDownsample(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("sum_ds", LongType, nullable = false),
+      StructField("energy_ds", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    wavAssets(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (rate, smp) = WavCodec.decode(r.getAs[Array[Byte]](1))
+        val n = smp.length / 2
+        var sum = 0L
+        var energy = 0L
+        var i = 0
+        while (i < n) {
+          val v = (smp(2 * i) + smp(2 * i + 1)) / 2
+          sum += v
+          energy += v.toLong * v
+          i += 1
+        }
+        Row(id, rate / 2, n.toLong, sum, energy)
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic PGM corpus derived from doc_id — real
     * encoded images (header + raster), distributed generation, no
     * driver state: w = 8 + id%16, h = 6 + id%10, pixel(r,c) =
@@ -442,6 +483,7 @@ object MultimodalQueries {
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_pgm_decode" -> (mmPgmDecode _),
     "mm_wav_decode" -> (mmWavDecode _),
+    "mm_wav_downsample" -> (mmWavDownsample _),
     "mm_binary_ops" -> (mmBinaryOps _)
   )
 
@@ -501,6 +543,25 @@ object MultimodalQueries {
         |    AS energy,
         |  CAST(list_min(smp) AS INTEGER) AS min_s,
         |  CAST(list_max(smp) AS INTEGER) AS max_s
+        |FROM s""".stripMargin,
+    "mm_wav_downsample" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(64 + doc_id % 128 AS BIGINT) AS n,
+        |             CAST(8000 + (doc_id % 4) * 4000 AS INTEGER)
+        |               AS rate
+        |           FROM documents),
+        |s AS (SELECT doc_id, n, rate,
+        |        list_transform(range(0, n // 2), i ->
+        |          (((doc_id * 37 + (2*i) * 11) % 4096 - 2048)
+        |           + ((doc_id * 37 + (2*i+1) * 11) % 4096 - 2048))
+        |          // 2) AS ds
+        |      FROM d)
+        |SELECT doc_id AS asset_id,
+        |  CAST(rate // 2 AS INTEGER) AS sample_rate,
+        |  CAST(n // 2 AS BIGINT) AS n_out,
+        |  CAST(list_sum(ds) AS BIGINT) AS sum_ds,
+        |  CAST(list_sum(list_transform(ds, v -> v * v)) AS BIGINT)
+        |    AS energy_ds
         |FROM s""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id AS asset_id,

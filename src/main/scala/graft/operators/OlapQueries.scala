@@ -406,10 +406,12 @@ object OlapQueries {
         when(col("value").isNotNull, cents(col("value"))).as("c"))
     val med = ev.filter(col("c").isNotNull)
       .groupBy(col("event_type"))
-      // shiftright = FLOOR halving for either sign, matching the
-      // oracle's `// 2` (Spark `div` truncates toward zero instead)
-      .agg(expr("shiftright(CAST(round(percentile(c, 0.5) * 2) " +
-        "AS BIGINT), 1)").as("med_c"))
+      // `div` truncates toward zero — the SAME semantics as the
+      // oracle's `//` (measured: DuckDB -7 // 2 = -3), so the halved
+      // median agrees for either sign; shiftright would FLOOR and
+      // silently diverge on negative odd x2-medians
+      .agg(expr("CAST(round(percentile(c, 0.5) * 2) AS BIGINT) div 2")
+        .as("med_c"))
     ev.join(broadcast(med), "event_type")
       .select(col("event_id"), col("event_type"), col("c"),
         coalesce(col("c"), col("med_c")).as("filled_c"),

@@ -153,6 +153,30 @@ class MultimodalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("WAV downsample: closed-form recompute incl. the truncated " +
+    "negative-odd averages; odd tail dropped") {
+    val got = MultimodalQueries.mmWavDownsample(spark, sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    var sawNegOdd = false
+    got.take(80).foreach { r =>
+      val id = r.getLong(0)
+      val n = (64 + id % 128).toInt
+      assert(r.getInt(1) == (8000 + (id % 4) * 4000).toInt / 2)
+      assert(r.getLong(2) == (n / 2).toLong)
+      def smp(i: Int) = ((id * 37 + i * 11) % 4096 - 2048).toInt
+      val ds = (0 until n / 2).map { i =>
+        val s = smp(2 * i) + smp(2 * i + 1)
+        if (s < 0 && s % 2 != 0) sawNegOdd = true
+        s / 2 // truncation toward zero, same as the oracle's //
+      }
+      assert(r.getLong(3) == ds.map(_.toLong).sum)
+      assert(r.getLong(4) == ds.map(v => v.toLong * v).sum)
+    }
+    assert(sawNegOdd,
+      "fixture must exercise the floor-vs-truncate edge")
+  }
+
   test("PGM decode query recovers the generator's closed-form stats") {
     // The engine must get every stat from PARSING the bytes; compare
     // against the closed form the generator used.
