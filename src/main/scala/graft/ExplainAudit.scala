@@ -99,7 +99,8 @@ object ExplainAudit {
         "t_trgm_like", "m11_incr_agg", "e10_interval_coverage",
         "x32_quantile_bands", "dd_containment", "p15_impute",
         "p16_benford", "e11_conversion_lag", "x33_winsorize",
-        "e12_anomaly", "mm_wav_decode", "mm_wav_downsample")
+        "e12_anomaly", "mm_wav_decode", "mm_wav_downsample",
+        "x34_transitions")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

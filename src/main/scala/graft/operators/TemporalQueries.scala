@@ -376,7 +376,41 @@ object TemporalQueries {
         coalesce(abs(col("z")) > 3.0d, lit(false)).as("is_anomaly"))
   }
 
+  // =================================================================
+  // x34_transitions — Markov transition census
+  // =================================================================
+
+  /** First-order state-transition census over per-user event
+    * streams: for every consecutive (prev → next) event-type pair
+    * in a user's (ts, event_id)-ordered history, the exact count,
+    * the per-source total, and the integer per-mille transition
+    * rate — the empirical Markov matrix behind next-action
+    * prediction and journey analysis.
+    *
+    * 100 TB shape: ONE lag window per user (the x29 partitioning —
+    * millions of small per-entity partitions, no global sort), then
+    * a census shuffle on the |types|² transition key; per-source
+    * totals derive from the census itself (a second tiny agg),
+    * broadcast back. */
+  def x34Transitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val census = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("t"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = census.groupBy(col("prev"))
+      .agg(sum(col("n")).as("tot"))
+    census.join(broadcast(totals), "prev")
+      .select(col("prev"), col("event_type"), col("n"), col("tot"),
+        expr("n * 1000 div tot").as("rate_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x34_transitions" -> (x34Transitions _),
     "e12_anomaly" -> (e12Anomaly _),
     "e11_conversion_lag" -> (e11ConversionLag _),
     "x24_scd2_join" -> (x24Scd2Join _),
@@ -451,6 +485,19 @@ object TemporalQueries {
          |  AND c.conc = p.max_conc
          |JOIN n ON c.event_type = n.event_type
          |GROUP BY c.event_type, n_intervals, p.max_conc""".stripMargin,
+    "x34_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts), event_id) AS prev
+        | FROM events),
+        |census AS (SELECT prev, event_type, count(*) AS n
+        | FROM seq WHERE prev IS NOT NULL
+        | GROUP BY prev, event_type),
+        |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot
+        | FROM census GROUP BY prev)
+        |SELECT prev, event_type, n, tot,
+        | n * 1000 // tot AS rate_pm
+        |FROM census JOIN t USING (prev)""".stripMargin,
     "e12_anomaly" -> {
       val h = AnomTrailHours
       s"""WITH hourly AS (SELECT event_type,

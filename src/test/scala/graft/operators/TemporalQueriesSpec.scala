@@ -188,6 +188,30 @@ class TemporalQueriesSpec extends SparkSpec {
     assert(!got.contains(("a", 23L)) && got.contains(("a", 24L)))
   }
 
+  test("transitions: first-principles Markov census recompute; " +
+    "rates partition each source state") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { rows =>
+      val types = rows.sortBy(r => (r._4, r._2)).map(_._3)
+      types.zip(types.drop(1))
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = TemporalQueries.x34Transitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == expect.keySet)
+    val bySrc = expect.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    got.foreach { case ((p, c), (n, tot, pm)) =>
+      assert(n == expect((p, c)))
+      assert(tot == bySrc(p))
+      assert(pm == n * 1000 / tot)
+    }
+  }
+
   test("cohort retention: driver recompute; week-0 row covers " +
     "the full cohort") {
     val acts = graft.core.Tables.events(spark, sfDir)
