@@ -204,6 +204,19 @@ object ScaleRehearsal {
         }
         (df.count(), t)
       }
+      // --- containment join (r12): rare-prefix probes vs the capped
+      // inverted index; the dup piles make the true relation large
+      // (every exact copy contains its base both ways), so like the
+      // edjoin the gate is WALL growth, with the pair count reported
+      // for context.
+      val (nContPairs, tCont) = {
+        val (df, t) = time {
+          val d = SimilarityQueries.ddContainment(spark, dir)
+          runNoop(d); d
+        }
+        (df.count(), t)
+      }
+
       println(s"""{"metric":"scale_rehearsal","n_docs":$n,""" +
         s""""candidates":$nCand,"hot_buckets":$hot,""" +
         s""""dropped_pairs":$dropped,""" +
@@ -216,7 +229,8 @@ object ScaleRehearsal {
         s""""winnow_pairs":$nWinnowPairs,""" +
         s""""edjoin_sec":${f"$tEdJoin%.2f"},""" +
         s""""edjoin_cand_sec":${f"$tEdCand%.2f"},""" +
-        s""""edjoin_cand":$nEdCand,"edjoin_pairs":$nEdPairs}""")
+        s""""edjoin_cand":$nEdCand,"edjoin_pairs":$nEdPairs,""" +
+        s""""cont_sec":${f"$tCont%.2f"},"cont_pairs":$nContPairs}""")
       // edjoin_cand / edjoin_pairs absolute counts are OUTPUT-bound
       // (the planted pile's true pairs are quadratic in pile size by
       // construction) — the gated quantities are the filter's
@@ -229,7 +243,8 @@ object ScaleRehearsal {
         "winnow_pairs" -> nWinnowPairs.toDouble,
         "edjoin_sec" -> tEdJoin,
         "edjoin_cand_per_pair" ->
-          (nEdCand.toDouble / math.max(1L, nEdPairs))))
+          (nEdCand.toDouble / math.max(1L, nEdPairs)),
+        "cont_sec" -> tCont))
     }
 
     // growth exponents between smallest and largest corpus:
