@@ -141,8 +141,11 @@ object GraphQueries {
         col("nbrs").as("nbrs_dst")), Seq("dst"))
       // native sorted-merge count: no per-pair hash table, no
       // materialized intersection array (adjacency is sort_array'd)
-      .agg(sum(call_function("intersect_count", col("nbrs"),
-        col("nbrs_dst"))).cast("long").as("n_triangles"))
+      // coalesce restores 0-on-empty: on a graph where both
+      // adjacency joins drop every row (e.g. a single-edge corpus)
+      // sum() yields NULL while the oracle's count(*) yields 0
+      .agg(coalesce(sum(call_function("intersect_count", col("nbrs"),
+        col("nbrs_dst"))), lit(0L)).cast("long").as("n_triangles"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri)

@@ -80,7 +80,12 @@ object MergeOps {
       .agg(count(lit(1)).as("n"), sum(col("usd")).as("sum_usd"),
         sum(col("usd") * col("usd")).as("sumsq_usd"))
     val li = Tables.lineitem(s, dir)
-    val state = partial(li.filter(col("l_shipdate") < lit(IncrAggSplit)))
+    // NULL ship dates route into the historical partition explicitly
+    // (ADVICE r12): `< split` and `>= split` both reject NULL, so a
+    // null-dated row would vanish from the merged state while the
+    // oracle's single full-table pass keeps it
+    val state = partial(li.filter(col("l_shipdate") < lit(IncrAggSplit)
+      || col("l_shipdate").isNull))
     val delta = partial(li.filter(col("l_shipdate") >= lit(IncrAggSplit)))
     state.unionByName(delta)
       .groupBy(col("l_returnflag"), col("l_linestatus"))

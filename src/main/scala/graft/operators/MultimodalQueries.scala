@@ -214,7 +214,9 @@ object MultimodalQueries {
         (rate < 0 || samples == null)) {
         val id = tag(pos)
         val len = rd32(pos + 4)
-        require(len >= 0 && pos + 8 + len <= payload.length,
+        // bound computed in Long: a crafted len near Int.MaxValue
+        // would overflow pos+8+len to negative and slip past the check
+        require(len >= 0 && pos.toLong + 8 + len <= payload.length,
           s"truncated '$id' chunk: declared $len at byte $pos")
         id match {
           case "fmt " =>

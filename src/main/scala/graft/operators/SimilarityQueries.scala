@@ -954,8 +954,19 @@ object SimilarityQueries {
         col("na") - expr(s"($ContainmentTauPm * na + 999) div 1000")
           + 1)
       .select(col("doc_id").as("id_a"), col("gr"))
-    val posts = grams
-      .join(freq.filter(col("nf") <= ContainmentPostingsCap), "gr")
+    // Hot-gram cap (ADVICE r12): TRUNCATE each posting list to its
+    // first [[ContainmentPostingsCap]] docs (deterministic doc_id
+    // order, bounded-heap TopKPerGroup — no full sort of a
+    // boilerplate gram's postings) instead of dropping the gram
+    // entirely. Dropping left a doc whose whole rare-prefix is
+    // high-df boilerplate with ZERO usable probe grams — silently
+    // lossy; truncation keeps every gram probeable. The fixture
+    // corpus never reaches the cap (the all-pairs oracle certifies
+    // this), so results are unchanged where the cap doesn't bind.
+    val posts = graft.plans.TopKPerGroup(
+        grams.select(col("gr"), col("doc_id")),
+        Seq("gr"), "doc_id", descending = false, Seq.empty,
+        ContainmentPostingsCap.toInt)
       .select(col("gr"), col("doc_id").as("id_b"))
     val cand = prefix.join(posts, "gr")
       .filter(col("id_a") =!= col("id_b"))
