@@ -100,7 +100,11 @@ object ExplainAudit {
         "x32_quantile_bands", "dd_containment", "p15_impute",
         "p16_benford", "e11_conversion_lag", "x33_winsorize",
         "e12_anomaly", "mm_wav_decode", "mm_wav_downsample",
-        "x34_transitions")
+        "x34_transitions",
+        // round 13: persisted-index lookup twins — the build↔serve
+        // split must be visible (postings/assignments scans with
+        // PartitionFilters, base tables absent from the serve plans)
+        "t_trgm_like_indexed", "t_trgm_index_stats", "sim_ivf_ann")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -290,8 +290,79 @@ object RetrievalQueries {
       .filter(col("first_pos") > 0)
   }
 
+  /** Indexed twin of [[tTrgmLike]] (VERDICT r12 task #1): answers the
+    * same `LIKE '%pattern%'` from the PERSISTED positional trigram
+    * postings table alone — the base corpus is never scanned, not
+    * even for the verify step.
+    *
+    * With positions in the index, substring verification is pure
+    * alignment algebra: the pattern occurs at 1-based text position
+    * p iff for EVERY offset i ∈ [0, |q|-3] the pattern's gram at i
+    * appears in the doc at position p+i. So: probe the postings for
+    * the pattern's grams (partition-pruned to their buckets, gram
+    * equality pushed into the parquet scan), join the tiny
+    * (offset, gram) instance list (broadcast), align each posting to
+    * its implied start `pos - off`, and keep (doc, start) cells that
+    * collect ALL |q|-2 offsets. `min(start)` is exactly
+    * `position(pattern IN text)`. Duplicate grams in the pattern are
+    * handled by counting offsets, not distinct grams.
+    *
+    * 100 TB shape: the probe reads |pattern grams| posting ranges
+    * from an index maintained incrementally at write time
+    * ([[graft.sources.IndexStore.ensureTrgmPostings]] — base build +
+    * appended delta, the m11 merge discipline), instead of paying a
+    * full corpus scan per query. The oracle is the full LIKE scan —
+    * equality certifies the index path lossless end-to-end, INCLUDING
+    * the incremental build. */
+  def tTrgmLikeIndexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val path = IndexStore.ensureTrgmPostings(s, dir)
+    val q = LikePattern
+    val instances = (0 to q.length - 3)
+      .map(i => (i, q.substring(i, i + 3)))
+    val grams = instances.map(_._2).distinct
+    val buckets = grams.map(IndexStore.trgmBucketOf).distinct
+    val inst = {
+      val spark = s
+      import spark.implicits._
+      instances.toDF("off", "gr")
+    }
+    s.read.parquet(path)
+      // partition prune on bucket (driver-side literals via the
+      // pure-Scala portable-hash twin), gram equality pushed into
+      // the pruned files' scan
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*)
+        && col("gr").isin(grams: _*))
+      .join(broadcast(inst), "gr")
+      .select(col("doc_id"), (col("pos") - col("off")).as("start"))
+      .filter(col("start") >= 1)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("n_off"))
+      .filter(col("n_off") === instances.length)
+      .groupBy(col("doc_id"))
+      .agg(min(col("start")).cast("int").as("first_pos"))
+  }
+
+  /** Gram document-frequency census over the persisted postings —
+    * the index's own statistics page (top-20 grams by df). The
+    * oracle RECOMPUTES the census from the raw documents table, so a
+    * hash match certifies the persisted, incrementally-built index
+    * content itself against first principles, not just one probe
+    * path through it. */
+  def tTrgmIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.IndexStore.ensureTrgmPostings(s, dir)
+    s.read.parquet(path)
+      .groupBy(col("gr"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).cast("long").as("n_occ"))
+      .orderBy(col("df").desc, col("gr"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "t_trgm_like" -> (tTrgmLike _),
+    "t_trgm_like_indexed" -> (tTrgmLikeIndexed _),
+    "t_trgm_index_stats" -> (tTrgmIndexStats _),
     "t_bm25_topk" -> (tBm25TopK _),
     "t_dsir_weight" -> (tDsirWeight _),
     "dd_chunk_dedup" -> (ddChunkDedup _),
@@ -307,6 +378,28 @@ object RetrievalQueries {
          |   AS first_pos
          |FROM documents
          |WHERE text LIKE '%$LikePattern%'""".stripMargin,
+    // identical semantic definition for the indexed twin: the engine
+    // answers from the persisted postings alone, the oracle pays the
+    // full scan — equality certifies the whole index path
+    "t_trgm_like_indexed" ->
+      s"""SELECT doc_id,
+         | CAST(position('$LikePattern' IN text) AS INTEGER)
+         |   AS first_pos
+         |FROM documents
+         |WHERE text LIKE '%$LikePattern%'""".stripMargin,
+    // recompute the gram df census from the raw corpus — a hash
+    // match certifies the persisted (incrementally built) postings
+    // content against first principles
+    "t_trgm_index_stats" ->
+      """WITH g AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gr
+        | FROM (SELECT doc_id, text,
+        |         unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+        |       FROM documents)
+        | WHERE length(substring(text, CAST(i AS INTEGER), 3)) = 3)
+        |SELECT gr, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        | CAST(count(*) AS BIGINT) AS n_occ
+        |FROM g GROUP BY gr
+        |ORDER BY df DESC, gr LIMIT 20""".stripMargin,
     // all multipliers interpolated from the SAME Scala constants the
     // engine uses; ln quantized once per distinct df (ADVICE
     // discipline: quantize at the ln, never the product)

@@ -1,0 +1,172 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{PortableHash, Tables}
+
+/** Persisted secondary-index surfaces: a positional trigram postings
+  * table over `documents` and an IVF (coarse-quantizer) index over
+  * `embeddings`, both written as partitioned parquet next to a
+  * deterministic per-dataset root.
+  *
+  * Why this exists (VERDICT r12 task #1): the top of the r12 profile
+  * was per-query index (re)construction — `t_trgm_like` re-derived
+  * doc trigrams from the raw corpus scan on every invocation, and the
+  * IVF path re-fit its quantizer per JVM without ever persisting it.
+  * A 100 TB index is BUILT once (and maintained incrementally as data
+  * arrives) and PROBED many times; the build→serve split below is
+  * that shape: `ensure*` is the build/maintenance path, and the
+  * lookup queries read ONLY the index tables — never the base corpus.
+  *
+  * Layout:
+  *   - trigram postings: one row per trigram occurrence
+  *     (doc_id, gr, pos), hive-partitioned by `bucket` =
+  *     portable-md5-60(gr) mod [[TrgmBuckets]]. A pattern's gram set
+  *     maps to a small bucket subset, so the probe prunes partitions
+  *     (visible as PartitionFilters) and pushes the gram equality
+  *     into the parquet scan of just those files.
+  *   - IVF: a 16-row `centroids` table (the index ROOT — what a
+  *     distributed vector index keeps in its root node) plus an
+  *     `assignments` table (vec_id, label, e) hive-partitioned by
+  *     `cell`, so probing nprobe cells is partition pruning.
+  *
+  * Incremental maintenance follows the m11_incr_agg discipline
+  * (MergeOps.scala): the base build covers doc_id % [[TrgmDeltaMod]]
+  * < [[TrgmDeltaMod]]-1 and the remainder arrives as an APPENDED
+  * delta — postings are fact rows (no aggregation state), so the
+  * merge is a partition-aligned append and the merged table is
+  * row-identical to a one-shot build (IndexStoreSpec pins this).
+  *
+  * Builds are memoized per (JVM, dataset) and OVERWRITE any prior
+  * on-disk state: trigram content is deterministic, but KMeans cell
+  * ids depend on the fitting session's partitioning, so an index from
+  * another JVM could disagree with this JVM's probe choices — each
+  * run is self-consistent by construction instead.
+  */
+object IndexStore {
+
+  /** Trigram postings hash-partition count. 64 keeps a 14-gram
+    * pattern's probe inside ≤14/64 of the partition dirs — a visible
+    * file-subset prune — while staying far above per-file overhead
+    * at local scale. */
+  val TrgmBuckets = 64
+
+  /** Incremental-build split: doc_id % TrgmDeltaMod == TrgmDeltaMod-1
+    * rows form the appended delta (~20% of the corpus at any SF). */
+  val TrgmDeltaMod = 5
+
+  /** IVF coarse-quantizer cells and probe width — same values the
+    * in-memory r11 IVF used, so recall characteristics carry over. */
+  val IvfK = 16
+  val IvfNprobe = 2
+
+  case class IvfPaths(centroids: String, assignments: String)
+
+  private val trgmBuilt = TrieMap.empty[String, String]
+  private val ivfBuilt = TrieMap.empty[String, IvfPaths]
+
+  /** Deterministic per-dataset index root under the system temp dir:
+    * stable across JVMs (the oracle SQL interpolates these paths and
+    * the DuckDB compare runs in a later process). */
+  def indexRoot(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_index",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  /** Pure-Scala twin of [[PortableHash.md5Hash60Composed]] mod
+    * [[TrgmBuckets]] — lets the lookup side compute its pattern
+    * grams' partition buckets as driver-side literals without a
+    * Spark job (Md5Hash60Spec pins the Spark/Scala agreement). */
+  def trgmBucketOf(gram: String): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.take(8).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % TrgmBuckets)
+      .toInt
+  }
+
+  /** (doc_id, gr, pos 1-based, bucket) for every length-3 gram of
+    * every doc in `docs` — generated map-side, no shuffle until the
+    * partitioned write. */
+  private[graft] def trgmPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substring(text, i, 3))")).as(Seq("idx", "gr")))
+      // docs shorter than 3 chars yield one short pseudo-gram; a
+      // 3-char pattern can never match them, so they carry no
+      // postings at all
+      .filter(length(col("gr")) === 3)
+      .select(col("doc_id"), col("gr"),
+        (col("idx") + 1).cast("int").as("pos"),
+        pmod(PortableHash.md5Hash60Composed(col("gr")),
+          lit(TrgmBuckets.toLong)).cast("int").as("bucket"))
+
+  /** Build (base overwrite + delta append) the positional trigram
+    * postings for `dir`'s documents; returns the table path. Once
+    * per (JVM, dir). */
+  def ensureTrgmPostings(s: SparkSession, dir: String): String =
+    trgmBuilt.getOrElseUpdate(dir, {
+      val path = indexRoot(dir).resolve("trgm_postings").toString
+      val docs = Tables.documents(s, dir)
+      def write(d: DataFrame, mode: String): Unit =
+        trgmPostingsOf(d)
+          // co-locate each bucket before the partitioned write so a
+          // bucket's rows land in one file, sorted for row-group
+          // locality on (gr, doc_id)
+          .repartition(col("bucket"))
+          .sortWithinPartitions("gr", "doc_id", "pos")
+          .write.mode(mode).partitionBy("bucket").parquet(path)
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          < TrgmDeltaMod - 1), "overwrite")
+      // the incremental delta: same generation, same layout, appended
+      // — the merge discipline of m11_incr_agg specialized to fact
+      // rows (set union, no state to re-aggregate)
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          === TrgmDeltaMod - 1), "append")
+      path
+    })
+
+  /** Fit the IVF coarse quantizer (KMeans k=[[IvfK]], seed 42, the
+    * same hyperparameters the in-memory path used) and persist the
+    * centroid root table + cell-partitioned assignments. Once per
+    * (JVM, dir). */
+  def ensureIvf(s: SparkSession, dir: String): IvfPaths =
+    ivfBuilt.getOrElseUpdate(dir, {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val root = indexRoot(dir)
+      val paths = IvfPaths(
+        root.resolve("ivf_centroids").toString,
+        root.resolve("ivf_assignments").toString)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("fv", array_to_vector(col("e")))
+      // maxIter 5 / random seeded init: a coarse quantizer only
+      // routes probes — see the r11 IVF notes; recall is pinned by
+      // the probed-cell invariant spec, not centroid quality
+      val model = new KMeans().setK(IvfK).setSeed(42L).setMaxIter(5)
+        .setInitMode("random")
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(emb)
+      model.transform(emb)
+        .select(col("vec_id"), col("label"), col("e"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(paths.assignments)
+      val spark = s
+      import spark.implicits._
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(paths.centroids)
+      paths
+    })
+}

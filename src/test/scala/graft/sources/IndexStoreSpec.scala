@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{RetrievalQueries, SimilarityQueries}
+
+/** Persisted index surfaces (VERDICT r12 task #1): the build→serve
+  * split must be real — incremental build row-identical to one-shot,
+  * and the lookup twins must read ONLY index files (pruned to the
+  * probe's partitions), never the base tables. */
+class IndexStoreSpec extends SparkSpec {
+
+  test("pure-Scala trigram bucket twin matches the Spark expression") {
+    import spark.implicits._
+    val grams = Seq("spa", "par", "ark", "k o", " or", "a b", "zzz")
+    val fromSpark = grams.toDF("gr")
+      .select(col("gr"),
+        pmod(graft.core.PortableHash.md5Hash60Composed(col("gr")),
+          lit(IndexStore.TrgmBuckets.toLong)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    grams.foreach { g =>
+      assert(IndexStore.trgmBucketOf(g) == fromSpark(g),
+        s"bucket mismatch for '$g'")
+    }
+  }
+
+  test("incremental postings build (base + appended delta) is " +
+      "row-identical to a one-shot build") {
+    val path = IndexStore.ensureTrgmPostings(spark, sfDir)
+    val persisted = spark.read.parquet(path)
+      .select("doc_id", "gr", "pos", "bucket")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val oneShot = IndexStore
+      .trgmPostingsOf(graft.core.Tables.documents(spark, sfDir))
+      .select("doc_id", "gr", "pos", "bucket")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(persisted.length == oneShot.length,
+      s"row count: persisted ${persisted.length} vs one-shot ${oneShot.length}")
+    assert(persisted.sameElements(oneShot),
+      "persisted (incrementally built) postings differ from one-shot build")
+  }
+
+  /** Files the plan will actually scan AFTER static partition
+    * pruning — `inputFiles` reports the un-pruned table listing, so
+    * it can't witness a prune. */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+
+  test("indexed LIKE reads only pruned postings partitions, " +
+      "never the documents table") {
+    val df = RetrievalQueries.tTrgmLikeIndexed(spark, sfDir)
+    val q = RetrievalQueries.LikePattern
+    val expectedBuckets = (0 to q.length - 3)
+      .map(i => IndexStore.trgmBucketOf(q.substring(i, i + 3)))
+      .toSet
+    assert(expectedBuckets.size < IndexStore.TrgmBuckets,
+      "degenerate fixture: pattern grams cover every bucket")
+    val files = scannedFiles(df)
+    assert(files.nonEmpty, "lookup plan reads no files at all")
+    files.foreach { f =>
+      assert(f.contains("trgm_postings"),
+        s"lookup plan reads a non-index file: $f")
+      assert(!f.contains("documents.parquet"),
+        s"lookup plan touches the base corpus: $f")
+      val m = "bucket=([0-9]+)".r.findFirstMatchIn(f)
+      assert(m.isDefined, s"index file outside a bucket partition: $f")
+      assert(expectedBuckets.contains(m.get.group(1).toInt),
+        s"partition prune failed: $f not in buckets $expectedBuckets")
+    }
+    // and the probe is lossless: same rows as the scan-everything twin
+    val viaIndex = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val viaScan = RetrievalQueries.tTrgmLike(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(viaIndex == viaScan,
+      s"index answer $viaIndex != full-scan answer $viaScan")
+  }
+
+  test("IVF serve reads only probed cells of the persisted index, " +
+      "never the embeddings table") {
+    val (_, probes, _) = SimilarityQueries.ivfTopology(spark, sfDir)
+    val df = SimilarityQueries.simIvfAnn(spark, sfDir)
+    val files = scannedFiles(df)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(f.contains("ivf_assignments"),
+        s"serve plan reads a non-index file: $f")
+      assert(!f.contains("embeddings.parquet"),
+        s"serve plan touches the base embeddings table: $f")
+      val m = "cell=([0-9]+)".r.findFirstMatchIn(f)
+      assert(m.isDefined, s"index file outside a cell partition: $f")
+      assert(probes.contains(m.get.group(1).toInt),
+        s"partition prune failed: $f not in probed cells ${probes.toSeq}")
+    }
+    assert(probes.length == IndexStore.IvfNprobe)
+  }
+
+  test("IVF serve registers its dynamic hash oracle") {
+    SimilarityQueries.simIvfAnn(spark, sfDir).collect()
+    val oracle = SimilarityQueries.oracle
+    assert(oracle.contains("sim_ivf_ann"),
+      "serve ran but no sim_ivf_ann oracle was registered")
+    val sql = oracle("sim_ivf_ann")
+    assert(sql.contains("ivf_assignments") &&
+      sql.contains("list_cosine_similarity"),
+      s"unexpected oracle shape:\n$sql")
+  }
+}
