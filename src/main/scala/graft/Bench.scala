@@ -184,16 +184,23 @@ object Bench {
       }
 
     // ANN index-quality telemetry (VERDICT r7 task #4): recall@10 of
-    // each approximate index vs the exact brute-force top-10 on the
-    // BENCH corpus, so index-quality regressions are visible
-    // round-over-round the way wall-times are (the planted-neighbor
-    // specs pin recall only on synthetic fixtures). Gated to full
-    // runs like the streaming line — a subset invocation is a timing
-    // probe. untimed: runs after all timed medians are recorded.
-    val annLine = if (args.nonEmpty) "" else
+    // each approximate index vs the exact brute-force top-10, so
+    // index-quality regressions are visible round-over-round the way
+    // wall-times are. Two corpora (VERDICT r12 task #2):
+    //   - ann_recall: the sf bench corpus. Its embeddings are i.i.d.
+    //     random, so recall ≈ scan fraction is the theoretical FLOOR
+    //     there — the line documents that floor, not index quality;
+    //   - ann_recall_structured: the planted-cluster corpus
+    //     (AnnBenchCorpus), where real recall is achievable — THIS is
+    //     the regression-gated index-quality number (spec bar:
+    //     recall ≥ 0.8 at scan_frac ≤ 0.2 for the IVF path).
+    // Gated to full runs like the streaming line — a subset
+    // invocation is a timing probe. untimed: runs after all timed
+    // medians are recorded.
+    def annMetrics(metric: String, dir: String): String =
       try {
         def topIds(name: String): Set[String] =
-          SparkEntry.queries(name)(spark, sfDir)
+          SparkEntry.queries(name)(spark, dir)
             .select("vec_id").collect()
             .map(r => String.valueOf(r.get(0))).toSet
         val truth = topIds("sim_brute_topk")
@@ -202,19 +209,20 @@ object Bench {
           else topIds(name).intersect(truth).size.toDouble / truth.size
         val lsh = recall("sim_lsh_ann")
         val ivf = recall("sim_ivf_ann")
-        // scan fraction contextualizes recall: on an unstructured
-        // random corpus recall ≈ scan fraction is the floor — the
-        // interesting signal round-over-round is the RATIO
         val (lshFrac, ivfFrac) =
-          graft.operators.SimilarityQueries.annScanFractions(spark, sfDir)
-        s"""{"metric":"ann_recall","k":${truth.size},""" +
+          graft.operators.SimilarityQueries.annScanFractions(spark, dir)
+        s"""{"metric":${jstr(metric)},"k":${truth.size},""" +
           s""""lsh_recall":${f"$lsh%.2f"},"lsh_scan_frac":${f"$lshFrac%.3f"},""" +
           s""""ivf_recall":${f"$ivf%.2f"},"ivf_scan_frac":${f"$ivfFrac%.3f"}}"""
       } catch {
         case e: Throwable =>
-          s"""{"metric":"ann_recall","err":${jstr(
+          s"""{"metric":${jstr(metric)},"err":${jstr(
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
       }
+    val annLine = if (args.nonEmpty) "" else annMetrics("ann_recall", sfDir)
+    val annStructuredLine = if (args.nonEmpty) "" else
+      annMetrics("ann_recall_structured",
+        graft.operators.AnnBenchCorpus.ensure(spark))
     spark.stop()
 
     // Standalone per-query artifact (VERDICT r12 task #3): the
@@ -235,7 +243,9 @@ object Bench {
       }
       val telemetry = Seq(
         if (streamLine.nonEmpty) Some(s"""  "stream_throughput": $streamLine""") else None,
-        if (annLine.nonEmpty) Some(s"""  "ann_recall": $annLine""") else None
+        if (annLine.nonEmpty) Some(s"""  "ann_recall": $annLine""") else None,
+        if (annStructuredLine.nonEmpty)
+          Some(s"""  "ann_recall_structured": $annStructuredLine""") else None
       ).flatten
       val doc = (Seq(
         "{",
@@ -272,6 +282,7 @@ object Bench {
     // streaming/ANN lines were lost exactly this way.
     if (streamLine.nonEmpty) println(streamLine)
     if (annLine.nonEmpty) println(annLine)
+    if (annStructuredLine.nonEmpty) println(annStructuredLine)
     // Cold-total summary (sum of first runs): short, second-to-last.
     println(
       s"""{"metric":"total_cold","value":${f"$totalCold%.3f"},"unit":"sec","sf":${jstr(sfDir)},"n_queries":${results.size}}""")

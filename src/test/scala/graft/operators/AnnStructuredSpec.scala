@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Regression gate for ANN index quality on the structured corpus
+  * (VERDICT r12 task #2): on a corpus with real neighborhood
+  * structure, the IVF index must find ≥ 0.8 of the true top-10 while
+  * scanning ≤ 0.2 of the collection. The sf-corpus `ann_recall`
+  * telemetry can't gate this — i.i.d. embeddings bound every
+  * sublinear index at recall ≈ scan fraction. */
+class AnnStructuredSpec extends SparkSpec {
+
+  private lazy val dir = AnnBenchCorpus.ensure(spark, perCluster = 100)
+
+  test("structured corpus is deterministic and well-formed") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    assert(emb.count() == AnnBenchCorpus.Clusters * 100L)
+    val q = emb.filter("vec_id = 0").collect()
+    assert(q.length == 1, "probe vector vec_id=0 missing")
+    assert(q.head.getSeq[Float](q.head.fieldIndex("embedding"))
+      .length == AnnBenchCorpus.Dim)
+  }
+
+  test("IVF on the structured corpus: recall >= 0.8 at scan " +
+      "fraction <= 0.2") {
+    val truth = SimilarityQueries.simBruteTopK(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(truth.size == 10, s"brute top-10 returned ${truth.size}")
+    val got = SimilarityQueries.simIvfAnn(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    val (_, ivfFrac) = SimilarityQueries.annScanFractions(spark, dir)
+    assert(recall >= 0.8,
+      s"IVF recall $recall < 0.8 on the structured corpus " +
+        s"(scanned ${f"$ivfFrac%.3f"} of it) — index-quality regression")
+    assert(ivfFrac <= 0.2,
+      s"IVF scanned ${f"$ivfFrac%.3f"} > 0.2 of the corpus — the " +
+        "recall bar must be met SUBLINEARLY")
+  }
+
+  test("brute-force top-10 on the structured corpus is " +
+      "dominated by the probe's planted cluster") {
+    // cluster 0 is vec_ids [0, perCluster); if the fixture lost its
+    // structure the recall gate above would pass vacuously
+    val truth = SimilarityQueries.simBruteTopK(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    val inCluster = truth.count(_ < 100L)
+    assert(inCluster >= 8,
+      s"only $inCluster/10 true neighbors in the planted cluster — " +
+        "fixture noise too high to measure index quality")
+  }
+}
