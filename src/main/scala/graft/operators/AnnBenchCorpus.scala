@@ -36,7 +36,16 @@ object AnnBenchCorpus {
   val Clusters = 12
   val PerCluster = 400
   val Dim = 64
-  val Noise = 0.15
+
+  /** PER-COMPONENT noise σ. The quantity that sets cluster tightness
+    * is the noise VECTOR's norm σ·√Dim (≈ 0.34 here), not σ: members
+    * are normalize(c + σ·z) with ‖c‖ = 1, so expected in-cluster
+    * cosine ≈ 1/(1 + σ²·Dim) ≈ 0.90 — tight enough that semantic
+    * near-dups exceed SemTau and true neighbors are in-cluster, while
+    * cross-cluster cosine stays near 0. (A first cut used σ = 0.15,
+    * which puts the noise norm at 1.2 — LARGER than the center —
+    * and quietly produced an almost-unclustered corpus.) */
+  val Noise = 0.042
   val Seed = 4213L
 
   private val built = TrieMap.empty[String, String]

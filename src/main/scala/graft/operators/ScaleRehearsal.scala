@@ -93,6 +93,26 @@ object ScaleRehearsal {
       .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+  /** Write minimal synthetic lineitem/orders tables (just the
+    * columns the quantile family reads) of `n` rows each —
+    * hash-derived values, deterministic. 10× the doc count so the
+    * quantile section times something measurable (the numeric ops
+    * are much cheaper per row than the text ops). */
+  def genNumeric(s: SparkSession, n: Long, dir: String): Unit = {
+    s.range(n).toDF("id")
+      .select((pmod(xxhash64(col("id")), lit(1000000L))
+        .cast("double") / 100.0).as("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    s.range(n).toDF("id")
+      .select(
+        element_at(array(lit("F"), lit("O"), lit("P")),
+          (pmod(xxhash64(col("id"), lit(1)), lit(3)) + 1).cast("int"))
+          .as("o_orderstatus"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(10000000L))
+          .cast("double") / 100.0).as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -217,6 +237,25 @@ object ScaleRehearsal {
         (df.count(), t)
       }
 
+      // --- semantic dedup (r13): bucket census + centroid moments
+      // are linear shuffles; the risk is the bucket-bounded prune
+      // self-join (cluster sizes bound the pair fan-out, like the
+      // LSH band joins) — gate its wall growth.
+      val (_, tSem) =
+        time(runNoop(SimilarityQueries.ddSemantic(spark, dir)))
+
+      // --- quantile families (VERDICT r12 task #7): both the exact
+      // two-pass selection (x31/x32 — bounded memory is the 100 TB
+      // claim) and the GK/approx family (x8b/x12b) get growth
+      // exponents over the same 10× span the dedup paths use.
+      // Numeric tables are 10× the doc count so per-size wall times
+      // are measurable.
+      genNumeric(spark, n * 10, dir)
+      val (_, tX31) = time(runNoop(OlapQueries.x31ExactMedian2pass(spark, dir)))
+      val (_, tX32) = time(runNoop(OlapQueries.x32QuantileBands(spark, dir)))
+      val (_, tX8b) = time(runNoop(ExtendedQueries.x8bApproxPercentile(spark, dir)))
+      val (_, tX12b) = time(runNoop(ExtendedQueries.x12bApproxFence(spark, dir)))
+
       println(s"""{"metric":"scale_rehearsal","n_docs":$n,""" +
         s""""candidates":$nCand,"hot_buckets":$hot,""" +
         s""""dropped_pairs":$dropped,""" +
@@ -230,7 +269,10 @@ object ScaleRehearsal {
         s""""edjoin_sec":${f"$tEdJoin%.2f"},""" +
         s""""edjoin_cand_sec":${f"$tEdCand%.2f"},""" +
         s""""edjoin_cand":$nEdCand,"edjoin_pairs":$nEdPairs,""" +
-        s""""cont_sec":${f"$tCont%.2f"},"cont_pairs":$nContPairs}""")
+        s""""cont_sec":${f"$tCont%.2f"},"cont_pairs":$nContPairs,""" +
+        s""""sem_sec":${f"$tSem%.2f"},""" +
+        s""""x31_sec":${f"$tX31%.2f"},"x32_sec":${f"$tX32%.2f"},""" +
+        s""""x8b_sec":${f"$tX8b%.2f"},"x12b_sec":${f"$tX12b%.2f"}}""")
       // edjoin_cand / edjoin_pairs absolute counts are OUTPUT-bound
       // (the planted pile's true pairs are quadratic in pile size by
       // construction) — the gated quantities are the filter's
@@ -244,7 +286,9 @@ object ScaleRehearsal {
         "edjoin_sec" -> tEdJoin,
         "edjoin_cand_per_pair" ->
           (nEdCand.toDouble / math.max(1L, nEdPairs)),
-        "cont_sec" -> tCont))
+        "cont_sec" -> tCont, "sem_sec" -> tSem,
+        "x31_sec" -> tX31, "x32_sec" -> tX32,
+        "x8b_sec" -> tX8b, "x12b_sec" -> tX12b))
     }
 
     // growth exponents between smallest and largest corpus:

@@ -1047,7 +1047,88 @@ object SimilarityQueries {
     q.select(col("vec_id") +: projCols: _*)
   }
 
+  // =================================================================
+  // dd_semantic — SemDeDup-style per-cluster embedding prune
+  // =================================================================
+
+  /** Cosine above which a lower-ranked member of the same cluster is
+    * a semantic duplicate (SemDeDup's ε, Abbas et al. 2023). */
+  val SemTau = 0.7
+
+  /** Quantization scale for the centroid moment sums: 1e4 keeps every
+    * exact-long moment below 2^53 (so its double image is EXACT) at
+    * any plausible cluster size — q ≤ 1e4, centroid component ≤
+    * n·1e4, and the 64-term dot ≤ 64·1e4·n·1e4 stays double-exact to
+    * n ≈ 2M vectors per cluster. */
+  val SemScale = 10000L
+
+  /** Semantic dedup: cluster by deterministic sign-LSH bucket (the
+    * literal-plane discipline that made dd_embed_neardup oraclable —
+    * a seeded KMeans would be rows-only), rank each cluster's members
+    * by cosine-to-centroid (centroid-nearest first), and drop every
+    * member whose cosine to some HIGHER-ranked cluster-mate exceeds
+    * [[SemTau]] — over-represented semantic regions collapse to their
+    * most central representative, the SemDeDup recipe.
+    *
+    * Determinism: the centroid is never materialized in floats — the
+    * rank key is built from three EXACT long moments per member
+    * (dot(q_e, Σq_e), ‖q_e‖², ‖Σq_e‖², quantize-then-sum like
+    * sim_centroids) and only then combined in double (IEEE ops on
+    * identical ints are bit-stable across engines). The pairwise
+    * prune cosine reuses the raw-double formulation sim_brute_topk
+    * proved bit-equal to DuckDB's list_cosine_similarity. Ties in
+    * the rank order break on vec_id.
+    *
+    * 100 TB shape: the census + centroid moments are two shuffles on
+    * (bucket, dim) / vec_id; the prune self-join is bucket-bounded
+    * (an equi-join on bucket — cluster sizes are the hot-spot bound,
+    * same posture as the LSH band joins). Rehearsed in
+    * ScaleRehearsal's dedup section. */
+  def ddSemantic(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SignLshBucket.ensureRegistered(s)
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
+    val emb = cleanEmbeddings(s, dir)
+      .withColumn("bucket", expr(s"signlsh_bucket(e, $AnnPlanes)"))
+      .localCheckpoint() // consumed by moments + both prune sides
+    val qv = emb.select(col("vec_id"), col("bucket"),
+      posexplode(expr(
+        s"transform(e, x -> cast(round(x * $SemScale) as bigint))"))
+        .as(Seq("dim", "q")))
+    val cent = qv.groupBy(col("bucket"), col("dim"))
+      .agg(sum(col("q")).as("cq"))
+    val mom = qv.join(cent, Seq("bucket", "dim"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("bucket")).as("bucket"),
+        sum(col("q") * col("cq")).as("dot"),
+        sum(col("q") * col("q")).as("na2"),
+        sum(col("cq") * col("cq")).as("nc2"))
+    val rnk = mom.select(col("vec_id"), col("bucket"),
+        (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nc2").cast("double")))).as("cosc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("cosc").desc, col("vec_id"))))
+      .localCheckpoint() // both sides of the prune join + output
+    val withE = emb.select(col("vec_id"), col("e"))
+    val dropped = rnk.as("a")
+      .join(rnk.as("b"), col("a.bucket") === col("b.bucket")
+        && col("a.rk") < col("b.rk"))
+      .join(withE.select(col("vec_id").as("ia"), col("e").as("ea")),
+        col("a.vec_id") === col("ia"))
+      .join(withE.select(col("vec_id").as("ib"), col("e").as("eb")),
+        col("b.vec_id") === col("ib"))
+      .filter(expr("cosine_sim(ea, eb)") > SemTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    rnk.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("cosc"),
+        col("is_dropped").isNull.as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_semantic" -> (ddSemantic _),
     "dd_edjoin" -> (ddEdJoin _),
     "dd_containment" -> (ddContainment _),
     "sim_centroids" -> (simCentroids _),
@@ -1152,6 +1233,49 @@ object SimilarityQueries {
   def oracle: Map[String, String] = staticOracle ++ dynamicOracle
 
   private val staticOracle: Map[String, String] = Map(
+    // full SemDeDup replica: literal-plane buckets, exact-long
+    // centroid moments combined in double (bit-stable given identical
+    // ints), rank window, bucket-bounded prune join — every stage
+    // mirrored, so vec-level keep/drop verdicts hash-compare
+    "dd_semantic" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |            FROM embeddings),
+         |b AS (SELECT vec_id, e,
+         |        ${bucketSqlExpr(AnnPlanes, 64, "e")} AS bucket
+         |      FROM emb),
+         |qv0 AS (SELECT vec_id, bucket, e,
+         |          unnest(range(1, len(e) + 1)) AS i FROM b),
+         |qv AS (SELECT vec_id, bucket, i AS dim,
+         |         CAST(round(e[CAST(i AS INTEGER)] * $SemScale)
+         |           AS BIGINT) AS q
+         |       FROM qv0),
+         |cent AS (SELECT bucket, dim, CAST(sum(q) AS BIGINT) AS cq
+         |         FROM qv GROUP BY bucket, dim),
+         |mom AS (SELECT vec_id, any_value(bucket) AS bucket,
+         |          CAST(sum(q * cq) AS BIGINT) AS dot,
+         |          CAST(sum(q * q) AS BIGINT) AS na2,
+         |          CAST(sum(cq * cq) AS BIGINT) AS nc2
+         |        FROM qv JOIN cent USING (bucket, dim)
+         |        GROUP BY vec_id),
+         |rnk AS (SELECT vec_id, bucket,
+         |          CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE))
+         |            * sqrt(CAST(nc2 AS DOUBLE))) AS cosc,
+         |          row_number() OVER (PARTITION BY bucket
+         |            ORDER BY CAST(dot AS DOUBLE)
+         |              / (sqrt(CAST(na2 AS DOUBLE))
+         |                 * sqrt(CAST(nc2 AS DOUBLE))) DESC,
+         |              vec_id) AS rk
+         |        FROM mom),
+         |dropped AS (SELECT DISTINCT b2.vec_id
+         |            FROM rnk a JOIN rnk b2
+         |              ON a.bucket = b2.bucket AND a.rk < b2.rk
+         |            JOIN b ea ON ea.vec_id = a.vec_id
+         |            JOIN b eb ON eb.vec_id = b2.vec_id
+         |            WHERE list_cosine_similarity(ea.e, eb.e)
+         |              > $SemTau)
+         |SELECT r.vec_id, r.bucket, r.cosc,
+         | (d.vec_id IS NULL) AS kept
+         |FROM rnk r LEFT JOIN dropped d ON r.vec_id = d.vec_id""".stripMargin,
     // all-ORDERED-pairs ground truth over the string gram sets —
     // certifies both the asymmetric prefix filter's losslessness
     // and that the postings cap never bound on this corpus
