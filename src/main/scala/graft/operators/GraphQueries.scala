@@ -43,17 +43,7 @@ object GraphQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def g5Pagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = edgeCache.getOrElseUpdate(
-      s.sparkContext.applicationId + ":" + dir, {
-        val pairs = Tables.lineitem(s, dir)
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
-        val fwd = pairs.select(
-          (col("l_partkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        fwd.unionByName(
-          fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint() // consumed by outdeg + every iteration
-      })
+    val edges = edgesFor(s, dir)
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
     var pr = outdeg.select(col("src").as("node"), lit(PrScale).as("pr"))
@@ -68,6 +58,81 @@ object GraphQueries {
     }
     pr.select(col("node"), col("pr"))
   }
+
+  /** Convergence-loop variant (VERDICT r12 task #6): g5's fixed 3
+    * iterations demonstrate the step; real usage iterates to a
+    * tolerance. 20 because the bipartite graph's rank mass
+    * OSCILLATES between the two sides (period-2), so the L1 delta
+    * decays only as the damping power 0.85^k — the 5% per-node bar
+    * lands around k ≈ 18; a 15 cap was measured to bind before
+    * convergence at sf0.01. */
+  val PrbMaxIters = 20
+
+  /** Per-node L1 tolerance: stop when the summed |Δpr| over all
+    * nodes falls to 5% of [[PrScale]] per node. Integer, so the
+    * convergence DECISION is bit-reproducible and the oracle can
+    * replay it. */
+  val PrbTolPerNode = PrScale / 20
+
+  /** PageRank iterated to convergence: same integer-quantized step
+    * as [[g5Pagerank]], with an L1-delta stop — after each step the
+    * engine sums |pr_i − pr_{i−1}| (exact longs, any partitioning)
+    * and stops at the FIRST iteration where the total falls under
+    * `n_nodes · PrbTolPerNode`, or at [[PrbMaxIters]]. The chosen
+    * iteration is emitted as `n_iters`, so the stopping decision
+    * itself is part of the hash-compared result. Each iterate is
+    * localCheckpointed: iteration i+1 and the delta both read a
+    * materialized i-th iterate instead of re-executing an
+    * i-join-deep lineage (the classic iterative-Spark trap).
+    *
+    * The oracle unrolls all [[PrbMaxIters]] stages, computes every
+    * stage's delta, and selects rows from stage
+    * `min{i : Δi ≤ tol} ∪ {max}` — a data-independent REPLAY of the
+    * engine's data-dependent loop, so both engines agree on ranks
+    * AND iteration count bit-for-bit. */
+  def g5bPagerankConverged(s: SparkSession, dir: String): DataFrame = {
+    val edges = edgesFor(s, dir)
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint() // read by every iteration + the node count
+    val nNodes = outdeg.count()
+    val tol = nNodes * PrbTolPerNode
+    var pr = outdeg
+      .select(col("src").as("node"), lit(PrScale).as("pr"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < PrbMaxIters && !converged) {
+      val rate = pr
+        .join(outdeg.withColumnRenamed("src", "node"), "node")
+        .select(col("node").as("src"), expr("pr div outdeg").as("rate"))
+      val next = edges.join(rate, "src")
+        .groupBy(col("dst").as("node"))
+        .agg((lit(PrScale * 15 / 100) +
+          expr("(sum(rate) * 85) div 100")).as("pr"))
+        .localCheckpoint()
+      val delta = next.join(pr.withColumnRenamed("pr", "pr_prev"), "node")
+        .agg(sum(abs(col("pr") - col("pr_prev"))).cast("long"))
+        .head().getLong(0)
+      pr = next
+      it += 1
+      converged = delta <= tol
+    }
+    pr.select(col("node"), col("pr"), lit(it).cast("int").as("n_iters"))
+  }
+
+  private def edgesFor(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":" + dir, {
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val fwd = pairs.select(
+          (col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint() // consumed by outdeg + every iteration
+      })
 
   /** Distributed triangle counting on the co-purchase graph (parts
     * joined by a shared order) — the MapReduce classic (Suri &
@@ -153,6 +218,7 @@ object GraphQueries {
 
   val queries: Map[String, Q] = Map(
     "g5_pagerank" -> (g5Pagerank _),
+    "g5b_pagerank_converged" -> (g5bPagerankConverged _),
     "g6_triangles" -> (g6Triangles _)
   )
 
@@ -169,7 +235,7 @@ object GraphQueries {
         |          SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
         |pr0 AS (SELECT src AS node, $PrScale::BIGINT AS pr FROM outdeg)""".stripMargin
-    val iters = (1 to PrIters).map { i =>
+    def iterCtes(n: Int): String = (1 to n).map { i =>
       s"""it$i AS (SELECT e.dst AS node,
          |  CAST(${PrScale * 15 / 100} + (sum(p.pr // o.outdeg) * 85) // 100 AS BIGINT) AS pr
          |FROM edges e
@@ -177,8 +243,33 @@ object GraphQueries {
          |JOIN outdeg o ON o.src = e.src
          |GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
+    val iters = iterCtes(PrIters)
+    // convergence replay (g5b): unroll ALL PrbMaxIters stages, take
+    // each stage's L1 delta vs its predecessor, and select rows from
+    // stage min{i : Δi ≤ n_nodes·tol} (else the cap) — the
+    // data-independent SQL image of the engine's stop-at-first loop
+    val deltas = (1 to PrbMaxIters).map { i =>
+      val prev = if (i == 1) "pr0" else s"it${i - 1}"
+      s"""d$i AS (SELECT $i AS it, CAST(sum(abs(a.pr - b.pr)) AS BIGINT) AS d
+         |FROM it$i a JOIN $prev b ON a.node = b.node)""".stripMargin
+    }.mkString(",\n")
+    val allDeltas = (1 to PrbMaxIters)
+      .map(i => s"SELECT it, d FROM d$i").mkString("\nUNION ALL ")
+    val allStages = (1 to PrbMaxIters)
+      .map(i => s"SELECT $i AS it, node, pr FROM it$i")
+      .mkString("\nUNION ALL ")
+    val convergedSql =
+      base + ",\n" + iterCtes(PrbMaxIters) + ",\n" + deltas + s""",
+        |dd AS ($allDeltas),
+        |chosen AS (SELECT coalesce(min(it), $PrbMaxIters) AS it
+        |           FROM dd
+        |           WHERE d <= (SELECT count(*) FROM pr0) * $PrbTolPerNode),
+        |stages AS ($allStages)
+        |SELECT s.node, s.pr, CAST(c.it AS INTEGER) AS n_iters
+        |FROM stages s, chosen c WHERE s.it = c.it""".stripMargin
     Map("g5_pagerank" ->
       (base + ",\n" + iters + s"\nSELECT node, pr FROM it$PrIters"),
+      "g5b_pagerank_converged" -> convergedSql,
       // the count is orientation-invariant: the oracle's id-ordered
       // triple join and the engine's degree-ordered wedge closure
       // agree on the number while having very different hub behavior
