@@ -89,7 +89,20 @@ object GraphQueries {
     * stage's delta, and selects rows from stage
     * `min{i : Δi ≤ tol} ∪ {max}` — a data-independent REPLAY of the
     * engine's data-dependent loop, so both engines agree on ranks
-    * AND iteration count bit-for-bit. */
+    * AND iteration count bit-for-bit.
+    *
+    * Iteration hygiene (VERDICT r13 task #5): the delta is FOLDED
+    * into the iteration's materialization — each checkpointed iterate
+    * carries `pr_prev` alongside `pr` (the join with the previous
+    * iterate rides the same groupBy exchange), so the per-iteration
+    * jobs are one heavy pass (join+agg+checkpoint) plus a cheap scan
+    * of the just-materialized blocks, instead of the former second
+    * join job. And each superseded iterate's checkpoint blocks are
+    * freed EAGERLY ([[org.apache.spark.sql.GraftSqlShims
+    * .unpersistLocalCheckpoint]]) once its successor is materialized —
+    * without this, up to [[PrbMaxIters]] rank tables sit in executor
+    * storage memory until driver GC notices (the r13 storage-pressure
+    * flag). */
   def g5bPagerankConverged(s: SparkSession, dir: String): DataFrame = {
     val edges = edgesFor(s, dir)
     val outdeg = edges.groupBy(col("src"))
@@ -97,24 +110,33 @@ object GraphQueries {
       .localCheckpoint() // read by every iteration + the node count
     val nNodes = outdeg.count()
     val tol = nNodes * PrbTolPerNode
-    var pr = outdeg
+    var ckpt = outdeg
       .select(col("src").as("node"), lit(PrScale).as("pr"))
-      .localCheckpoint()
+      .localCheckpoint() // the iterate whose blocks we own + may free
+    var pr: DataFrame = ckpt // (node, pr) view of the live iterate
     var it = 0
     var converged = false
     while (it < PrbMaxIters && !converged) {
       val rate = pr
         .join(outdeg.withColumnRenamed("src", "node"), "node")
         .select(col("node").as("src"), expr("pr div outdeg").as("rate"))
+      // one materialization serves both consumers: the new ranks AND
+      // the delta operands (pr_prev joined in before the checkpoint,
+      // so the delta job below is a scan of these blocks, not a join)
       val next = edges.join(rate, "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(PrScale * 15 / 100) +
           expr("(sum(rate) * 85) div 100")).as("pr"))
+        .join(pr.withColumnRenamed("pr", "pr_prev"), "node")
         .localCheckpoint()
-      val delta = next.join(pr.withColumnRenamed("pr", "pr_prev"), "node")
+      val delta = next
         .agg(sum(abs(col("pr") - col("pr_prev"))).cast("long"))
         .head().getLong(0)
-      pr = next
+      // the old iterate is fully superseded: next is materialized and
+      // carries pr_prev, so nothing will read the old blocks again
+      org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(ckpt)
+      ckpt = next
+      pr = next.select(col("node"), col("pr")) // narrow over the ckpt
       it += 1
       converged = delta <= tol
     }
@@ -131,6 +153,12 @@ object GraphQueries {
           (col("l_suppkey") * 2 + 1).as("dst"))
         fwd.unionByName(
           fwd.select(col("dst").as("src"), col("src").as("dst")))
+          // hash-partition on src ONCE at build (union destroys the
+          // upstream partitioning): every PageRank iteration joins
+          // edges⋈rate on src, and the checkpoint preserves this
+          // partitioning, so the BIG side never re-exchanges — only
+          // the node-sized rate table shuffles per iteration
+          .repartition(col("src"))
           .localCheckpoint() // consumed by outdeg + every iteration
       })
 

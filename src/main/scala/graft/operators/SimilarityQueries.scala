@@ -1055,12 +1055,39 @@ object SimilarityQueries {
     * a semantic duplicate (SemDeDup's ε, Abbas et al. 2023). */
   val SemTau = 0.7
 
-  /** Quantization scale for the centroid moment sums: 1e4 keeps every
-    * exact-long moment below 2^53 (so its double image is EXACT) at
-    * any plausible cluster size — q ≤ 1e4, centroid component ≤
-    * n·1e4, and the 64-term dot ≤ 64·1e4·n·1e4 stays double-exact to
-    * n ≈ 2M vectors per cluster. */
+  /** Quantization scale for the centroid moment sums. The BINDING
+    * moment is the quadratic one (ADVICE r13): nc2 = ‖Σq‖² ≤ (n·1e4)²
+    * for unit-norm embeddings, which leaves the double-exact range
+    * (2^53) at n ≈ 9.5e3 members per cluster and overflows int64 at
+    * n ≈ 3e5 — where Spark's long sum would wrap SILENTLY while
+    * DuckDB's HUGEINT sum diverges. The linear moments (dot ≤ n·1e8,
+    * na2 ≤ 1e8) are safe far beyond that. Hence [[SemMaxCluster]]:
+    * both engines FAIL LOUDLY (assert_true / error()) before any
+    * moment can leave the exact range. */
   val SemScale = 10000L
+
+  /** Hard per-cluster membership bound under which every centroid
+    * moment is double-exact (see [[SemScale]]): 9000² · 1e8 =
+    * 8.1e15 < 2^53. Enforced identically in engine (assert_true) and
+    * oracle (error()) — a hot bucket at corpus scale aborts both
+    * sides instead of silently corrupting the rank order. */
+  val SemMaxCluster = 9000L
+
+  /** Rank-window cap on the within-cluster prune join (VERDICT r13
+    * task #1): each member is compared only against its [[
+    * SemRankWindow]] nearest-ranked predecessors, bounding the
+    * pairwise stage at Θ(n·W) corpus-wide — the fixed 256-way bucket
+    * layout alone would make it Θ(n²/256), fatal at 100 TB. SemDeDup
+    * keep/drop degrades gracefully under the window: a member is
+    * checked against the cluster-mates MOST LIKELY to be its semantic
+    * duplicates (nearest in centroid-cosine rank); only duplicates of
+    * a far-higher-ranked member can slip through, and the skipped
+    * comparisons are COUNTED (dd_semantic_capstats) so the loss is
+    * observable, the dd_minhash_lsh hot-bucket discipline. 64 ≫ any
+    * fixture cluster (sf0.1: 2000 vecs / 256 buckets), so the cap
+    * provably does not bind at oracle scale — capstats pins
+    * pairs_skipped = 0 there. */
+  val SemRankWindow = 64
 
   /** Semantic dedup: cluster by deterministic sign-LSH bucket (the
     * literal-plane discipline that made dd_embed_neardup oraclable —
@@ -1081,10 +1108,20 @@ object SimilarityQueries {
     *
     * 100 TB shape: the census + centroid moments are two shuffles on
     * (bucket, dim) / vec_id; the prune self-join is bucket-bounded
-    * (an equi-join on bucket — cluster sizes are the hot-spot bound,
-    * same posture as the LSH band joins). Rehearsed in
-    * ScaleRehearsal's dedup section. */
-  def ddSemantic(s: SparkSession, dir: String): DataFrame = {
+    * AND rank-windowed ([[SemRankWindow]] — Θ(n·W) pairwise work
+    * corpus-wide, skipped comparisons counted by
+    * [[ddSemanticCapstats]]), with the [[SemMaxCluster]] guard
+    * aborting loudly before any moment can leave the exact-double
+    * range. Rehearsed in ScaleRehearsal's dedup section. */
+  def ddSemantic(s: SparkSession, dir: String): DataFrame =
+    ddSemanticWindowed(s, dir, SemRankWindow)
+
+  /** [[ddSemantic]] with an explicit rank window — package-visible so
+    * SemanticDedupSpec can force the cap to BIND (window smaller than
+    * a planted cluster) and assert the graceful-degradation contract
+    * at fixture scale. */
+  private[graft] def ddSemanticWindowed(
+      s: SparkSession, dir: String, window: Int): DataFrame = {
     graft.functions.SignLshBucket.ensureRegistered(s)
     graft.functions.CosineSimilarity.ensureRegistered(s)
     import org.apache.spark.sql.expressions.Window
@@ -1096,7 +1133,19 @@ object SimilarityQueries {
         s"transform(e, x -> cast(round(x * $SemScale) as bigint))"))
         .as(Seq("dim", "q")))
     val cent = qv.groupBy(col("bucket"), col("dim"))
-      .agg(sum(col("q")).as("cq"))
+      .agg(sum(col("q")).as("cq0"), count(lit(1)).as("nb"))
+      // loud overflow guard (ADVICE r13): past SemMaxCluster members
+      // the quadratic moment nc2 leaves the exact-double range, so
+      // FAIL here — riding the cq dataflow so Catalyst cannot prune
+      // the assert out of the plan; the oracle's cent CTE raises
+      // error() under the identical predicate
+      .select(col("bucket"), col("dim"),
+        (col("cq0") + coalesce(
+          assert_true(col("nb") <= SemMaxCluster,
+            lit(s"dd_semantic: cluster exceeds $SemMaxCluster " +
+              "members — centroid moments would leave the " +
+              "exact-double range")).cast("long"),
+          lit(0L))).as("cq"))
     val mom = qv.join(cent, Seq("bucket", "dim"))
       .groupBy(col("vec_id"))
       .agg(first(col("bucket")).as("bucket"),
@@ -1114,7 +1163,10 @@ object SimilarityQueries {
     val withE = emb.select(col("vec_id"), col("e"))
     val dropped = rnk.as("a")
       .join(rnk.as("b"), col("a.bucket") === col("b.bucket")
-        && col("a.rk") < col("b.rk"))
+        && col("a.rk") < col("b.rk")
+        // rank-window cap: compare each member only to its `window`
+        // nearest-ranked predecessors — the Θ(n·W) bound
+        && col("b.rk") - col("a.rk") <= window)
       .join(withE.select(col("vec_id").as("ia"), col("e").as("ea")),
         col("a.vec_id") === col("ia"))
       .join(withE.select(col("vec_id").as("ib"), col("e").as("eb")),
@@ -1127,8 +1179,46 @@ object SimilarityQueries {
         col("is_dropped").isNull.as("kept"))
   }
 
+  /** Cap observability census for [[ddSemantic]] (the counted-drops
+    * discipline): one row — bucket count, corpus size, the largest
+    * cluster, and exactly how many within-cluster comparisons the
+    * [[SemRankWindow]] cap SKIPPED versus the unbounded all-pairs
+    * prune. pairs_skipped = 0 certifies the cap did not bind (the
+    * windowed result ≡ the unbounded result at this scale); a
+    * non-zero count at corpus scale quantifies the graceful
+    * degradation instead of hiding it. Pure integer arithmetic over
+    * the bucket census — oracle hash-compares. */
+  def ddSemanticCapstats(s: SparkSession, dir: String): DataFrame =
+    ddSemanticCapstatsWindowed(s, dir, SemRankWindow)
+
+  /** [[ddSemanticCapstats]] with an explicit window, paired with
+    * [[ddSemanticWindowed]] for the cap-binding spec case. */
+  private[graft] def ddSemanticCapstatsWindowed(
+      s: SparkSession, dir: String, window: Int): DataFrame = {
+    graft.functions.SignLshBucket.ensureRegistered(s)
+    val w = window.toLong
+    val census = cleanEmbeddings(s, dir)
+      .withColumn("bucket", expr(s"signlsh_bucket(e, $AnnPlanes)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    census.agg(
+      count(lit(1)).cast("long").as("n_buckets"),
+      sum(col("n")).cast("long").as("n_vecs"),
+      max(col("n")).cast("long").as("max_cluster"),
+      sum(
+        when(col("n") - 1 <= w, col("n") * (col("n") - 1) / 2)
+          .otherwise(lit(w) * col("n") - lit(w * (w + 1) / 2)))
+        .cast("long").as("pairs_compared"),
+      sum(
+        when(col("n") - 1 <= w, lit(0L))
+          .otherwise(col("n") * (col("n") - 1) / 2
+            - (lit(w) * col("n") - lit(w * (w + 1) / 2))))
+        .cast("long").as("pairs_skipped"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dd_semantic" -> (ddSemantic _),
+    "dd_semantic_capstats" -> (ddSemanticCapstats _),
     "dd_edjoin" -> (ddEdJoin _),
     "dd_containment" -> (ddContainment _),
     "sim_centroids" -> (simCentroids _),
@@ -1249,7 +1339,12 @@ object SimilarityQueries {
          |         CAST(round(e[CAST(i AS INTEGER)] * $SemScale)
          |           AS BIGINT) AS q
          |       FROM qv0),
-         |cent AS (SELECT bucket, dim, CAST(sum(q) AS BIGINT) AS cq
+         |cent AS (SELECT bucket, dim,
+         |          CASE WHEN count(*) <= $SemMaxCluster
+         |            THEN CAST(sum(q) AS BIGINT)
+         |            ELSE error('dd_semantic: cluster exceeds ' ||
+         |              '$SemMaxCluster members — moment exactness')
+         |          END AS cq
          |         FROM qv GROUP BY bucket, dim),
          |mom AS (SELECT vec_id, any_value(bucket) AS bucket,
          |          CAST(sum(q * cq) AS BIGINT) AS dot,
@@ -1269,6 +1364,7 @@ object SimilarityQueries {
          |dropped AS (SELECT DISTINCT b2.vec_id
          |            FROM rnk a JOIN rnk b2
          |              ON a.bucket = b2.bucket AND a.rk < b2.rk
+         |              AND b2.rk - a.rk <= $SemRankWindow
          |            JOIN b ea ON ea.vec_id = a.vec_id
          |            JOIN b eb ON eb.vec_id = b2.vec_id
          |            WHERE list_cosine_similarity(ea.e, eb.e)
@@ -1276,6 +1372,28 @@ object SimilarityQueries {
          |SELECT r.vec_id, r.bucket, r.cosc,
          | (d.vec_id IS NULL) AS kept
          |FROM rnk r LEFT JOIN dropped d ON r.vec_id = d.vec_id""".stripMargin,
+    // cap observability: integer pair-count algebra over the bucket
+    // census; pairs_skipped = 0 certifies the window never bound
+    "dd_semantic_capstats" -> {
+      val w = SemRankWindow.toLong
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |            FROM embeddings),
+         |b AS (SELECT vec_id,
+         |        ${bucketSqlExpr(AnnPlanes, 64, "e")} AS bucket
+         |      FROM emb),
+         |census AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+         |           FROM b GROUP BY bucket)
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         | CAST(sum(n) AS BIGINT) AS n_vecs,
+         | CAST(max(n) AS BIGINT) AS max_cluster,
+         | CAST(sum(CASE WHEN n - 1 <= $w THEN n * (n - 1) // 2
+         |   ELSE $w * n - ${w * (w + 1) / 2} END) AS BIGINT)
+         |   AS pairs_compared,
+         | CAST(sum(CASE WHEN n - 1 <= $w THEN 0
+         |   ELSE n * (n - 1) // 2 - ($w * n - ${w * (w + 1) / 2})
+         |   END) AS BIGINT) AS pairs_skipped
+         |FROM census""".stripMargin
+    },
     // all-ORDERED-pairs ground truth over the string gram sets —
     // certifies both the asymmetric prefix filter's losslessness
     // and that the postings cap never bound on this corpus

