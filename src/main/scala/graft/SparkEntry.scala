@@ -42,10 +42,19 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = oracleParts(SimilarityQueries.oracle)
+
+  /** [[oracleSql]] with the dynamic (per-dataset) entries selected
+    * for `dir` — what Verify dumps, so a JVM that served several
+    * datasets still emits the oracle consistent with ITS dump
+    * (ADVICE r13). */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    oracleParts(SimilarityQueries.oracleFor(dir))
+
+  private def oracleParts(sim: Map[String, String]): Map[String, String] =
     RelationalQueries.oracle ++
       TextQueries.oracle ++
-      SimilarityQueries.oracle ++
+      sim ++
       MlQueries.oracle ++
       MultimodalQueries.oracle ++
       AsofJoin.oracle ++

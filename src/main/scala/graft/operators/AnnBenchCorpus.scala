@@ -55,9 +55,15 @@ object AnnBenchCorpus {
     * for spec-speed runs. */
   def ensure(s: SparkSession, perCluster: Int = PerCluster): String =
     built.getOrElseUpdate(s"pc$perCluster", {
+      // process-unique path (ADVICE r13, same rationale as
+      // IndexStore.indexRoot): a concurrent JVM regenerating the
+      // corpus must never overwrite files this one is mid-read on —
+      // content is deterministic, but a parquet overwrite is not
+      // atomic
       val dir = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_ann_structured_pc$perCluster").toString
+        s"graft_ann_structured_${graft.sources.IndexStore.processToken}",
+        s"pc$perCluster").toString
       val rnd = new java.util.Random(Seed)
       def gaussianVec(): Array[Double] =
         Array.fill(Dim)(rnd.nextGaussian())

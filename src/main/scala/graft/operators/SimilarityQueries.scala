@@ -677,19 +677,34 @@ object SimilarityQueries {
     * in this JVM, the oracle SQL — index path and probe set
     * interpolated as literals — certifies it by hash, upgrading
     * sim_ivf_ann from the rows-only register. Populated by
-    * [[simIvfAnn]]; [[oracle]] merges it in, and Verify dumps
-    * oracle_sql.json AFTER running the queries, so the entry is
-    * present exactly when the serve ran. Only the BUILD (iterative
-    * KMeans fit) remains non-SQL-expressible, as an index build
-    * should be. */
+    * [[simIvfAnn]]; Verify dumps oracle_sql.json AFTER running the
+    * queries, so the entry is present exactly when the serve ran.
+    * Only the BUILD (iterative KMeans fit) remains
+    * non-SQL-expressible, as an index build should be.
+    *
+    * Keyed by (query, DATASET DIR) — ADVICE r13: one JVM can serve
+    * several dirs (specs + sf corpus + AnnBenchCorpus), and a
+    * name-only key would be last-writer-wins, dumping a probe set /
+    * index path inconsistent with the persisted engine result Verify
+    * wrote for ITS dir. [[oracleFor]] selects the dumping process's
+    * own dir; the interpolated index paths are process-unique and
+    * immutable after build (IndexStore), so the compare can never
+    * read assignments written by a different fit. */
   private val dynamicOracle =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Oracles as Verify should dump them for `dir`: static entries
+    * plus this process's dynamic entries for exactly that dataset. */
+  def oracleFor(dir: String): Map[String, String] =
+    staticOracle ++ dynamicOracle.toMap.collect {
+      case ((name, d), sql) if d == dir => name -> sql
+    }
 
   def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
     val paths = graft.sources.IndexStore.ensureIvf(s, dir)
     val (assigned, probes, query) = ivfTopology(s, dir)
-    dynamicOracle("sim_ivf_ann") =
+    dynamicOracle(("sim_ivf_ann", dir)) =
       s"""WITH e AS (SELECT vec_id, label, e, CAST(cell AS INTEGER) AS cell
          | FROM read_parquet('${paths.assignments}/*/*.parquet',
          |                   hive_partitioning=1)),
@@ -718,6 +733,61 @@ object SimilarityQueries {
         expr("cosine_sim(e, qe)").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Quantization scale for the IVF drift census: per-component
+    * residuals (x − c) quantized to 1e-4 before squaring, so the
+    * census is pure integer arithmetic — exact in any accumulation
+    * order, hash-identical in DuckDB. Residuals are ≤ 2 in magnitude
+    * (unit-norm data, centroids inside the ball), so q² ≤ 4e8 and a
+    * 64-dim vector contributes ≤ 2.6e10 — long-safe per cell to
+    * ~3e8 members. */
+  val IvfDriftScale = 10000L
+
+  /** IVF maintenance drift census (VERDICT r13 task #6): per cell,
+    * the member count and the mean quantized squared distance to the
+    * cell's persisted centroid. This is the statistic a 100 TB index
+    * watches to decide when incremental appends ([[
+    * graft.sources.IndexStore.appendIvf]]) have drifted the data far
+    * enough from the frozen quantizer to warrant a re-fit. Served
+    * entirely from the persisted index (assignments ⋈ broadcast
+    * 16-row centroid root — the base table is never touched), and
+    * oracle-certified by a dynamic read_parquet twin over the same
+    * files, so a hash match certifies the INCREMENTALLY-BUILT index
+    * content — base rows and appended delta rows alike. */
+  def simIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val paths = graft.sources.IndexStore.ensureIvf(s, dir)
+    dynamicOracle(("sim_ivf_drift", dir)) =
+      s"""WITH a AS (SELECT vec_id, e, CAST(cell AS INTEGER) AS cell
+         | FROM read_parquet('${paths.assignments}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |c AS (SELECT cell, centroid
+         |      FROM read_parquet('${paths.centroids}/*.parquet')),
+         |q AS (SELECT a.cell,
+         |        CAST(round((e[CAST(i AS INTEGER)]
+         |          - centroid[CAST(i AS INTEGER)])
+         |          * $IvfDriftScale) AS BIGINT) AS qd
+         |      FROM a JOIN c USING (cell)
+         |      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+         |s2 AS (SELECT cell, CAST(sum(qd * qd) AS BIGINT) AS sum_q2
+         |       FROM q GROUP BY cell),
+         |n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM a
+         |      GROUP BY cell)
+         |SELECT cell, n.n AS n, sum_q2, sum_q2 // n.n AS mean_q2
+         |FROM n JOIN s2 USING (cell)""".stripMargin
+    val cents = s.read.parquet(paths.centroids)
+    s.read.parquet(paths.assignments)
+      .join(broadcast(cents), "cell")
+      .withColumn("q2", expr(
+        s"aggregate(zip_with(e, centroid, (x, c) -> " +
+          s"cast(round((x - c) * $IvfDriftScale) as bigint) * " +
+          s"cast(round((x - c) * $IvfDriftScale) as bigint)), " +
+          "0L, (a, y) -> a + y)"))
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("q2")).cast("long").as("sum_q2"))
+      .select(col("cell"), col("n"), col("sum_q2"),
+        expr("sum_q2 div n").as("mean_q2"))
   }
 
   /** Hard ceiling on the input size of [[simExactPairs]]. The
@@ -1232,6 +1302,7 @@ object SimilarityQueries {
     "sim_exact_pairs" -> (simExactPairs _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
+    "sim_ivf_drift" -> (simIvfDrift _),
     "dd_embed_census" -> (ddEmbedCensus _),
     "dd_gram_dupfrac" -> (ddGramDupFrac _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),
@@ -1317,10 +1388,15 @@ object SimilarityQueries {
       s"(CASE WHEN (0.0 $terms) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
     }.mkString("(", "\n + ", ")")
 
-  /** Static oracles plus the dynamic IVF-serve entry (present once
-    * the serve path has run in this JVM — Verify dumps oracles after
-    * running queries, so the full run always carries it). */
-  def oracle: Map[String, String] = staticOracle ++ dynamicOracle
+  /** Static oracles plus any dynamic entry that is UNAMBIGUOUS in
+    * this JVM (exactly one dataset served). When a query served
+    * multiple dirs, the no-dir view drops its dynamic entry rather
+    * than guess — callers that know their dataset use [[oracleFor]]
+    * (Verify does). */
+  def oracle: Map[String, String] =
+    staticOracle ++ dynamicOracle.toMap
+      .groupBy { case ((name, _), _) => name }
+      .collect { case (name, m) if m.size == 1 => name -> m.head._2 }
 
   private val staticOracle: Map[String, String] = Map(
     // full SemDeDup replica: literal-plane buckets, exact-long

@@ -40,13 +40,29 @@ import graft.core.{PortableHash, Tables}
   * merge is a partition-aligned append and the merged table is
   * row-identical to a one-shot build (IndexStoreSpec pins this).
   *
-  * Builds are memoized per (JVM, dataset) and OVERWRITE any prior
-  * on-disk state: trigram content is deterministic, but KMeans cell
-  * ids depend on the fitting session's partitioning, so an index from
-  * another JVM could disagree with this JVM's probe choices — each
-  * run is self-consistent by construction instead.
+  * Builds are memoized per (JVM, dataset) and written under a
+  * PROCESS-UNIQUE root (ADVICE r13): KMeans cell ids depend on the
+  * fitting session's partitioning, so an index from another JVM could
+  * disagree with this JVM's probe choices, and a shared on-disk path
+  * would let a concurrent or later JVM overwrite files this process —
+  * or a dumped oracle SQL — still reads. With per-process roots every
+  * built index is immutable after its build: the serve path, the
+  * specs, and the DuckDB compare (which runs AFTER Verify exits and
+  * reads the path Verify interpolated) all see exactly the bytes this
+  * process wrote. Roots live under the system temp dir and are left
+  * for the OS to reap — they MUST survive process exit for the
+  * oracle compare.
   */
 object IndexStore {
+
+  /** Unique token for this JVM (pid + start time): namespaces every
+    * on-disk artifact a graft process builds, so concurrent JVMs on
+    * one host (test suite alongside Bench/Verify, parallel CI jobs)
+    * can never clobber each other's indexes mid-read. */
+  val processToken: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"p${rt.getPid}_${rt.getStartTime}"
+  }
 
   /** Trigram postings hash-partition count. 64 keeps a 14-gram
     * pattern's probe inside ≤14/64 of the partition dirs — a visible
@@ -63,18 +79,29 @@ object IndexStore {
   val IvfK = 16
   val IvfNprobe = 2
 
+  /** Incremental-build split for the IVF index (VERDICT r13 task #6,
+    * the trigram [[TrgmDeltaMod]] discipline applied to vectors):
+    * vec_id % IvfDeltaMod == IvfDeltaMod-1 rows are NOT part of the
+    * quantizer fit — they arrive after the build and are appended via
+    * [[appendIvf]], assigned to the nearest EXISTING centroid with no
+    * re-fit, exactly how a 100 TB vector index absorbs new data
+    * between periodic re-trainings. */
+  val IvfDeltaMod = 5
+
   case class IvfPaths(centroids: String, assignments: String)
 
   private val trgmBuilt = TrieMap.empty[String, String]
   private val ivfBuilt = TrieMap.empty[String, IvfPaths]
 
-  /** Deterministic per-dataset index root under the system temp dir:
-    * stable across JVMs (the oracle SQL interpolates these paths and
-    * the DuckDB compare runs in a later process). */
+  /** Per-(process, dataset) index root under the system temp dir.
+    * Process-unique so no other JVM can overwrite it (ADVICE r13);
+    * durable past process exit, because the dumped oracle SQL
+    * interpolates these paths and the DuckDB compare runs in a later
+    * process. */
   def indexRoot(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_index",
-      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      processToken, dir.replaceAll("[^A-Za-z0-9._-]", "_"))
 
   /** Pure-Scala twin of [[PortableHash.md5Hash60Composed]] mod
     * [[TrgmBuckets]] — lets the lookup side compute its pattern
@@ -133,8 +160,13 @@ object IndexStore {
     })
 
   /** Fit the IVF coarse quantizer (KMeans k=[[IvfK]], seed 42, the
-    * same hyperparameters the in-memory path used) and persist the
-    * centroid root table + cell-partitioned assignments. Once per
+    * same hyperparameters the in-memory path used) on the BASE split
+    * (vec_id % [[IvfDeltaMod]] < [[IvfDeltaMod]]-1), persist the
+    * centroid root table + cell-partitioned base assignments, then
+    * absorb the remaining ~20% through [[appendIvf]] — so the
+    * standing index every probe serves is itself the product of the
+    * incremental-maintenance path, and the sim_ivf_* oracles certify
+    * it end-to-end (the trigram-postings discipline). Once per
     * (JVM, dir). */
   def ensureIvf(s: SparkSession, dir: String): IvfPaths =
     ivfBuilt.getOrElseUpdate(dir, {
@@ -147,6 +179,8 @@ object IndexStore {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("e"))
+      val base = emb.filter(
+        pmod(col("vec_id"), lit(IvfDeltaMod.toLong)) < IvfDeltaMod - 1)
         .withColumn("fv", array_to_vector(col("e")))
       // maxIter 5 / random seeded init: a coarse quantizer only
       // routes probes — see the r11 IVF notes; recall is pinned by
@@ -154,8 +188,8 @@ object IndexStore {
       val model = new KMeans().setK(IvfK).setSeed(42L).setMaxIter(5)
         .setInitMode("random")
         .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(emb)
-      model.transform(emb)
+        .fit(base)
+      model.transform(base)
         .select(col("vec_id"), col("label"), col("e"), col("cell"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
@@ -167,6 +201,43 @@ object IndexStore {
         .toDF("cell", "centroid")
         .coalesce(1)
         .write.mode("overwrite").parquet(paths.centroids)
+      appendIvf(s, paths, emb.filter(
+        pmod(col("vec_id"), lit(IvfDeltaMod.toLong)) === IvfDeltaMod - 1))
       paths
     })
+
+  /** Incremental IVF maintenance: assign each new vector to its
+    * nearest PERSISTED centroid (read from the index root — no
+    * model object, no re-fit) and append partition-aligned to the
+    * assignments table. This is the steady-state write path of a
+    * deployed vector index; `ensureIvf` uses it for the delta split,
+    * and IndexStoreSpec pins that it agrees with an independent
+    * nearest-centroid computation while centroids are unchanged.
+    *
+    * 100 TB shape: the [[IvfK]]-row centroid table broadcasts; the
+    * distance argmin is one codegen'd fold per (vector, cell) pair
+    * — [[IvfK]]·dim multiply-adds, map-side; the only exchange is
+    * the cell-aligned repartition before the append. */
+  def appendIvf(s: SparkSession, paths: IvfPaths,
+      newVecs: org.apache.spark.sql.DataFrame): Unit = {
+    val cents = s.read.parquet(paths.centroids)
+    newVecs
+      .crossJoin(broadcast(cents))
+      // exact left-fold squared distance — same deterministic
+      // arithmetic shape as the drift census and the spec's
+      // independent recompute
+      .withColumn("d2", expr(
+        "aggregate(zip_with(e, centroid, (x, c) -> (x - c) * (x - c)), " +
+          "0d, (a, y) -> a + y)"))
+      .groupBy(col("vec_id"))
+      // min(struct) = lexicographic: nearest distance, tie → lowest
+      // cell id, so the assignment is total-order deterministic
+      .agg(min(struct(col("d2"), col("cell"))).as("m"),
+        first(col("label")).as("label"), first(col("e")).as("e"))
+      .select(col("vec_id"), col("label"), col("e"),
+        col("m.cell").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(paths.assignments)
+  }
 }

@@ -101,14 +101,68 @@ class IndexStoreSpec extends SparkSpec {
     assert(probes.length == IndexStore.IvfNprobe)
   }
 
-  test("IVF serve registers its dynamic hash oracle") {
+  test("IVF serve registers its dynamic hash oracle, keyed to the " +
+      "served dataset") {
     SimilarityQueries.simIvfAnn(spark, sfDir).collect()
-    val oracle = SimilarityQueries.oracle
+    val oracle = SimilarityQueries.oracleFor(sfDir)
     assert(oracle.contains("sim_ivf_ann"),
       "serve ran but no sim_ivf_ann oracle was registered")
     val sql = oracle("sim_ivf_ann")
     assert(sql.contains("ivf_assignments") &&
       sql.contains("list_cosine_similarity"),
       s"unexpected oracle shape:\n$sql")
+    // the dumped path must be THIS dataset's index — the ADVICE r13
+    // cross-dir last-writer-wins hazard
+    assert(sql.contains(
+      IndexStore.indexRoot(sfDir).resolve("ivf_assignments").toString),
+      s"oracle references a different dataset's index:\n$sql")
+    // a dir never served has no dynamic entry
+    assert(!SimilarityQueries.oracleFor("/nonexistent/dir")
+      .contains("sim_ivf_ann"))
+  }
+
+  test("IVF append path assigns delta vectors exactly as an " +
+      "independent nearest-centroid recompute (no re-fit)") {
+    val paths = IndexStore.ensureIvf(spark, sfDir)
+    val cents = spark.read.parquet(paths.centroids)
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+      .sortBy(_._1)
+    assert(cents.length == IndexStore.IvfK)
+    val delta = spark.read.parquet(paths.assignments)
+      .filter(pmod(col("vec_id"), lit(IndexStore.IvfDeltaMod.toLong))
+        === IndexStore.IvfDeltaMod - 1)
+      .select(col("vec_id"), col("e"), col("cell").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    assert(delta.nonEmpty, "no appended delta rows in the index")
+    delta.foreach { case (id, e, cell) =>
+      // plain-Scala argmin, ties to the lower cell id — the same
+      // total order appendIvf's min(struct(d2, cell)) implements
+      val best = cents.map { case (c, cv) =>
+        var d = 0.0
+        var i = 0
+        while (i < e.length) {
+          val diff = e(i) - cv(i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }.min
+      assert(best._2 == cell,
+        s"vec $id: appended to cell $cell, nearest centroid is " +
+          s"${best._2} (d2 ${best._1})")
+    }
+  }
+
+  test("incremental IVF build (base fit + appended delta) covers " +
+      "the full collection exactly once") {
+    val paths = IndexStore.ensureIvf(spark, sfDir)
+    val persistedIds = spark.read.parquet(paths.assignments)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val baseIds = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(persistedIds.sameElements(baseIds),
+      s"index covers ${persistedIds.length} vectors, collection has " +
+        s"${baseIds.length}")
   }
 }
