@@ -94,6 +94,64 @@ object RetrievalQueries {
       .limit(BmK)
   }
 
+  /** Indexed twin of [[tBm25TopK]] (VERDICT r13 task #8): the same
+    * BM25 top-k served from the PERSISTED word-level inverted index
+    * ([[graft.sources.IndexStore.ensureWordPostings]]) — the corpus
+    * text is never read, let alone re-tokenized, at query time.
+    *
+    * 100 TB shape: the tf probe reads |query terms| posting ranges,
+    * partition-pruned to the terms' hash buckets with the term
+    * equality pushed into just those files' scans; dl/N/T come from
+    * the doc-length sidecar (|docs| rows — the index's statistics
+    * page, not the corpus). df is |terms| values off the probed
+    * postings. The oracle is the full-scan BM25 — equality certifies
+    * the index serve lossless end-to-end, INCLUDING the incremental
+    * base+delta build, the t_trgm_like_indexed discipline. */
+  def tBm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val p = IndexStore.ensureWordPostings(s, dir)
+    val buckets = BmTerms.map(IndexStore.wordBucketOf).distinct
+    val dl = s.read.parquet(p.doclen).select("doc_id", "dl")
+    // corpus scalars off the ≤2-row stats page (one per build split),
+    // carried IN-PLAN as a broadcast 1-row table — no driver action,
+    // so the whole serve is a single job (the scan twin pays a
+    // separate corpus-aggregate action for the same scalars)
+    val scal = s.read.parquet(p.stats)
+      .agg(sum(col("n_docs")).cast("long").as("n"),
+        sum(col("total_tokens")).cast("long").as("t"))
+    // open the probed bucket partitions DIRECTLY (basePath keeps the
+    // partition column): the serve never lists — let alone scans —
+    // the other 61 of 64 partition dirs. A bucket dir can be absent
+    // when no corpus word hashes into it; an absent bucket simply has
+    // no postings for its terms.
+    val probeDirs = buckets.map(b => s"${p.postings}/bucket=$b")
+      .filter(d => new java.io.File(
+        d.stripPrefix("file:")).isDirectory)
+    val tf = (if (probeDirs.isEmpty)
+        s.read.parquet(p.postings).limit(0)
+      else s.read.option("basePath", p.postings)
+        .parquet(probeDirs: _*))
+      .filter(col("w").isin(BmTerms: _*))
+      .select(col("doc_id"), col("w"), col("tf"))
+    val idf = tf.groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(scal))
+      .select(col("w"), col("n"), col("t"), floor(
+        log(lit(1.0) + (col("n").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1e4 + 1e-6)
+        .cast("long").as("q_idf"))
+    tf.join(broadcast(idf), "w")
+      .join(dl, "doc_id")
+      .select(col("doc_id"),
+        expr(s"($BmNumMul * t * q_idf * tf) div " +
+          s"($BmScale * t * tf + $BmConstMul * t + " +
+          s"$BmDlMul * dl * n)").as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast("long").as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(BmK)
+  }
+
   // =================================================================
   // t_dsir_weight — hashed importance weights (DSIR)
   // =================================================================
@@ -137,6 +195,50 @@ object RetrievalQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(col("q_lr")).cast("long").as("w_q"))
+  }
+
+  /** Indexed twin of [[tDsirWeight]]: the same importance weights
+    * served from the word postings alone. Token OCCURRENCES collapse
+    * to (doc, word, tf) rows — the bucket LM is a tf-weighted
+    * conditional sum over the postings (the target flag comes from
+    * the DENORMALIZED `source` column, so there is NO join back to
+    * any per-doc table), and the per-doc weight is Σ tf·q_lr.
+    * Exactly the scan version's integers, so it shares that oracle;
+    * the corpus text is never touched.
+    *
+    * 100 TB shape: both passes run over (doc_id, 8-byte word hash,
+    * tf) — strictly smaller than the scan twin's exploded token
+    * stream — and the heavy explode was paid ONCE at index build
+    * instead of per query. */
+  def tDsirIndexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val p = IndexStore.ensureWordPostings(s, dir)
+    val posts = s.read.parquet(p.postings)
+      .select(col("doc_id"), col("tf"),
+        col("source").isin(DsirTargetSources: _*).as("tgt"),
+        (PortableHash.md5Hash60(col("w")) % DsirBuckets).as("b"))
+    val lm = posts.groupBy(col("b")).agg(
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).cast("long")
+        .as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(col("tf"))).cast("long")
+        .as("cr"))
+    // corpus totals carried in-plan (broadcast 1-row) — single-job
+    // serve, where the scan twin pays a separate totals action
+    val tot = lm.agg(sum(col("ct")).cast("long").as("tt"),
+      sum(col("cr")).cast("long").as("tr"))
+    val qlm = lm.crossJoin(broadcast(tot)).select(col("b"),
+      (floor((log(col("ct") + lit(1.0)) -
+          log(col("tt").cast("double") + lit(DsirBuckets.toDouble)))
+        * 1e4 + 1e-6) -
+        floor((log(col("cr") + lit(1.0)) -
+          log(col("tr").cast("double") + lit(DsirBuckets.toDouble)))
+        * 1e4 + 1e-6))
+        .cast("long").as("q_lr"))
+    posts.join(broadcast(qlm), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * col("q_lr")).cast("long").as("w_q"))
   }
 
   // =================================================================
@@ -327,12 +429,18 @@ object RetrievalQueries {
       import spark.implicits._
       instances.toDF("off", "gr")
     }
-    s.read.parquet(path)
-      // partition prune on bucket (driver-side literals via the
-      // pure-Scala portable-hash twin), gram equality pushed into
-      // the pruned files' scan
-      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*)
-        && col("gr").isin(grams: _*))
+    // open the pattern grams' bucket partitions DIRECTLY (driver-side
+    // literals via the pure-Scala portable-hash twin; basePath keeps
+    // the partition column) — the probe never lists the other ~50 of
+    // 64 partition dirs, and gram equality is pushed into the opened
+    // files' scans. An absent bucket dir means no corpus gram hashes
+    // there, so the pattern gram has no postings and no (doc, start)
+    // cell can collect all offsets — the empty read is the answer.
+    val probeDirs = buckets.map(b => s"$path/bucket=$b")
+      .filter(d => new java.io.File(d.stripPrefix("file:")).isDirectory)
+    (if (probeDirs.isEmpty) s.read.parquet(path).limit(0)
+     else s.read.option("basePath", path).parquet(probeDirs: _*))
+      .filter(col("gr").isin(grams: _*))
       .join(broadcast(inst), "gr")
       .select(col("doc_id"), (col("pos") - col("off")).as("start"))
       .filter(col("start") >= 1)
@@ -364,12 +472,26 @@ object RetrievalQueries {
     "t_trgm_like_indexed" -> (tTrgmLikeIndexed _),
     "t_trgm_index_stats" -> (tTrgmIndexStats _),
     "t_bm25_topk" -> (tBm25TopK _),
+    "t_bm25_indexed" -> (tBm25Indexed _),
     "t_dsir_weight" -> (tDsirWeight _),
+    "t_dsir_indexed" -> (tDsirIndexed _),
     "dd_chunk_dedup" -> (ddChunkDedup _),
     "t_cdc_chunks" -> (tCdcChunks _)
   )
 
-  val oracle: Map[String, String] = Map(
+  // lazy: staticOracle is declared below (object-init order)
+  lazy val oracle: Map[String, String] = {
+    val base = staticOracle
+    base ++ Map(
+      // the indexed twins serve the IDENTICAL semantic query from the
+      // persisted word index, so they share the scan twins' full-scan
+      // oracles — equality certifies the index path lossless,
+      // including the incremental base+delta build
+      "t_bm25_indexed" -> base("t_bm25_topk"),
+      "t_dsir_indexed" -> base("t_dsir_weight"))
+  }
+
+  private val staticOracle: Map[String, String] = Map(
     // the SEMANTIC definition (full LIKE scan); the engine runs the
     // trigram-index plan — equality certifies losslessness
     "t_trgm_like" ->

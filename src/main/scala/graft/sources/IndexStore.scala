@@ -90,8 +90,25 @@ object IndexStore {
 
   case class IvfPaths(centroids: String, assignments: String)
 
+  /** Word-level inverted index (VERDICT r13 task #8): term-frequency
+    * postings, a document-length sidecar, and a corpus-stats page —
+    * the tables a BM25 / DSIR serving stack reads instead of
+    * re-exploding the corpus. `source` is DENORMALIZED into the
+    * postings (an index serves; it does not join back for per-doc
+    * attributes), and `stats` holds one (n_docs, total_tokens) row
+    * per build split — the serve side sums the ≤2 rows, so the
+    * append path never has to re-aggregate state (the m11 merge
+    * discipline applied to index statistics). */
+  case class WordIndexPaths(postings: String, doclen: String,
+      stats: String)
+
+  /** Word postings hash-partition count: a |query-terms|-sized probe
+    * prunes to ≤ that many of 64 partition dirs. */
+  val WordBuckets = 64
+
   private val trgmBuilt = TrieMap.empty[String, String]
   private val ivfBuilt = TrieMap.empty[String, IvfPaths]
+  private val wordBuilt = TrieMap.empty[String, WordIndexPaths]
 
   /** Per-(process, dataset) index root under the system temp dir.
     * Process-unique so no other JVM can overwrite it (ADVICE r13);
@@ -107,12 +124,20 @@ object IndexStore {
     * [[TrgmBuckets]] — lets the lookup side compute its pattern
     * grams' partition buckets as driver-side literals without a
     * Spark job (Md5Hash60Spec pins the Spark/Scala agreement). */
-  def trgmBucketOf(gram: String): Int = {
+  def trgmBucketOf(gram: String): Int =
+    (md5Hash60Local(gram) % TrgmBuckets).toInt
+
+  /** Driver-side partition bucket of a query TERM in the word
+    * postings layout — same portable-hash twin contract as
+    * [[trgmBucketOf]]. */
+  def wordBucketOf(w: String): Int =
+    (md5Hash60Local(w) % WordBuckets).toInt
+
+  private def md5Hash60Local(s: String): Long = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hex = digest.take(8).map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % TrgmBuckets)
-      .toInt
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
   /** (doc_id, gr, pos 1-based, bucket) for every length-3 gram of
@@ -157,6 +182,67 @@ object IndexStore {
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           === TrgmDeltaMod - 1), "append")
       path
+    })
+
+  /** (doc_id, w, tf, bucket) — term frequency of every distinct word
+    * of every doc, bucket = portable-md5-60(w) mod [[WordBuckets]].
+    * tf is a PER-DOC statistic, so the doc_id-keyed base/delta split
+    * still appends losslessly: every (doc, w, tf) row is complete
+    * within its split (IndexStoreSpec pins incremental ≡ one-shot,
+    * like the trigram table). */
+  private[graft] def wordPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        first(col("source")).as("source"))
+      .select(col("doc_id"), col("w"), col("tf"), col("source"),
+        pmod(PortableHash.md5Hash60Composed(col("w")),
+          lit(WordBuckets.toLong)).cast("int").as("bucket"))
+
+  /** Build (base overwrite + delta append, the [[ensureTrgmPostings]]
+    * discipline on the same doc_id split) the word-level inverted
+    * index for `dir`'s documents: bucket-partitioned tf postings plus
+    * a (doc_id, dl, source) length sidecar. BM25/DSIR serving reads
+    * ONLY these tables — the corpus text is never re-tokenized at
+    * query time. Once per (JVM, dir). */
+  def ensureWordPostings(s: SparkSession, dir: String): WordIndexPaths =
+    wordBuilt.getOrElseUpdate(dir, {
+      val root = indexRoot(dir)
+      val paths = WordIndexPaths(
+        root.resolve("word_postings").toString,
+        root.resolve("word_doclen").toString,
+        root.resolve("word_stats").toString)
+      val docs = Tables.documents(s, dir)
+      def docsSplit(base: Boolean): DataFrame = docs.filter(
+        if (base) pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          < TrgmDeltaMod - 1
+        else pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          === TrgmDeltaMod - 1)
+      def writePostings(d: DataFrame, mode: String): Unit =
+        wordPostingsOf(d)
+          .repartition(col("bucket"))
+          .sortWithinPartitions("w", "doc_id")
+          .write.mode(mode).partitionBy("bucket").parquet(paths.postings)
+      def writeDoclen(d: DataFrame, mode: String): Unit =
+        d.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("dl"),
+            col("source"))
+          .write.mode(mode).parquet(paths.doclen)
+      def writeStats(d: DataFrame, mode: String): Unit =
+        d.select(size(split(col("text"), " ")).cast("long").as("dl"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("dl")).cast("long").as("total_tokens"))
+          .coalesce(1)
+          .write.mode(mode).parquet(paths.stats)
+      writePostings(docsSplit(base = true), "overwrite")
+      writePostings(docsSplit(base = false), "append")
+      writeDoclen(docsSplit(base = true), "overwrite")
+      writeDoclen(docsSplit(base = false), "append")
+      writeStats(docsSplit(base = true), "overwrite")
+      writeStats(docsSplit(base = false), "append")
+      paths
     })
 
   /** Fit the IVF coarse quantizer (KMeans k=[[IvfK]], seed 42, the

@@ -82,6 +82,61 @@ class IndexStoreSpec extends SparkSpec {
       s"index answer $viaIndex != full-scan answer $viaScan")
   }
 
+  test("incremental word-postings build (base + appended delta) is " +
+      "row-identical to a one-shot build") {
+    val p = IndexStore.ensureWordPostings(spark, sfDir)
+    val persisted = spark.read.parquet(p.postings)
+      .select("doc_id", "w", "tf", "source", "bucket")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val oneShot = IndexStore
+      .wordPostingsOf(graft.core.Tables.documents(spark, sfDir))
+      .select("doc_id", "w", "tf", "source", "bucket")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(persisted.length == oneShot.length,
+      s"row count: persisted ${persisted.length} vs one-shot ${oneShot.length}")
+    assert(persisted.sameElements(oneShot),
+      "persisted (incrementally built) word postings differ from " +
+        "one-shot build")
+  }
+
+  test("indexed BM25 reads only pruned postings partitions and the " +
+      "doc-length sidecar, never the documents table") {
+    val df = RetrievalQueries.tBm25Indexed(spark, sfDir)
+    val expectedBuckets = RetrievalQueries.BmTerms
+      .map(IndexStore.wordBucketOf).toSet
+    val files = scannedFiles(df)
+    assert(files.nonEmpty, "serve plan reads no files at all")
+    files.foreach { f =>
+      assert(!f.contains("documents.parquet"),
+        s"serve plan touches the base corpus: $f")
+      if (f.contains("word_postings")) {
+        val m = "bucket=([0-9]+)".r.findFirstMatchIn(f)
+        assert(m.isDefined, s"postings file outside a bucket partition: $f")
+        assert(expectedBuckets.contains(m.get.group(1).toInt),
+          s"partition prune failed: $f not in buckets $expectedBuckets")
+      } else assert(f.contains("word_doclen") ||
+        f.contains("word_stats"),
+        s"serve plan reads a non-index file: $f")
+    }
+    // and the serve is lossless: same top-k as the full-scan twin
+    val viaIndex = RetrievalQueries.tBm25Indexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaScan = RetrievalQueries.tBm25TopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaIndex == viaScan,
+      s"index answer $viaIndex != full-scan answer $viaScan")
+  }
+
+  test("indexed DSIR weights equal the full-scan twin row-for-row") {
+    val viaIndex = RetrievalQueries.tDsirIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val viaScan = RetrievalQueries.tDsirWeight(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(viaIndex == viaScan)
+  }
+
   test("IVF serve reads only probed cells of the persisted index, " +
       "never the embeddings table") {
     val (_, probes, _) = SimilarityQueries.ivfTopology(spark, sfDir)
