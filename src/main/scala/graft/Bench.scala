@@ -173,10 +173,14 @@ object Bench {
         val b = stats.totalBatches.max(1)
         val ms = stats.totalProcessingMs.max(1)
         val rps = stats.totalRecords.toDouble * 1000.0 / ms
+        // self-gating line (VERDICT r13 task #7): the floor and the
+        // verdict travel with the measurement
+        val floor = graft.apps.StreamBenchApp.ThroughputFloorRecSec
         s"""{"metric":"stream_throughput","records_per_sec":${f"$rps%.1f"},""" +
           s""""avg_batch_ms":${f"${stats.totalProcessingMs.toDouble / b}%.1f"},""" +
           s""""batches":${stats.totalBatches},"records":${stats.totalRecords},""" +
-          s""""fraud":${stats.totalFraud},"alerts":$alertRows}"""
+          s""""fraud":${stats.totalFraud},"alerts":$alertRows,""" +
+          s""""floor_rec_per_sec":${floor.toLong},"gate_ok":${rps >= floor}}"""
       } catch {
         case e: Throwable =>
           s"""{"metric":"stream_throughput","err":${jstr(

@@ -25,6 +25,18 @@ import graft.streaming.ScoringStream
   */
 object StreamBenchApp {
 
+  /** Regression floor for the scoring graph's throughput on this
+    * host profile (VERDICT r13 task #7): r13 measured 11,256 rec/s
+    * steady-state at local[32]/sf0.1; 8,000 leaves the documented
+    * ±10–15% host band plus headroom while still catching any
+    * structural regression (a lineage re-execution, a driver-side
+    * collect, a per-batch re-plan would each cost far more than 30%).
+    * Enforced two ways: StreamThroughputSpec gates a smaller run at a
+    * proportionally conservative floor, and graft.Bench stamps the
+    * floor + pass/fail into its stream_throughput line so the
+    * per-round artifact is self-gating. */
+  val ThroughputFloorRecSec = 8000.0
+
   /** Drive the scoring graph over `nBatches` MemoryStream batches of
     * `batchRows` JSON wire rows each; returns the cumulative stats
     * plus the number of alert rows the sink received. Pure function
