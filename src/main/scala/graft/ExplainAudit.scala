@@ -104,7 +104,13 @@ object ExplainAudit {
         // round 13: persisted-index lookup twins — the build↔serve
         // split must be visible (postings/assignments scans with
         // PartitionFilters, base tables absent from the serve plans)
-        "t_trgm_like_indexed", "t_trgm_index_stats", "sim_ivf_ann")
+        "t_trgm_like_indexed", "t_trgm_index_stats", "sim_ivf_ann",
+        // round 14: the rank-windowed semantic prune, the converged
+        // PageRank iteration body, the word-index serve twins (scan
+        // twins absent, probed buckets only), and the IVF drift
+        // census (assignments ⋈ broadcast centroid root)
+        "dd_semantic", "dd_semantic_capstats", "g5b_pagerank_converged",
+        "t_bm25_indexed", "t_dsir_indexed", "sim_ivf_drift")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
