@@ -110,7 +110,8 @@ object ExplainAudit {
         // twins absent, probed buckets only), and the IVF drift
         // census (assignments ⋈ broadcast centroid root)
         "dd_semantic", "dd_semantic_capstats", "g5b_pagerank_converged",
-        "t_bm25_indexed", "t_dsir_indexed", "sim_ivf_drift")
+        "t_bm25_indexed", "t_dsir_indexed", "sim_ivf_drift",
+        "sim_ivf_sq8")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -790,6 +790,112 @@ object SimilarityQueries {
         expr("sum_q2 div n").as("mean_q2"))
   }
 
+  /** IVF-SQ8 serving composition (the FAISS `IVF…,SQ8` workhorse
+    * shape, composed from two already-certified pieces): the
+    * PERSISTED IVF index prunes the candidate set to the `nprobe`
+    * probed cells, the SQ8 int8 dot (identical quantize/int-dot/
+    * approx-cos chain to [[simQuantizeTopK]]) cuts those candidates
+    * to [[RescoreCandidates]], and only the survivors pay the exact
+    * float cosine. At 100 TB this is THE vector-serving plan: the
+    * coarse index bounds what is read (partition prune to probed
+    * cells), the 8×-smaller int8 codes bound what is scanned, the
+    * float originals are touched for ~30 rows.
+    *
+    * Fully hash-oracled end-to-end by a dynamic read_parquet twin
+    * over the persisted index: quantization is deterministic
+    * (sim_quantize_int8's certified formula), the int64 dots are
+    * exact, the cuts are total-ordered — so cell prune + SQ8 cut +
+    * rescore all verify in one compare. */
+  def simIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val paths = graft.sources.IndexStore.ensureIvf(s, dir)
+    val (assigned, probes, query) = ivfTopology(s, dir)
+    dynamicOracle(("sim_ivf_sq8", dir)) =
+      s"""WITH e AS (SELECT vec_id, label, e, CAST(cell AS INTEGER) AS cell
+         | FROM read_parquet('${paths.assignments}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |cand0 AS (SELECT vec_id, label, e FROM e
+         |          WHERE vec_id <> 0 AND cell IN (${probes.mkString(", ")})),
+         |qrow AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+         |sc AS (SELECT vec_id, label, e,
+         |         list_max(list_transform(e, x -> abs(x))) AS scale
+         |       FROM cand0),
+         |qv AS (SELECT vec_id, label, e,
+         |         list_transform(e, x -> CASE WHEN scale > 0
+         |           THEN CAST(round(x / scale * 127) AS INTEGER)
+         |           ELSE 0 END) AS q
+         |       FROM sc),
+         |qsc AS (SELECT qe,
+         |          list_max(list_transform(qe, x -> abs(x))) AS qscale
+         |        FROM qrow),
+         |qq AS (SELECT qe, list_transform(qe, x -> CASE WHEN qscale > 0
+         |         THEN CAST(round(x / qscale * 127) AS INTEGER)
+         |         ELSE 0 END) AS qq
+         |       FROM qsc),
+         |d AS (SELECT vec_id, label, e,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> CAST(q[i] AS BIGINT) * qq[i])) AS BIGINT) AS dot_q,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> CAST(q[i] AS BIGINT) * q[i])) AS BIGINT) AS nq_a,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> CAST(qq[i] AS BIGINT) * qq[i])) AS BIGINT) AS nq_q
+         |      FROM qv CROSS JOIN qq),
+         |a AS (SELECT vec_id, label, e,
+         |        CASE WHEN nq_a > 0 THEN CAST(dot_q AS DOUBLE) /
+         |          (sqrt(CAST(nq_a AS DOUBLE)) * sqrt(CAST(nq_q AS DOUBLE)))
+         |        ELSE -1.0 END AS approx_cos
+         |      FROM d),
+         |top AS (SELECT vec_id, label, e FROM a
+         |        ORDER BY approx_cos DESC, vec_id
+         |        LIMIT $RescoreCandidates)
+         |SELECT vec_id, label, list_cosine_similarity(t.e, qrow.qe)
+         |  AS cosine
+         |FROM top t CROSS JOIN qrow
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    def quantize(e: Column): Column = {
+      val scale = array_max(transform(e, x => abs(x)))
+      when(scale > 0,
+        transform(e, x => round(x / scale * 127).cast("int")))
+        .otherwise(transform(e, _ => lit(0)))
+    }
+    def intDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    // the query vector re-enters the plan as its exact stored
+    // doubles (fetched from the index by ivfTopology) and is
+    // quantized by the SAME expressions as the candidates — both
+    // engines quantize identical doubles identically
+    val qdf = {
+      val spark = s
+      import spark.implicits._
+      Seq(Tuple1(query.toSeq)).toDF("qe")
+    }
+    val q0 = qdf.select(col("qe"), quantize(col("qe")).as("qq"))
+    val cand = assigned
+      .filter(col("cell")
+        .isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("e"),
+        quantize(col("e")).as("q"))
+    val survivors = cand.crossJoin(broadcast(q0))
+      .withColumn("dot_q", intDot(col("q"), col("qq")))
+      .withColumn("nq_a", intDot(col("q"), col("q")))
+      .withColumn("nq_q", intDot(col("qq"), col("qq")))
+      .withColumn("approx_cos",
+        when(col("nq_a") > 0,
+          col("dot_q").cast("double") /
+            (sqrt(col("nq_a").cast("double")) *
+              sqrt(col("nq_q").cast("double"))))
+          .otherwise(lit(-1.0d)))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(RescoreCandidates)
+    survivors
+      .select(col("vec_id"), col("label"),
+        expr("cosine_sim(e, qe)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Hard ceiling on the input size of [[simExactPairs]]. The
     * cartesian baseline is O(n²) BY DESIGN — at 50k rows that's
     * 1.25e9 pair evaluations, the largest this harness should ever
@@ -1303,6 +1409,7 @@ object SimilarityQueries {
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_drift" -> (simIvfDrift _),
+    "sim_ivf_sq8" -> (simIvfSq8 _),
     "dd_embed_census" -> (ddEmbedCensus _),
     "dd_gram_dupfrac" -> (ddGramDupFrac _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),

@@ -115,10 +115,59 @@ object IndexStore {
     * durable past process exit, because the dumped oracle SQL
     * interpolates these paths and the DuckDB compare runs in a later
     * process. */
-  def indexRoot(dir: String): java.nio.file.Path =
+  def indexRoot(dir: String): java.nio.file.Path = {
+    reapStaleRoots
     java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_index",
       processToken, dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+  }
+
+  /** Age past which another process's index root is garbage:
+    * an exited JVM's root is only ever read again by the DuckDB
+    * oracle compare, which runs within minutes of the Verify dump —
+    * 12 h is orders of magnitude beyond that window. */
+  val StaleRootMillis: Long = 12L * 3600 * 1000
+
+  /** Best-effort reap of OTHER processes' expired index roots, once
+    * per JVM — process-unique roots trade clobber-safety for /tmp
+    * accumulation across rounds; this bounds the accumulation. Our
+    * own root and any root younger than [[StaleRootMillis]] are
+    * never touched; IO failures (e.g. a concurrent reaper) are
+    * swallowed — reaping is hygiene, not correctness. */
+  private lazy val reapStaleRoots: Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - StaleRootMillis
+    def listed(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    def deleteTree(p: Path): Unit = {
+      val s = Files.walk(p)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(f => try Files.deleteIfExists(f) catch {
+        case _: java.io.IOException => ()
+      })
+    }
+    def expired(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.io.IOException => false }
+    def reap(p: Path): Unit =
+      try deleteTree(p) catch { case _: java.io.IOException => () }
+    try {
+      val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      val idx = tmp.resolve("graft_index")
+      if (Files.isDirectory(idx))
+        listed(idx)
+          .filterNot(_.getFileName.toString == processToken)
+          .filter(expired).foreach(reap)
+      // the structured ANN corpus uses the same token-suffixed layout
+      listed(tmp)
+        .filter(_.getFileName.toString.startsWith("graft_ann_structured_"))
+        .filterNot(_.getFileName.toString.endsWith(processToken))
+        .filter(expired).foreach(reap)
+    } catch { case _: java.io.IOException => () }
+  }
 
   /** Pure-Scala twin of [[PortableHash.md5Hash60Composed]] mod
     * [[TrgmBuckets]] — lets the lookup side compute its pattern

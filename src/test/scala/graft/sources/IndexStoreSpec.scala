@@ -176,6 +176,30 @@ class IndexStoreSpec extends SparkSpec {
       .contains("sim_ivf_ann"))
   }
 
+  test("IVF-SQ8 serve reads only probed cells and its rescored " +
+      "top-10 tracks the exact-cosine IVF serve") {
+    val (_, probes, _) = SimilarityQueries.ivfTopology(spark, sfDir)
+    val df = SimilarityQueries.simIvfSq8(spark, sfDir)
+    scannedFiles(df).foreach { f =>
+      assert(f.contains("ivf_assignments") &&
+        !f.contains("embeddings.parquet"),
+        s"SQ8 serve reads a non-index file: $f")
+      val m = "cell=([0-9]+)".r.findFirstMatchIn(f)
+      assert(m.isDefined && probes.contains(m.get.group(1).toInt),
+        s"partition prune failed: $f not in ${probes.toSeq}")
+    }
+    // the SQ8 cut (30 candidates) then exact rescore: against the
+    // same probed cells, the int8 approximation should recover
+    // nearly all of the exact top-10 (SQ8 cosine error ~1/254/pair)
+    val sq8 = df.collect().map(_.getLong(0)).toSet
+    val exact = SimilarityQueries.simIvfAnn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = sq8.intersect(exact).size
+    assert(overlap >= 8,
+      s"SQ8 rescore recovered only $overlap/10 of the exact " +
+        s"probed-cell top-10 (sq8 $sq8 vs exact $exact)")
+  }
+
   test("IVF append path assigns delta vectors exactly as an " +
       "independent nearest-centroid recompute (no re-fit)") {
     val paths = IndexStore.ensureIvf(spark, sfDir)
