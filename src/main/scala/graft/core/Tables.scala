@@ -20,7 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  /** `events` with `ts` normalized to BIGINT epoch-nanoseconds.
+    *
+    * The driver's generator has shipped `ts` as parquet TIMESTAMP
+    * with either NANOS (read as long via the `nanosAsLong` legacy
+    * flag) or MICROS (read as TIMESTAMP_NTZ) physical units across
+    * rounds. Every temporal operator here does integer time algebra
+    * (`ts div 3.6e12` bucketing, sweep lines, gap fills) and every
+    * DuckDB oracle reads `epoch_ns(ts)` — which is unit-agnostic —
+    * so the loader pins one representation at the scan boundary
+    * instead of letting a schema drift fail 15 queries (r14). The
+    * session timezone is UTC everywhere (Sessions/Verify), so the
+    * NTZ→TZ cast below is instant-preserving. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val df = load(s, d, "events")
+    // fixture files may omit ts entirely (e.g. the impute spec)
+    if (!df.schema.fieldNames.contains("ts")) return df
+    df.schema("ts").dataType match {
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df // already long nanos (nanosAsLong path)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
