@@ -18,8 +18,10 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    ntzNormalized(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    ntzNormalized(load(s, d, "lineitem"), "l_shipdate")
   /** `events` with `ts` normalized to BIGINT epoch-nanoseconds.
     *
     * The driver's generator has shipped `ts` as parquet TIMESTAMP
@@ -49,4 +51,21 @@ object Tables {
     load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")
+
+  /** The reverse guard of [[events]]: `orders`/`lineitem` date
+    * columns are consumed as timestamps (range joins, date_trunc,
+    * SCD2 validity windows), so if a future testdata regen ships
+    * them as TIMESTAMP(NANOS) — which `nanosAsLong` surfaces as
+    * BIGINT — convert back to TIMESTAMP_NTZ (integer µs division,
+    * then an instant-preserving cast under the UTC session zone).
+    * MICROS files already arrive as NTZ and pass through. */
+  private def ntzNormalized(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    if (df.schema.fieldNames.contains(c) &&
+        df.schema(c).dataType == LongType)
+      df.withColumn(c,
+        timestamp_micros(expr(s"$c div 1000")).cast(TimestampNTZType))
+    else df
+  }
 }
