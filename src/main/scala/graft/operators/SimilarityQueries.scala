@@ -896,6 +896,222 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Per-component quantization scale for the PQ ADC lookup table:
+    * LUT entries are Σᵢ round(cᵢ·qᵢ·scale) — integer sums of
+    * per-component rounds, exact in any accumulation order in both
+    * engines (the IvfDriftScale discipline). Components are ≤ 2 in
+    * magnitude, so a term is ≤ 4e6, a subspace entry ≤ 3.2e7, and a
+    * vector's full ADC sum ≤ 2.6e8 — comfortably long-safe. */
+  val PqLutScale = 1000000L
+
+  /** Refine pool for the IVFPQ serve — deliberately larger than the
+    * SQ8 [[RescoreCandidates]]: a 32-bit PQ code is a far coarser
+    * rank approximation than 512-bit SQ8, but its ADC candidates
+    * cost only [[graft.sources.IndexStore.PqM]] integer LUT adds
+    * each, so the standard FAISS trade is to widen the refine pool
+    * (~10×k) rather than spend bits. 100 floats rescored is still
+    * O(k) work against a billion-vector collection. */
+  val PqRefineCandidates = 100
+
+  /** IVFPQ serving with asymmetric-distance computation and exact
+    * refine (FAISS `IVF16,PQ8` + refine — THE 100 TB billion-vector
+    * serving shape, with each stage bounding the next):
+    *
+    *   1. the IVF root prunes to the `nprobe` probed cells — a
+    *      partition-pruned read of the CODES table, whose rows are
+    *      [[graft.sources.IndexStore.PqM]] 4-bit codes (~8 bytes a
+    *      vector vs 512 for floats — the scan is 64× smaller than a
+    *      float scan of the same cells);
+    *   2. ADC: the query builds a [[graft.sources.IndexStore.PqM]]×
+    *      [[graft.sources.IndexStore.PqK]]-entry lookup table (64
+    *      rows, from the persisted codebooks — broadcast), and each
+    *      candidate's approximate cosine is just PqM integer LUT
+    *      additions — no float math per candidate;
+    *   3. only the [[PqRefineCandidates]] ADC survivors fetch their
+    *      float vectors — from the probed cells of the persisted
+    *      ASSIGNMENTS table (partition-pruned again; the base corpus
+    *      is absent from the plan) — and pay an exact cosine.
+    *
+    * Hash-oracled end-to-end by a dynamic read_parquet twin over the
+    * same persisted tables: LUT entries are order-free integer sums
+    * (per-component quantize-then-add), the ADC total is an exact
+    * integer, approx ranking divides exact integers under IEEE ops
+    * both engines share, and ties total-order on vec_id — so cell
+    * prune, code content (base AND incrementally-appended delta),
+    * ADC arithmetic, and the refine all verify in one compare. */
+  def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val ivf = graft.sources.IndexStore.ensureIvf(s, dir)
+    val pq = graft.sources.IndexStore.ensurePq(s, dir)
+    val (assigned, probes, query) = ivfTopology(s, dir)
+    val M = graft.sources.IndexStore.PqM
+    val SubDim = graft.sources.IndexStore.PqSubDim
+    dynamicOracle(("sim_ivf_pq", dir)) =
+      s"""WITH cb AS (SELECT m, code, centroid
+         | FROM read_parquet('${pq.codebooks}/*.parquet')),
+         |co AS (SELECT vec_id, label, codes, CAST(cell AS INTEGER) AS cell
+         | FROM read_parquet('${pq.codes}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |av AS (SELECT vec_id, e, CAST(cell AS INTEGER) AS cell
+         | FROM read_parquet('${ivf.assignments}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |q AS (SELECT e AS qe FROM av WHERE vec_id = 0),
+         |qn AS (SELECT CAST(list_sum(list_transform(qe,
+         |         x -> CAST(round(x * x * $PqLutScale) AS BIGINT)))
+         |         AS BIGINT) AS qn2 FROM q),
+         |lut AS (SELECT m, code,
+         |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
+         |      i -> CAST(round(centroid[CAST(i AS INTEGER)]
+         |        * qe[CAST(m * $SubDim + i AS INTEGER)]
+         |        * $PqLutScale) AS BIGINT))) AS BIGINT) AS pdot_q,
+         |    CAST(list_sum(list_transform(centroid,
+         |      c -> CAST(round(c * c * $PqLutScale) AS BIGINT)))
+         |      AS BIGINT) AS pn2_q
+         |  FROM cb CROSS JOIN q),
+         |cand AS (SELECT vec_id, label, m,
+         |    codes[CAST(m + 1 AS INTEGER)] AS code
+         |  FROM co CROSS JOIN
+         |    (SELECT unnest(range(0, $M)) AS m)
+         |  WHERE cell IN (${probes.mkString(", ")}) AND vec_id <> 0),
+         |d AS (SELECT vec_id, label,
+         |    CAST(sum(pdot_q) AS BIGINT) AS dot_q,
+         |    CAST(sum(pn2_q) AS BIGINT) AS n2_q
+         |  FROM cand JOIN lut USING (m, code)
+         |  GROUP BY vec_id, label),
+         |a AS (SELECT vec_id, label,
+         |    CASE WHEN n2_q > 0 THEN CAST(dot_q AS DOUBLE) /
+         |      (sqrt(CAST(n2_q AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))
+         |    ELSE -1.0 END AS approx_cos
+         |  FROM d CROSS JOIN qn),
+         |top AS (SELECT vec_id, label FROM a
+         |        ORDER BY approx_cos DESC, vec_id
+         |        LIMIT $PqRefineCandidates)
+         |SELECT t.vec_id AS vec_id, t.label AS label,
+         |  list_cosine_similarity(av.e, q.qe) AS cosine
+         |FROM top t JOIN av ON t.vec_id = av.vec_id CROSS JOIN q
+         |WHERE av.cell IN (${probes.mkString(", ")})
+         |ORDER BY cosine DESC, t.vec_id LIMIT 10""".stripMargin
+    // the query vector re-enters the plan as its exact stored
+    // doubles, with its quantized norm computed IN-PLAN by the same
+    // expression family as the oracle's list_transform
+    val qdf = {
+      val spark = s
+      import spark.implicits._
+      Seq(Tuple1(query.toSeq)).toDF("qe")
+    }.select(col("qe"), expr(
+      s"aggregate(transform(qe, x -> cast(round(x * x * $PqLutScale) " +
+        "as bigint)), 0L, (a, y) -> a + y)").as("qn2"))
+    val lut = s.read.parquet(pq.codebooks)
+      .crossJoin(broadcast(qdf))
+      .select(col("m"), col("code"),
+        expr(s"aggregate(zip_with(centroid, " +
+          s"slice(qe, m * $SubDim + 1, $SubDim), " +
+          s"(c, q) -> cast(round(c * q * $PqLutScale) as bigint)), " +
+          "0L, (a, y) -> a + y)").as("pdot_q"),
+        expr(s"aggregate(transform(centroid, " +
+          s"c -> cast(round(c * c * $PqLutScale) as bigint)), " +
+          "0L, (a, y) -> a + y)").as("pn2_q"),
+        col("qn2"))
+    val survivors = s.read.parquet(pq.codes)
+      .filter(col("cell")
+        .isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pdot_q")).cast("long").as("dot_q"),
+        sum(col("pn2_q")).cast("long").as("n2_q"),
+        first(col("label")).as("label"),
+        first(col("qn2")).as("qn2"))
+      .withColumn("approx_cos",
+        when(col("n2_q") > 0,
+          col("dot_q").cast("double") /
+            (sqrt(col("n2_q").cast("double")) *
+              sqrt(col("qn2").cast("double"))))
+          .otherwise(lit(-1.0d)))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(PqRefineCandidates)
+    // refine: float vectors for the ≤PqRefineCandidates survivors,
+    // fetched from the probed-cell partitions of the index (the
+    // broadcast side is the survivors — the pruned assignments scan
+    // never shuffles)
+    assigned
+      .filter(col("cell")
+        .isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("vec_id"), col("e"))
+      .join(broadcast(survivors.select(col("vec_id"), col("label"))),
+        "vec_id")
+      .crossJoin(broadcast(qdf.select(col("qe"))))
+      .select(col("vec_id"), col("label"),
+        expr("cosine_sim(e, qe)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** PQ maintenance census (the [[simIvfDrift]] statistic at
+    * subspace granularity): per (subspace m, code), the usage count
+    * and the mean quantized squared residual between members'
+    * subvectors and their codebook centroid — the distortion a
+    * deployed PQ index watches to decide when incremental appends
+    * warrant re-training a codebook. Served entirely from persisted
+    * index tables (codes ⋈ assignments on vec_id, codebooks
+    * broadcast); the dynamic oracle recomputes it from the same
+    * files, so a hash match certifies the code content the
+    * incremental build wrote — base and appended delta alike. */
+  def simPqStats(s: SparkSession, dir: String): DataFrame = {
+    val ivf = graft.sources.IndexStore.ensureIvf(s, dir)
+    val pq = graft.sources.IndexStore.ensurePq(s, dir)
+    val M = graft.sources.IndexStore.PqM
+    val SubDim = graft.sources.IndexStore.PqSubDim
+    dynamicOracle(("sim_pq_stats", dir)) =
+      s"""WITH cb AS (SELECT m, code, centroid
+         | FROM read_parquet('${pq.codebooks}/*.parquet')),
+         |co AS (SELECT vec_id, codes
+         | FROM read_parquet('${pq.codes}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |av AS (SELECT vec_id, e
+         | FROM read_parquet('${ivf.assignments}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |mel AS (SELECT vec_id, m, codes[CAST(m + 1 AS INTEGER)] AS code
+         |        FROM co CROSS JOIN
+         |          (SELECT unnest(range(0, $M)) AS m)),
+         |r AS (SELECT mel.m, mel.code,
+         |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
+         |      i -> CAST(round((e[CAST(mel.m * $SubDim + i AS INTEGER)]
+         |          - centroid[CAST(i AS INTEGER)]) * $IvfDriftScale)
+         |        AS BIGINT)
+         |        * CAST(round((e[CAST(mel.m * $SubDim + i AS INTEGER)]
+         |          - centroid[CAST(i AS INTEGER)]) * $IvfDriftScale)
+         |        AS BIGINT))) AS BIGINT) AS q2
+         |  FROM mel JOIN av USING (vec_id)
+         |  JOIN cb ON cb.m = mel.m AND cb.code = mel.code)
+         |SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(q2) AS BIGINT) AS sum_q2,
+         |  CAST(sum(q2) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_q2
+         |FROM r GROUP BY m, code""".stripMargin
+    val cb = s.read.parquet(pq.codebooks)
+    s.read.parquet(pq.codes)
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(s.read.parquet(ivf.assignments)
+        .select(col("vec_id"), col("e")), "vec_id")
+      .join(broadcast(cb), Seq("m", "code"))
+      .withColumn("q2", expr(
+        s"aggregate(zip_with(slice(e, m * $SubDim + 1, $SubDim), " +
+          s"centroid, (x, c) -> " +
+          s"cast(round((x - c) * $IvfDriftScale) as bigint) * " +
+          s"cast(round((x - c) * $IvfDriftScale) as bigint)), " +
+          "0L, (a, y) -> a + y)"))
+      .groupBy(col("m").cast("long").as("m"),
+        col("code").cast("long").as("code"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("q2")).cast("long").as("sum_q2"))
+      .select(col("m"), col("code"), col("n"), col("sum_q2"),
+        expr("sum_q2 div n").as("mean_q2"))
+  }
+
   /** Hard ceiling on the input size of [[simExactPairs]]. The
     * cartesian baseline is O(n²) BY DESIGN — at 50k rows that's
     * 1.25e9 pair evaluations, the largest this harness should ever
@@ -1410,6 +1626,8 @@ object SimilarityQueries {
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_drift" -> (simIvfDrift _),
     "sim_ivf_sq8" -> (simIvfSq8 _),
+    "sim_ivf_pq" -> (simIvfPq _),
+    "sim_pq_stats" -> (simPqStats _),
     "dd_embed_census" -> (ddEmbedCensus _),
     "dd_gram_dupfrac" -> (ddGramDupFrac _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),

@@ -341,6 +341,113 @@ object IndexStore {
       paths
     })
 
+  /** Product-quantization layout (FAISS `IVF…,PQ8` family): the
+    * 64-dim vectors split into [[PqM]] contiguous subspaces of
+    * [[PqSubDim]] dims; each subspace gets its own [[PqK]]-centroid
+    * codebook, and a vector's code is its per-subspace nearest
+    * centroids — [[PqM]] small ints (4 bits each here), ~8 bytes a
+    * vector vs 512 for the floats. The codes table is partitioned by
+    * the vector's IVF `cell`, so an ADC scan opens only the probed
+    * cells' partitions: IVFPQ's inverted-list locality expressed as
+    * hive partition pruning. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  case class PqPaths(codebooks: String, codes: String)
+
+  private val pqBuilt = TrieMap.empty[String, PqPaths]
+
+  /** Fit the PQ codebooks on the IVF base split and encode the whole
+    * corpus, cell-partitioned next to the IVF index. The INPUT is the
+    * persisted IVF assignments table (vectors + cells already
+    * certified by the sim_ivf_* oracles) — an IVFPQ index quantizes
+    * the vectors its coarse index routed, not a second read of the
+    * base corpus. Base split encodes via [[appendPq]] in overwrite
+    * mode, the delta via the same path in append mode — so, as with
+    * trigram/word/IVF, the standing index IS the product of the
+    * incremental-maintenance path and the serve oracle certifies it
+    * end-to-end. Once per (JVM, dir). */
+  def ensurePq(s: SparkSession, dir: String): PqPaths =
+    pqBuilt.getOrElseUpdate(dir, {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val ivf = ensureIvf(s, dir)
+      val root = indexRoot(dir)
+      val paths = PqPaths(
+        root.resolve("pq_codebooks").toString,
+        root.resolve("pq_codes").toString)
+      val av = s.read.parquet(ivf.assignments)
+        .select(col("vec_id"), col("label"), col("e"), col("cell"))
+      def split(base: Boolean) = av.filter(
+        if (base) pmod(col("vec_id"), lit(IvfDeltaMod.toLong))
+          < IvfDeltaMod - 1
+        else pmod(col("vec_id"), lit(IvfDeltaMod.toLong))
+          === IvfDeltaMod - 1)
+      val base = split(base = true).localCheckpoint() // PqM fits read it
+      // one seeded coarse fit per subspace — codebook quality only
+      // shapes recall (pinned by AnnStructuredSpec's PQ gate), never
+      // correctness: the oracles read the PERSISTED codebooks
+      val spark = s
+      import spark.implicits._
+      val centers = (0 until PqM).flatMap { m =>
+        val sub = base.select(array_to_vector(
+          slice(col("e"), m * PqSubDim + 1, PqSubDim)).as("fv"))
+        new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
+          .setInitMode("random")
+          .setFeaturesCol("fv").setPredictionCol("code")
+          .fit(sub)
+          .clusterCenters.zipWithIndex
+          .map { case (c, i) => (m, i, c.toArray.toSeq) }
+      }
+      centers.toDF("m", "code", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(paths.codebooks)
+      appendPq(s, paths, base, "overwrite")
+      appendPq(s, paths, split(base = false), "append")
+      paths
+    })
+
+  /** Encode vectors against the PERSISTED codebooks and append to
+    * the cell-partitioned codes table — the steady-state write path
+    * of a deployed PQ index (no model object, no re-fit; the same
+    * discipline as [[appendIvf]]).
+    *
+    * 100 TB shape: the [[PqM]]·[[PqK]]-row codebook table (64 rows)
+    * broadcasts; the per-subspace argmin is a codegen'd fold over a
+    * posexploded (vector, subspace) pair — map-side compute, and the
+    * only exchanges are the per-vector code reassembly and the
+    * cell-aligned repartition before the partitioned append. */
+  def appendPq(s: SparkSession, paths: PqPaths,
+      vecs: org.apache.spark.sql.DataFrame,
+      mode: String = "append"): Unit = {
+    val cb = s.read.parquet(paths.codebooks)
+    vecs
+      .select(col("vec_id"), col("label"), col("cell"),
+        posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> slice(e, m * $PqSubDim + 1, $PqSubDim))"))
+          .as(Seq("m", "sub")))
+      .join(broadcast(cb), "m")
+      // exact left-fold squared distance, the appendIvf arithmetic
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sub, centroid, (x, c) -> (x - c) * (x - c)), " +
+          "0d, (a, y) -> a + y)"))
+      .groupBy(col("vec_id"), col("m"))
+      // min(struct) = nearest distance, tie → lowest code id:
+      // total-order deterministic, as appendIvf
+      .agg(min(struct(col("d2"), col("code"))).as("mc"),
+        first(col("label")).as("label"), first(col("cell")).as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("m"), col("mc.code").as("code")))),
+          x => x.getField("code")).as("codes"),
+        first(col("label")).as("label"), first(col("cell")).as("cell"))
+      .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell")
+      .parquet(paths.codes)
+  }
+
   /** Incremental IVF maintenance: assign each new vector to its
     * nearest PERSISTED centroid (read from the index root — no
     * model object, no re-fit) and append partition-aligned to the
