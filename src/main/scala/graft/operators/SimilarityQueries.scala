@@ -55,7 +55,7 @@ object SimilarityQueries {
   /** Word k-gram shingles over a pre-split `wordsCol` array. The
     * split MUST be materialized once per row first — `split()`
     * inlined into the per-element lambda is O(words²) per document. */
-  private[operators] def wordGramExpr(wordsCol: String, k: Int): Column =
+  private[graft] def wordGramExpr(wordsCol: String, k: Int): Column =
     expr(s"array_distinct(transform(" +
       s"sequence(1, greatest(size($wordsCol) - ${k - 1}, 1)), " +
       s"i -> concat_ws(' ', slice($wordsCol, i, $k))))")
@@ -197,6 +197,46 @@ object SimilarityQueries {
     val cand = lshCandidatePairs(s, docs, nHashes = 32, bands = 4,
       maxBucket = 50, starHotBuckets = false)
     jaccardPairs(docs, cand)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** [[ddMinhashLsh]] served from the PERSISTED MinHash index
+    * ([[graft.sources.IndexStore.ensureMinhash]]) — the build→serve
+    * twin the trigram LIKE and BM25 paths established, applied to
+    * the dedup family. Candidate generation reads the banded
+    * signature table (slim (band, bhash, doc_id) rows — signatures
+    * were computed ONCE, at build), the exact-Jaccard verify reads
+    * the shingle fingerprint store, and the raw documents table is
+    * absent from the plan (MinhashIndexSpec asserts it). Shares the
+    * scan twin's exact all-pairs oracle, so a hash match certifies
+    * the incrementally-built index content end-to-end. At 100 TB
+    * this split is the difference between re-shingling the corpus
+    * per dedup run and probing fingerprints maintained on ingest. */
+  def ddMinhashIndexed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaccardSim.ensureRegistered(s)
+    val paths = graft.sources.IndexStore.ensureMinhash(s, dir)
+    val maxBucket = 50
+    val banded = s.read.parquet(paths.bands)
+      .select(col("doc_id"), col("band"), col("bhash"))
+    val small = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("band", "bhash")
+    val pruned = banded.join(small, Seq("band", "bhash"))
+    val cand = pruned.as("a").join(pruned.as("b"), Seq("band", "bhash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val fp = s.read.parquet(paths.shingles)
+    cand
+      .join(fp.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+        "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("jaccard_sim", col("hs_a"), col("hs_b"))
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
@@ -1616,6 +1656,7 @@ object SimilarityQueries {
     "sim_centroids" -> (simCentroids _),
     "sim_rand_proj" -> (simRandProj _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_indexed" -> (ddMinhashIndexed _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -1924,6 +1965,10 @@ object SimilarityQueries {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
     "dd_minhash_lsh" -> exactJaccardSql,
+    // the indexed twin answers the same question from the persisted
+    // index alone — hash-equality against the SAME exact oracle
+    // certifies the index content (r14's BM25 twin discipline)
+    "dd_minhash_indexed" -> exactJaccardSql,
     "dd_ngram_jaccard" -> exactJaccardSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, label,

@@ -341,6 +341,68 @@ object IndexStore {
       paths
     })
 
+  /** MinHash dedup index parameters — the SAME (nHashes, bands)
+    * the scan-side dd_minhash_lsh uses, so the indexed serve is a
+    * drop-in twin with an identical collision curve. */
+  val MhHashes = 32
+  val MhBands = 4
+
+  case class MinhashPaths(shingles: String, bands: String)
+
+  private val mhBuilt = TrieMap.empty[String, MinhashPaths]
+
+  /** Persisted MinHash dedup index (the trigram/word/IVF build→serve
+    * discipline applied to the near-dup family): a shingle-hash
+    * fingerprint store (doc_id, hs — the exact-verify input) and a
+    * banded signature table (doc_id, band, bhash — the candidate-
+    * generation input), band-partitioned. At 100 TB near-dup is not
+    * a query you re-derive from raw text per run — signatures are
+    * computed once per document on ingest and maintained as rows
+    * arrive; both tables are per-doc fact rows, so the base+delta
+    * split appends losslessly (incremental ≡ one-shot, pinned by
+    * MinhashIndexSpec, and the serve twin's hash-equality to the
+    * scan twin certifies the persisted content end-to-end). Once per
+    * (JVM, dir). */
+  def ensureMinhash(s: SparkSession, dir: String): MinhashPaths =
+    mhBuilt.getOrElseUpdate(dir, {
+      graft.functions.MinhashSig.ensureRegistered(s)
+      val root = indexRoot(dir)
+      val paths = MinhashPaths(
+        root.resolve("mh_shingles").toString,
+        root.resolve("mh_bands").toString)
+      val docs = Tables.documents(s, dir)
+      val rows = MhHashes / MhBands
+      def write(d: DataFrame, mode: String): Unit = {
+        val sh = d
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"),
+            transform(
+              graft.operators.SimilarityQueries.wordGramExpr("words", 3),
+              g => xxhash64(g)).as("hs"))
+          .withColumn("sig",
+            call_function("minhash_sig", col("hs"), lit(MhHashes)))
+          .localCheckpoint() // feeds BOTH table writes below
+        sh.select(col("doc_id"), col("hs"))
+          .write.mode(mode).parquet(paths.shingles)
+        sh.select(col("doc_id"),
+            explode(transform(sequence(lit(0), lit(MhBands - 1)),
+              b => struct(b.as("band"),
+                xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
+                  .as("bhash")))).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.bhash").as("bhash"))
+          .repartition(col("band"))
+          .write.mode(mode).partitionBy("band").parquet(paths.bands)
+      }
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          < TrgmDeltaMod - 1), "overwrite")
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          === TrgmDeltaMod - 1), "append")
+      paths
+    })
+
   /** Product-quantization layout (FAISS `IVF…,PQ8` family): the
     * 64-dim vectors split into [[PqM]] contiguous subspaces of
     * [[PqSubDim]] dims; each subspace gets its own [[PqK]]-centroid
