@@ -111,7 +111,12 @@ object ExplainAudit {
         // census (assignments ⋈ broadcast centroid root)
         "dd_semantic", "dd_semantic_capstats", "g5b_pagerank_converged",
         "t_bm25_indexed", "t_dsir_indexed", "sim_ivf_drift",
-        "sim_ivf_sq8")
+        "sim_ivf_sq8",
+        // round 15: the IVFPQ ADC serve (codes + assignments scans
+        // pruned to probed cells, codebook LUT broadcast), the PQ
+        // distortion census, and the persisted-MinHash dedup serve
+        // (mh_bands/mh_shingles only, documents absent)
+        "sim_ivf_pq", "sim_pq_stats", "dd_minhash_indexed")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
