@@ -241,6 +241,33 @@ object RetrievalQueries {
         sum(col("tf") * col("q_lr")).cast("long").as("w_q"))
   }
 
+  /** [[TextQueries.tTfidfExact]] served from the persisted word
+    * index — the last of the text-statistics family to get the
+    * build→serve split (LIKE, BM25, DSIR since r13/r14). tf is read
+    * off the postings (computed ONCE, at build), df is a postings
+    * aggregate, and the corpus doc count rides the ≤2-row stats page
+    * as a broadcast 1-row table — the documents table is never
+    * re-tokenized. Shares the scan twin's oracle: hash equality
+    * certifies the served tf/df/N against a from-scratch recompute,
+    * over the incrementally-built (base+delta) index. */
+  def tTfidfIndexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val p = IndexStore.ensureWordPostings(s, dir)
+    val tf = s.read.parquet(p.postings)
+      .select(col("doc_id"), col("w").as("word"), col("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = s.read.parquet(p.stats)
+      .agg(sum(col("n_docs")).cast("long").as("n"))
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("q_idf", expr(
+        "CAST(FLOOR(ln((CAST(n AS DOUBLE) + 1.0)" +
+          " / (CAST(df AS DOUBLE) + 1.0)) * 10000.0) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("tf") * col("q_idf")).as("top_weight_q"),
+        count(lit(1)).as("n_terms"))
+  }
+
   // =================================================================
   // dd_chunk_dedup — CCNet-style chunk-level dedup
   // =================================================================
@@ -475,6 +502,7 @@ object RetrievalQueries {
     "t_bm25_indexed" -> (tBm25Indexed _),
     "t_dsir_weight" -> (tDsirWeight _),
     "t_dsir_indexed" -> (tDsirIndexed _),
+    "t_tfidf_indexed" -> (tTfidfIndexed _),
     "dd_chunk_dedup" -> (ddChunkDedup _),
     "t_cdc_chunks" -> (tCdcChunks _)
   )
@@ -488,7 +516,8 @@ object RetrievalQueries {
       // oracles — equality certifies the index path lossless,
       // including the incremental base+delta build
       "t_bm25_indexed" -> base("t_bm25_topk"),
-      "t_dsir_indexed" -> base("t_dsir_weight"))
+      "t_dsir_indexed" -> base("t_dsir_weight"),
+      "t_tfidf_indexed" -> TextQueries.oracle("t_tfidf_exact"))
   }
 
   private val staticOracle: Map[String, String] = Map(

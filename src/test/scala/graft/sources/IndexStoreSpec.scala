@@ -137,6 +137,16 @@ class IndexStoreSpec extends SparkSpec {
     assert(viaIndex == viaScan)
   }
 
+  test("indexed TF-IDF equals the full-scan exact twin row-for-row") {
+    val viaIndex = RetrievalQueries.tTfidfIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val viaScan = graft.operators.TextQueries.tTfidfExact(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(viaIndex == viaScan)
+  }
+
   test("IVF serve reads only probed cells of the persisted index, " +
       "never the embeddings table") {
     val (_, probes, _) = SimilarityQueries.ivfTopology(spark, sfDir)
