@@ -486,10 +486,18 @@ object RetrievalQueries {
     * path through it. */
   def tTrgmIndexStats(s: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.IndexStore.ensureTrgmPostings(s, dir)
+    // two-level aggregate instead of countDistinct+count in one agg:
+    // mixing distinct and plain aggregates makes Catalyst Expand the
+    // input 2× before the exchange (the p11b no-Expand discipline).
+    // Level 1 collapses to (gr, doc_id) with map-side combine —
+    // postings arrive sorted by (gr, doc_id) within each bucket, so
+    // partial agg is near-free; level 2 is a |grams|-sized shuffle.
     s.read.parquet(path)
+      .groupBy(col("gr"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
       .groupBy(col("gr"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).cast("long").as("n_occ"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("occ")).cast("long").as("n_occ"))
       .orderBy(col("df").desc, col("gr"))
       .limit(20)
   }
