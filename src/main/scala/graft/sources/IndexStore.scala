@@ -452,15 +452,25 @@ object IndexStore {
       // correctness: the oracles read the PERSISTED codebooks
       val spark = s
       import spark.implicits._
-      val centers = (0 until PqM).flatMap { m =>
-        val sub = base.select(array_to_vector(
-          slice(col("e"), m * PqSubDim + 1, PqSubDim)).as("fv"))
-        new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
-          .setInitMode("random")
-          .setFeaturesCol("fv").setPredictionCol("code")
-          .fit(sub)
-          .clusterCenters.zipWithIndex
-          .map { case (c, i) => (m, i, c.toArray.toSeq) }
+      // the PqM fits are independent (disjoint subspace slices, own
+      // seeds), so submit them as concurrent Spark jobs: build wall
+      // ≈ one fit instead of PqM serial fits; per-fit results are
+      // unchanged (each is seeded and reads its own slice)
+      val centers = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.sequence((0 until PqM).map { m => Future {
+            val sub = base.select(array_to_vector(
+              slice(col("e"), m * PqSubDim + 1, PqSubDim)).as("fv"))
+            new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
+              .setInitMode("random")
+              .setFeaturesCol("fv").setPredictionCol("code")
+              .fit(sub)
+              .clusterCenters.zipWithIndex
+              .map { case (c, i) => (m, i, c.toArray.toSeq) }.toSeq
+          }}), Duration.Inf).flatten
       }
       centers.toDF("m", "code", "centroid")
         .coalesce(1)
