@@ -108,7 +108,35 @@ object MultimodalQueries {
       * whitespace between header tokens and `#`-to-EOL comments —
       * the full Netpbm header grammar. */
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, px, _) = decodeAt(payload, 0)
+      (w, h, px)
+    }
+
+    /** Walk a CONTAINER of back-to-back binary PGM frames (the
+      * multi-frame layout "PGM video" tools emit by concatenation:
+      * each frame is a complete P5 header + raster, the next header
+      * starts at the previous raster's end byte). Real
+      * format-walking, the WavCodec chunk-list discipline applied to
+      * frames: a foreign magic mid-stream, a truncated raster, or
+      * trailing garbage throws — it never silently yields a partial
+      * frame list. */
+    def decodeStream(payload: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+      val frames = Seq.newBuilder[(Int, Int, Array[Byte])]
       var pos = 0
+      while (pos < payload.length) {
+        val (w, h, px, end) = decodeAt(payload, pos)
+        frames += ((w, h, px))
+        pos = end
+      }
+      frames.result()
+    }
+
+    /** [[decode]] from `start`, also returning the frame's end
+      * offset (one past the raster) so a container walker can chain
+      * frames. */
+    private def decodeAt(payload: Array[Byte],
+        start: Int): (Int, Int, Array[Byte], Int) = {
+      var pos = start
       def peek: Int =
         if (pos < payload.length) java.lang.Byte
           .toUnsignedInt(payload(pos)) else -1
@@ -150,7 +178,7 @@ object MultimodalQueries {
       require(payload.length - pos >= n,
         s"truncated pixel section: need $n, have ${payload.length - pos}")
       val pixels = java.util.Arrays.copyOfRange(payload, pos, pos + n)
-      (width, height, pixels)
+      (width, height, pixels, pos + n)
     }
   }
 
@@ -421,6 +449,90 @@ object MultimodalQueries {
     }(enc)
   }
 
+  /** Multi-frame PGM containers (the "video" tier of the real-codec
+    * family): 2 + doc_id % 5 concatenated frames per asset, every
+    * frame the asset's (w, h), frame f's pixel (r, c) =
+    * (id·31 + f·53 + r·17 + c·5) mod 256 — the mm_pgm closed form
+    * extended by a frame term, so the oracle can recompute sampled
+    * stats without parsing bytes. */
+  def pgmStreamAssets(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    Tables.documents(s, dir).select("doc_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + id % 16).toInt
+          val h = (6 + id % 10).toInt
+          val k = (2 + id % 5).toInt
+          val buf = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < k) {
+            val px = new Array[Byte](w * h)
+            var rr = 0
+            while (rr < h) {
+              var cc = 0
+              while (cc < w) {
+                px(rr * w + cc) =
+                  ((id * 31 + f * 53 + rr * 17 + cc * 5) % 256).toByte
+                cc += 1
+              }
+              rr += 1
+            }
+            buf.write(PgmCodec.encode(w, h, px))
+            f += 1
+          }
+          Row(id, buf.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling over the multi-frame containers — the named
+    * training-pipeline transform (decode / feature-extract / resize /
+    * FRAME-SAMPLE) at the real-codec tier: the engine WALKS the
+    * container's frame headers ([[PgmCodec.decodeStream]] — any
+    * parsing bug hash-mismatches the closed-form oracle), keeps
+    * every 2nd frame (the standard stride sample), and emits exact
+    * integer stats over the sampled rasters only. mapPartitions
+    * batch decode like every mm_* path; payloads never shuffle —
+    * one narrow row per asset leaves the scan stage. */
+  def mmPgmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("n_sampled", IntegerType, nullable = false),
+      StructField("sampled_pixels", LongType, nullable = false),
+      StructField("sum_sampled", LongType, nullable = false),
+      StructField("max_sampled", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    pgmStreamAssets(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = PgmCodec.decodeStream(r.getAs[Array[Byte]](1))
+        val sampled = frames.zipWithIndex
+          .collect { case (fr, i) if i % 2 == 0 => fr }
+        var sum = 0L
+        var max = 0
+        var n = 0L
+        sampled.foreach { case (_, _, px) =>
+          var i = 0
+          while (i < px.length) {
+            val v = java.lang.Byte.toUnsignedInt(px(i))
+            sum += v
+            if (v > max) max = v
+            i += 1
+          }
+          n += px.length
+        }
+        Row(id, frames.size, sampled.size, n, sum, max)
+      }
+    }(enc)
+  }
+
   /** Build a media-asset frame from the documents table (payload =
     * utf-8 bytes standing in for encoded media). */
   def assets(s: SparkSession, dir: String): DataFrame =
@@ -484,6 +596,7 @@ object MultimodalQueries {
     "mm_meta_only" -> (mmMetaOnly _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_pgm_decode" -> (mmPgmDecode _),
+    "mm_pgm_frame_sample" -> (mmPgmFrameSample _),
     "mm_wav_decode" -> (mmWavDecode _),
     "mm_wav_downsample" -> (mmWavDownsample _),
     "mm_binary_ops" -> (mmBinaryOps _)
@@ -526,6 +639,31 @@ object MultimodalQueries {
         |  CAST(list_min(p) AS INTEGER) AS min_pixel,
         |  CAST(list_max(p) AS INTEGER) AS max_pixel
         |FROM px""".stripMargin,
+    // mm_pgm_frame_sample: the engine WALKS the concatenated-frame
+    // container byte-for-byte and aggregates the every-2nd-frame
+    // sample; the oracle recomputes from the generator closed form
+    // (id·31 + f·53 + r·17 + c·5 mod 256) — a frame-boundary walk
+    // bug (off-by-one raster end, swallowed header) hash-mismatches
+    "mm_pgm_frame_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(8 + doc_id % 16 AS INTEGER) AS w,
+        |             CAST(6 + doc_id % 10 AS INTEGER) AS h,
+        |             CAST(2 + doc_id % 5 AS INTEGER) AS k
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, k, unnest(range(0, k)) AS f
+        |       FROM d),
+        |px AS (SELECT doc_id, w, h, k, f,
+        |         list_transform(range(0, w * h), i ->
+        |           (doc_id * 31 + f * 53 + (i // w) * 17
+        |            + (i % w) * 5) % 256) AS p
+        |       FROM fr WHERE f % 2 = 0)
+        |SELECT doc_id AS asset_id,
+        |  CAST(k AS INTEGER) AS n_frames,
+        |  CAST(count(*) AS INTEGER) AS n_sampled,
+        |  CAST(sum(w * h) AS BIGINT) AS sampled_pixels,
+        |  CAST(sum(list_sum(p)) AS BIGINT) AS sum_sampled,
+        |  CAST(max(list_max(p)) AS INTEGER) AS max_sampled
+        |FROM px GROUP BY doc_id, k""".stripMargin,
     // mm_wav_decode: engine walks the RIFF chunks and reads PCM
     // bytes; oracle recomputes from the generator closed form
     "mm_wav_decode" ->

@@ -193,4 +193,53 @@ class MultimodalQueriesSpec extends SparkSpec {
       assert(r.getInt(5) == vals.min && r.getInt(6) == vals.max)
     }
   }
+
+  test("PGM container walker: frame boundaries exact, foreign bytes " +
+      "and truncation throw") {
+    import MultimodalQueries.PgmCodec
+    val frames = (0 until 3).map { f =>
+      (2 + f, 2, Array.tabulate(2 * (2 + f))(i => (f * 40 + i).toByte))
+    }
+    val container = frames.map { case (w, h, px) =>
+      PgmCodec.encode(w, h, px) }.reduce(_ ++ _)
+    val decoded = PgmCodec.decodeStream(container)
+    assert(decoded.size == 3)
+    decoded.zip(frames).foreach { case ((w, h, px), (ew, eh, epx)) =>
+      assert(w == ew && h == eh && px.sameElements(epx))
+    }
+    // a single frame decodes as a 1-frame stream
+    assert(PgmCodec.decodeStream(
+      PgmCodec.encode(2, 2, Array[Byte](1, 2, 3, 4))).size == 1)
+    // trailing garbage after the last raster is a foreign magic
+    intercept[IllegalArgumentException] {
+      PgmCodec.decodeStream(container ++ Array[Byte]('X', 'Y'))
+    }
+    // mid-stream truncation (lost raster tail) throws, never yields
+    // a partial frame list
+    intercept[IllegalArgumentException] {
+      PgmCodec.decodeStream(container.dropRight(1))
+    }
+  }
+
+  test("frame-sample query: every-2nd-frame stats match the " +
+      "closed form, sampled strictly fewer pixels than total") {
+    val got = MultimodalQueries.mmPgmFrameSample(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, k) =
+        ((8 + id % 16).toInt, (6 + id % 10).toInt, (2 + id % 5).toInt)
+      val sampledF = (0 until k).filter(_ % 2 == 0)
+      val vals = for {
+        f <- sampledF; rr <- 0 until h; cc <- 0 until w
+      } yield ((id * 31 + f * 53 + rr * 17 + cc * 5) % 256).toInt
+      assert(r.getInt(1) == k, "n_frames")
+      assert(r.getInt(2) == sampledF.size, "n_sampled")
+      assert(r.getLong(3) == sampledF.size.toLong * w * h)
+      assert(r.getLong(4) == vals.map(_.toLong).sum, "sum_sampled")
+      assert(r.getInt(5) == vals.max, "max_sampled")
+      // the sample is a strict subset whenever k > 1 (it always is)
+      assert(sampledF.size < k || k == 1)
+    }
+  }
 }
