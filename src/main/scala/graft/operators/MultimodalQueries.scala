@@ -533,6 +533,55 @@ object MultimodalQueries {
     }(enc)
   }
 
+  /** Image "resize" at the real-codec tier (the audio analogue is
+    * [[mmWavDownsample]]): decode the PGM raster, average each 2×2
+    * pixel block with TRUNCATED integer division (Java `/` on a
+    * non-negative sum ≡ DuckDB `//` — documented the same way as the
+    * WAV path's negative-odd case, though pixel sums are never
+    * negative), drop odd edge rows/columns (floor dims), and emit
+    * exact integer stats of the downsampled raster. The resize
+    * itself is real pixel arithmetic on really-parsed bytes; stats-
+    * only output so payloads never shuffle. */
+  def mmPgmDownsample(s: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("sum_ds", LongType, nullable = false),
+      StructField("min_ds", IntegerType, nullable = false),
+      StructField("max_ds", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    pgmAssets(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h, px) = PgmCodec.decode(r.getAs[Array[Byte]](1))
+        val ow = w / 2
+        val oh = h / 2
+        var sum = 0L
+        var min = 255
+        var max = 0
+        var rr = 0
+        while (rr < oh) {
+          var cc = 0
+          while (cc < ow) {
+            val v = (java.lang.Byte.toUnsignedInt(px(2 * rr * w + 2 * cc)) +
+              java.lang.Byte.toUnsignedInt(px(2 * rr * w + 2 * cc + 1)) +
+              java.lang.Byte.toUnsignedInt(px((2 * rr + 1) * w + 2 * cc)) +
+              java.lang.Byte.toUnsignedInt(
+                px((2 * rr + 1) * w + 2 * cc + 1))) / 4
+            sum += v
+            if (v < min) min = v
+            if (v > max) max = v
+            cc += 1
+          }
+          rr += 1
+        }
+        Row(id, ow, oh, sum, min, max)
+      }
+    }(enc)
+  }
+
   /** Build a media-asset frame from the documents table (payload =
     * utf-8 bytes standing in for encoded media). */
   def assets(s: SparkSession, dir: String): DataFrame =
@@ -597,6 +646,7 @@ object MultimodalQueries {
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_pgm_decode" -> (mmPgmDecode _),
     "mm_pgm_frame_sample" -> (mmPgmFrameSample _),
+    "mm_pgm_downsample" -> (mmPgmDownsample _),
     "mm_wav_decode" -> (mmWavDecode _),
     "mm_wav_downsample" -> (mmWavDownsample _),
     "mm_binary_ops" -> (mmBinaryOps _)
@@ -639,6 +689,33 @@ object MultimodalQueries {
         |  CAST(list_min(p) AS INTEGER) AS min_pixel,
         |  CAST(list_max(p) AS INTEGER) AS max_pixel
         |FROM px""".stripMargin,
+    // mm_pgm_downsample: the engine averages 2x2 blocks of really-
+    // parsed raster bytes (truncated /4 — non-negative sums, so
+    // Java / ≡ DuckDB //); oracle recomputes from the closed form
+    "mm_pgm_downsample" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(8 + doc_id % 16 AS INTEGER) AS w,
+        |             CAST(6 + doc_id % 10 AS INTEGER) AS h
+        |           FROM documents),
+        |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+        |v AS (SELECT doc_id, ow, oh,
+        |        list_transform(range(0, ow * oh), i ->
+        |          ((doc_id * 31 + (2 * (i // ow)) * 17
+        |             + (2 * (i % ow)) * 5) % 256
+        |           + (doc_id * 31 + (2 * (i // ow)) * 17
+        |             + (2 * (i % ow) + 1) * 5) % 256
+        |           + (doc_id * 31 + (2 * (i // ow) + 1) * 17
+        |             + (2 * (i % ow)) * 5) % 256
+        |           + (doc_id * 31 + (2 * (i // ow) + 1) * 17
+        |             + (2 * (i % ow) + 1) * 5) % 256) // 4) AS p
+        |      FROM o)
+        |SELECT doc_id AS asset_id,
+        |  CAST(ow AS INTEGER) AS out_w,
+        |  CAST(oh AS INTEGER) AS out_h,
+        |  CAST(list_sum(p) AS BIGINT) AS sum_ds,
+        |  CAST(list_min(p) AS INTEGER) AS min_ds,
+        |  CAST(list_max(p) AS INTEGER) AS max_ds
+        |FROM v""".stripMargin,
     // mm_pgm_frame_sample: the engine WALKS the concatenated-frame
     // container byte-for-byte and aggregates the every-2nd-frame
     // sample; the oracle recomputes from the generator closed form

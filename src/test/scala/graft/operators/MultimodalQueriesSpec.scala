@@ -221,6 +221,24 @@ class MultimodalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("PGM downsample: 2x2 block averages match the closed form, " +
+      "dims floor-halved") {
+    val got = MultimodalQueries.mmPgmDownsample(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 16).toInt, (6 + id % 10).toInt)
+      val (ow, oh) = (w / 2, h / 2)
+      def p(rr: Int, cc: Int) = ((id * 31 + rr * 17 + cc * 5) % 256).toInt
+      val vals = for (rr <- 0 until oh; cc <- 0 until ow) yield
+        (p(2 * rr, 2 * cc) + p(2 * rr, 2 * cc + 1) +
+          p(2 * rr + 1, 2 * cc) + p(2 * rr + 1, 2 * cc + 1)) / 4
+      assert(r.getInt(1) == ow && r.getInt(2) == oh)
+      assert(r.getLong(3) == vals.map(_.toLong).sum)
+      assert(r.getInt(4) == vals.min && r.getInt(5) == vals.max)
+    }
+  }
+
   test("frame-sample query: every-2nd-frame stats match the " +
       "closed form, sampled strictly fewer pixels than total") {
     val got = MultimodalQueries.mmPgmFrameSample(spark, sfDir).collect()
