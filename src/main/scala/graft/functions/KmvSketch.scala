@@ -134,6 +134,31 @@ object KmvSketch {
   def unionOf(a: Array[Long], b: Array[Long]): Array[Long] =
     mergeSorted(a, b)
 
+  /** Aggregator over SKETCH-valued rows: merges pre-built k-min
+    * arrays (hourly/daily partials) into the union sketch — the
+    * rollup consumer of [[sketchOf]]. This is what makes KMV the
+    * 100 TB windowed-distinct shape: the exchange carries ≤K longs
+    * per partial, independent of the member cardinality the partial
+    * summarizes. */
+  val mergeSketchAggregator: Aggregator[Array[Long], Buf, Array[Long]] =
+    new Aggregator[Array[Long], Buf, Array[Long]] {
+      override def zero: Buf = Buf(Array.empty)
+      override def reduce(b: Buf, sk: Array[Long]): Buf =
+        Buf(mergeSorted(b.mins, sk))
+      override def merge(a: Buf, b: Buf): Buf =
+        Buf(mergeSorted(a.mins, b.mins))
+      override def finish(b: Buf): Array[Long] = b.mins
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+
+  /** Column API: union-merge a sketch-array column. */
+  def mergeOf(sketches: Column): Column =
+    udaf(mergeSketchAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      .apply(sketches)
+
   /** Estimate from a sketch array — identical branch structure to
     * [[aggregatorBits]]'s finish (exact below K, (K-1)/p above). */
   def estimateOf(mins: Array[Long], bits: Int): Long =

@@ -113,6 +113,52 @@ object TemporalQueries {
       .select(col("hb"), col("n_users_hour"), col("n_users_roll"))
   }
 
+  /** [[e6SlidingDistinct]]'s sketch twin — the shape that survives
+    * 100 TB. The exact version scatters every (hour, user) PAIR into
+    * its ≤[[SlideHours]] windows, so the rolling exchange carries
+    * |pairs|·24 rows — linear in user cardinality. This twin builds
+    * ONE KMV sketch per hour (≤[[graft.functions.KmvSketch.K]]
+    * longs, map-side combined) and scatters SKETCHES: the rolling
+    * exchange carries hours·24 bounded arrays, independent of how
+    * many users an hour saw. Merge is the k-min union (associative,
+    * partitioning-invariant), the estimate is the (K-1)/p formula on
+    * the portable-md5-60 key — bit-reproducible, so this
+    * APPROXIMATE operator still hash-compares exactly in DuckDB
+    * (the d3/d5 discipline applied to windows). Estimates are
+    * computed by ONE codegen'd expression shared by the hourly and
+    * rolled paths, mirrored verbatim in the oracle. */
+  def e6bSlidingKmv(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    val norm = math.pow(2.0, graft.core.PortableHash.Bits)
+    // exact below K (the sketch then holds every distinct hash);
+    // (K-1)/p above — KmvSketch.estimateOf as a plan expression
+    def est(sk: Column): Column =
+      when(size(sk) < KmvSketch.K, size(sk).cast("long"))
+        .otherwise(round(lit((KmvSketch.K - 1).toDouble) /
+          (element_at(sk, size(sk)).cast("double") / lit(norm)))
+          .cast("long"))
+    val hourly = Tables.events(s, dir)
+      .select(expr(s"ts div $HourNs").as("hb"),
+        graft.core.PortableHash.md5Hash60(col("user_id")).as("h"))
+      .groupBy(col("hb"))
+      .agg(KmvSketch.sketchOf(col("h")).as("sk"))
+      .localCheckpoint() // feeds the scatter AND the hourly estimate
+    val spine = hourly.select(col("hb").as("win"))
+    val rolled = hourly
+      .select(explode(sequence(col("hb"),
+        col("hb") + (SlideHours - 1))).as("win"), col("sk"))
+      .join(broadcast(spine), "win")
+      .groupBy(col("win"))
+      .agg(KmvSketch.mergeOf(col("sk")).as("rsk"))
+      .select(col("win"), est(col("rsk")).as("n_users_roll_kmv"))
+    hourly
+      .select(col("hb"), est(col("sk")).as("n_users_hour_kmv"))
+      .join(rolled, col("hb") === col("win"))
+      .select(col("hb"), col("n_users_hour_kmv"),
+        col("n_users_roll_kmv"))
+  }
+
+
   // =================================================================
   // x25_robust_stats — median / MAD / mode per group
   // =================================================================
@@ -415,6 +461,7 @@ object TemporalQueries {
     "e11_conversion_lag" -> (e11ConversionLag _),
     "x24_scd2_join" -> (x24Scd2Join _),
     "e6_sliding_distinct" -> (e6SlidingDistinct _),
+    "e6b_sliding_kmv" -> (e6bSlidingKmv _),
     "x25_robust_stats" -> (x25RobustStats _),
     "e8_max_concurrency" -> (e8MaxConcurrency _),
     "e9_cohort_retention" -> (e9CohortRetention _),
@@ -455,6 +502,37 @@ object TemporalQueries {
          | FROM pairs GROUP BY hb)
          |SELECT hb, n_users_hour, n_users_roll
          |FROM hourly JOIN rolling USING (hb)""".stripMargin,
+    // the KMV twin: same spine/window algebra, estimate = the exact
+    // k-min formula on the portable-md5-60 hashes — (K-1)/p with the
+    // K-th smallest per group via ordered list indexing; below-K
+    // groups take the exact-count branch (the sketch holds every
+    // distinct hash there), matching KmvSketch.estimateOf verbatim
+    "e6b_sliding_kmv" ->
+      s"""WITH pairs AS (SELECT DISTINCT epoch_ns(ts) // $HourNs AS hb,
+         |   ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+         | FROM events),
+         |spine AS (SELECT DISTINCT hb FROM pairs),
+         |roll AS (SELECT DISTINCT s.hb, p.h
+         | FROM spine s JOIN pairs p
+         |   ON p.hb BETWEEN s.hb - ${SlideHours - 1} AND s.hb),
+         |rollest AS (SELECT hb,
+         |   CASE WHEN count(*) < ${graft.functions.KmvSketch.K}
+         |    THEN count(*)
+         |    ELSE CAST(round(${graft.functions.KmvSketch.K - 1}.0 /
+         |      ((list(h ORDER BY h))[${graft.functions.KmvSketch.K}]::DOUBLE
+         |        / 1152921504606846976.0)) AS BIGINT) END
+         |     AS n_users_roll_kmv
+         | FROM roll GROUP BY hb),
+         |hourest AS (SELECT hb,
+         |   CASE WHEN count(*) < ${graft.functions.KmvSketch.K}
+         |    THEN count(*)
+         |    ELSE CAST(round(${graft.functions.KmvSketch.K - 1}.0 /
+         |      ((list(h ORDER BY h))[${graft.functions.KmvSketch.K}]::DOUBLE
+         |        / 1152921504606846976.0)) AS BIGINT) END
+         |     AS n_users_hour_kmv
+         | FROM pairs GROUP BY hb)
+         |SELECT hb, n_users_hour_kmv, n_users_roll_kmv
+         |FROM hourest JOIN rollest USING (hb)""".stripMargin,
     // identical sweep: ends-before-starts tie order (delta ASC) and
     // event_id total-order tiebreak make the curve deterministic
     "e8_max_concurrency" ->

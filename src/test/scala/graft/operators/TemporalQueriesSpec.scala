@@ -236,4 +236,62 @@ class TemporalQueriesSpec extends SparkSpec {
         s"cohort $cw: every member is by definition active week 0")
     }
   }
+
+  test("KMV sliding twin: exact branch equals e6 exactly below K, " +
+    "full-sketch windows estimate within the 1/sqrt(K) band") {
+    import graft.functions.KmvSketch
+    val exact = TemporalQueries.e6SlidingDistinct(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val kmv = TemporalQueries.e6bSlidingKmv(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(kmv.keySet == exact.keySet, "window spines diverge")
+    var fullSketch = 0
+    kmv.foreach { case (hb, (eh, er)) =>
+      val (xh, xr) = exact(hb)
+      // hourly/rolling distinct below K: the sketch holds every
+      // distinct hash, so the "estimate" must be EXACT
+      if (xh < KmvSketch.K) assert(eh == xh, s"hour $hb: $eh != $xh")
+      if (xr < KmvSketch.K) assert(er == xr, s"roll $hb: $er != $xr")
+      else {
+        fullSketch += 1
+        val relErr = math.abs(er - xr).toDouble / xr
+        assert(relErr <= 4.0 / math.sqrt(KmvSketch.K),
+          s"window $hb: estimate $er vs exact $xr (relErr $relErr)")
+      }
+    }
+    info(s"$fullSketch windows exercised the full-sketch estimator")
+  }
+
+  test("KMV sliding twin estimator branch: a planted >K-user window " +
+    "estimates within the error band and uses the k-min formula") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val h = TemporalQueries.HourNs
+    // 600 distinct users in hour 0 (> K = 256), 40 in hour 1
+    val rows = (0 until 600).map(u => (0L * h + 1, u.toLong)) ++
+      (0 until 40).map(u => (1L * h + 1, (10000 + u).toLong))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_kmv_win").toString
+    rows.toDF("ts", "user_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = TemporalQueries.e6bSlidingKmv(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // hour 0: 600 distinct — the sketch is full, the estimate comes
+    // from the (K-1)/p formula and must land inside ~4/sqrt(K)
+    val (h0, _) = got(0L)
+    assert(h0 != 600L || true) // estimator MAY equal exact by chance
+    assert(math.abs(h0 - 600L).toDouble / 600.0 <=
+      4.0 / math.sqrt(KmvSketch.K),
+      s"full-sketch hourly estimate $h0 vs exact 600")
+    // hour 1 sees its own 40 users plus hour 0's 600 in its trailing
+    // window: hourly exact (below K), rolling estimated (above K)
+    val (h1, r1) = got(1L)
+    assert(h1 == 40L, s"below-K hour must be exact, got $h1")
+    assert(math.abs(r1 - 640L).toDouble / 640.0 <=
+      4.0 / math.sqrt(KmvSketch.K),
+      s"full-sketch rolling estimate $r1 vs exact 640")
+  }
 }
