@@ -117,7 +117,8 @@ object ExplainAudit {
         // distortion census, and the persisted-MinHash dedup serve
         // (mh_bands/mh_shingles only, documents absent)
         "sim_ivf_pq", "sim_pq_stats", "dd_minhash_indexed",
-        "t_tfidf_indexed", "mm_pgm_frame_sample", "mm_pgm_downsample")
+        "t_tfidf_indexed", "mm_pgm_frame_sample", "mm_pgm_downsample",
+        "e6b_sliding_kmv")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
