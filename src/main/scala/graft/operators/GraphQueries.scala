@@ -222,14 +222,19 @@ object GraphQueries {
     * so the shared oracle hash certifies the persisted index content
     * end-to-end. lineitem is absent from the serve plan
     * (GraphIndexSpec asserts this). */
-  def g6TrianglesIndexed(s: SparkSession, dir: String): DataFrame = {
+  def g6TrianglesIndexed(s: SparkSession, dir: String): DataFrame =
+    triangleClosure(s, indexedEdgeSource(s, dir).localCheckpoint())
+
+  /** The indexed serve's only file-reading subtree (the checkpoint in
+    * [[g6TrianglesIndexed]] truncates lineage, so GraphIndexSpec
+    * asserts the lineitem-absent file discipline on THIS plan). */
+  private[graft] def indexedEdgeSource(s: SparkSession,
+      dir: String): DataFrame = {
     val gp = graft.sources.IndexStore.ensureGraphEdges(s, dir)
-    val edges = s.read.parquet(gp.pairs)
+    s.read.parquet(gp.pairs)
       // a pair co-occurring in both base and delta orders carries one
       // partial-count row per split — the edge set is their distinct
       .select(col("u"), col("v")).distinct()
-      .localCheckpoint()
-    triangleClosure(s, edges)
   }
 
   /** Degree-ordered orientation + sorted-adjacency edge-iterator

@@ -403,6 +403,76 @@ object IndexStore {
       paths
     })
 
+  /** Co-purchase graph index layout buckets: `pairs` rows are
+    * hive-partitioned by `bucket` = u mod [[GraphBuckets]], so a
+    * "neighbors of part X" point probe prunes to 1/[[GraphBuckets]]
+    * of the files (the trigram-bucket discipline on graph edges). */
+  val GraphBuckets = 32
+
+  /** Incremental-build split for the graph index, keyed on ORDERS
+    * (l_orderkey % [[GraphDeltaMod]] == [[GraphDeltaMod]]-1 orders
+    * form the appended delta): pair co-occurrence counts and item
+    * frequencies are both ADDITIVE over disjoint order sets, so the
+    * delta appends partial-count rows and the serve side re-sums by
+    * key — the m11_incr_agg merge discipline, here modeling
+    * order-batch arrival (a basket arrives whole; rows never join an
+    * already-indexed order later). */
+  val GraphDeltaMod = 5
+
+  case class GraphPaths(pairs: String, freq: String)
+
+  private val graphBuilt = TrieMap.empty[String, GraphPaths]
+
+  /** Persisted co-purchase graph index (VERDICT r15 task #1 — the
+    * build→serve twin discipline applied to the graph family): the
+    * basket pair census `pairs` (u < v, partial co-occurrence count
+    * per build split) and the item-frequency sidecar `freq`. Both
+    * g6_triangles and x27_copurchase rebuild this same census from a
+    * lineitem basket self-join EVERY run (jointly ~10 s of the r15
+    * suite); at 100 TB the census is an index you maintain as order
+    * batches arrive, not a per-query derivation. The expensive part
+    * (the O(Σ basket²) self-join over the fact table) happens once at
+    * build; serving reads the edge-sized tables alone. Counts are
+    * additive over the order-keyed base/delta split, so the appended
+    * delta is lossless (incremental ≡ one-shot after the serve-side
+    * re-sum — GraphIndexSpec pins this) and the serve twins'
+    * hash-equality to the scan twins certifies the persisted content
+    * end-to-end. Once per (JVM, dir). */
+  def ensureGraphEdges(s: SparkSession, dir: String): GraphPaths =
+    graphBuilt.getOrElseUpdate(dir, {
+      val root = indexRoot(dir)
+      val paths = GraphPaths(
+        root.resolve("graph_pairs").toString,
+        root.resolve("graph_freq").toString)
+      val li = Tables.lineitem(s, dir)
+      def split(base: Boolean): DataFrame = li.filter(
+        if (base) pmod(col("l_orderkey"), lit(GraphDeltaMod.toLong))
+          < GraphDeltaMod - 1
+        else pmod(col("l_orderkey"), lit(GraphDeltaMod.toLong))
+          === GraphDeltaMod - 1)
+      def write(d: DataFrame, mode: String): Unit = {
+        val items = d
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint() // feeds both self-join sides + freq
+        items.as("a")
+          .join(items.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("pair_n"))
+          .withColumn("bucket",
+            pmod(col("u"), lit(GraphBuckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .sortWithinPartitions("u", "v")
+          .write.mode(mode).partitionBy("bucket").parquet(paths.pairs)
+        items.groupBy(col("p")).agg(count(lit(1)).as("item_n"))
+          .write.mode(mode).parquet(paths.freq)
+      }
+      write(split(base = true), "overwrite")
+      write(split(base = false), "append")
+      paths
+    })
+
   /** Product-quantization layout (FAISS `IVF…,PQ8` family): the
     * 64-dim vectors split into [[PqM]] contiguous subspaces of
     * [[PqSubDim]] dims; each subspace gets its own [[PqK]]-centroid
