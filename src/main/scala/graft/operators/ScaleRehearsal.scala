@@ -214,9 +214,13 @@ object ScaleRehearsal {
       // exact-copy pile makes true pairs grow with the pile; the
       // gate is candidates ≈ true pairs (no filter blowup), plus
       // wall growth of the full verify path.
+      // r16: candidates are measured over the exact-key class
+      // representatives — the relation the operator actually joins
+      // after its class collapse (the planted pile is 1 rep, not c
+      // identical prefix row sets)
       val (nEdCand, tEdCand) = time(
         SimilarityQueries.edJoinCandidates(
-          SimilarityQueries.edJoinKeys(spark, dir)).count())
+          SimilarityQueries.edJoinRepKeys(spark, dir)).count())
       val (nEdPairs, tEdJoin) = {
         val (df, t) = time {
           val d = SimilarityQueries.ddEdJoin(spark, dir)

@@ -323,6 +323,35 @@ object SimilarityQueries {
       .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
   }
 
+  /** [[ddSimhashPairs]] served from the PERSISTED SimHash index
+    * ([[graft.sources.IndexStore.ensureSimhash]]) — the build→serve
+    * twin discipline applied to the last dedup family member that
+    * still recomputed signatures per run. Candidate generation AND
+    * the hamming verify both read the one banded signature table
+    * (the signature travels with its band rows; the verify is
+    * bit_count(xor), no fingerprint store needed), the (band, byte)
+    * equi-join is partition-local by layout, and the raw documents
+    * table is absent from the plan (SimhashIndexSpec asserts it).
+    * Shares the scan twin's exact all-pairs oracle, so a hash match
+    * certifies the incrementally-built index content end-to-end. */
+  def ddSimhashIndexed(s: SparkSession, dir: String): DataFrame = {
+    val paths = graft.sources.IndexStore.ensureSimhash(s, dir)
+    val banded = s.read.parquet(paths.sigs)
+      .select(col("band"), col("byte"), col("doc_id"), col("simhash"))
+    val a = banded.select(col("band"), col("byte"),
+      col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("byte"),
+      col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "byte"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(h_a ^ h_b) as int)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+  }
+
   /** n-gram Jaccard similarity via bucketed self-join: word 3-gram
     * sets (hashed to longs), bucketed by the document's rarest-hash
     * n-gram (min xxhash64) so candidate pairs share at least that
@@ -1245,19 +1274,57 @@ object SimilarityQueries {
     * filter-bound; the pipeline discipline is exact dedup
     * (dd_exact_group) BEFORE fuzzy join, same as every production
     * record-linkage stack. ScaleRehearsal measures candidates vs
-    * true pairs to pin the filter's precision. */
+    * true pairs to pin the filter's precision.
+    *
+    * r16: that discipline is now INSIDE the operator — exact-key
+    * CLASS COLLAPSE. Identical keys form distance-0 equivalence
+    * classes, and ed(a, b) depends only on the key strings, so the
+    * prefix filter and the levenshtein verify run once per DISTINCT
+    * key (representative = min doc_id per class); doc-level pairs
+    * are then recovered exactly: inter-class cross products inherit
+    * the representatives' distance, intra-class pairs are distance 0
+    * by definition. Lossless in both directions, and it removes the
+    * duplicate-pile failure mode from the filter itself: a c-member
+    * exact-dup pile contributes ONE prefix row set instead of c
+    * copies in every bucket (c² candidate blowup → 0), and c·(c−1)/2
+    * verifies become zero. The classic "length filter" companion is
+    * a no-op here (keys are fixed-length by construction), so the
+    * collapse is the lossless candidate squeeze that actually bites
+    * on this key space. */
   def ddEdJoin(s: SparkSession, dir: String): DataFrame = {
     val keys = edJoinKeys(s, dir)
-    edJoinCandidates(keys)
-      .join(keys.select(col("doc_id").as("id_a"), col("k").as("ka")),
+    val classes = keys.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("kid"))
+    val reps = classes.select(col("kid").as("doc_id"), col("k"))
+    // one candidate row + one banded-levenshtein verify per DISTINCT
+    // key pair (the -1-on-bail threshold form, not the full matrix)
+    val classPairs = edJoinCandidates(reps)
+      .join(reps.select(col("doc_id").as("id_a"), col("k").as("ka")),
         "id_a")
-      .join(keys.select(col("doc_id").as("id_b"), col("k").as("kb")),
+      .join(reps.select(col("doc_id").as("id_b"), col("k").as("kb")),
         "id_b")
-      .select(col("id_a"), col("id_b"),
-        // threshold form: banded O(d·len) DP that bails at d+1,
-        // returning -1 — not the full O(len²) matrix
+      .select(col("id_a").as("kid_a"), col("id_b").as("kid_b"),
         levenshtein(col("ka"), col("kb"), EdJoinMaxDist).as("dist"))
       .filter(col("dist") >= 0)
+    val members = keys.join(classes, "k")
+      .select(col("kid"), col("doc_id"))
+    // inter-class expansion: classes are disjoint, so da ≠ db and the
+    // least/greatest projection restores the id_a < id_b contract
+    val inter = classPairs
+      .join(members.select(col("kid").as("kid_a"),
+        col("doc_id").as("da")), "kid_a")
+      .join(members.select(col("kid").as("kid_b"),
+        col("doc_id").as("db")), "kid_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("dist"))
+    // intra-class: every pair inside an exact-dup pile is distance 0
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.kid") === col("b.kid") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(0).as("dist"))
+    inter.unionByName(intra)
   }
 
   /** The [[ddEdJoin]] comparison keys. */
@@ -1266,6 +1333,16 @@ object SimilarityQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         substring(col("text"), 1, EdJoinKeyLen).as("k"))
+
+  /** One representative (min doc_id) per DISTINCT key — the collapsed
+    * relation the r16 [[ddEdJoin]] actually feeds the prefix filter.
+    * Exposed so ScaleRehearsal measures the candidate count of the
+    * pipeline as it runs, not the pre-collapse shape. */
+  private[operators] def edJoinRepKeys(s: SparkSession,
+      dir: String): DataFrame =
+    edJoinKeys(s, dir).groupBy(col("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("k"))
 
   /** [[ddEdJoin]] stages 1–4: the prefix-filtered candidate pair
     * set (id_a < id_b, distinct), BEFORE levenshtein verification —
@@ -1659,6 +1736,7 @@ object SimilarityQueries {
     "dd_minhash_indexed" -> (ddMinhashIndexed _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
+    "dd_simhash_indexed" -> (ddSimhashIndexed _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_neardup" -> (ddEmbedNearDup _),
     "sim_brute_topk" -> (simBruteTopK _),
@@ -1959,6 +2037,15 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "dd_simhash" -> (simhashCte + "\nSELECT doc_id, simhash FROM sim"),
     "dd_simhash_pairs" -> (simhashCte +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+    // the indexed twin answers the same question from the persisted
+    // banded signature table alone — hash-equality against the SAME
+    // all-pairs oracle certifies the index content
+    "dd_simhash_indexed" -> (simhashCte +
       """
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
