@@ -187,6 +187,28 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
       }
 
+    // Session-window gate (VERDICT r15 task #5): the native
+    // session_window streaming path over MemoryStream micro-batches,
+    // verified IN the bench against an independent batch lag/cumsum
+    // recompute of the same corpus (mismatches must be 0) and gated
+    // on a records/s floor — the streaming-state counterpart of the
+    // stream_throughput line. Gated to full runs for the same reason.
+    val sessionizeLine = if (args.nonEmpty) "" else
+      try {
+        val r = graft.apps.StreamBenchApp.runSessionize(spark, sfDir,
+          nBatches = 10, batchRows = 5000)
+        val floor = graft.apps.StreamBenchApp.SessionizeFloorRecSec
+        s"""{"metric":"stream_sessionize","records_per_sec":${f"${r.recordsPerSec}%.1f"},""" +
+          s""""records":${r.records},"sessions":${r.sessions},""" +
+          s""""batches":${r.batches},"mismatches":${r.mismatches},""" +
+          s""""floor_rec_per_sec":${floor.toLong},""" +
+          s""""gate_ok":${r.mismatches == 0 && r.recordsPerSec >= floor}}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"metric":"stream_sessionize","err":${jstr(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
+
     // ANN index-quality telemetry (VERDICT r7 task #4): recall@10 of
     // each approximate index vs the exact brute-force top-10, so
     // index-quality regressions are visible round-over-round the way
@@ -247,6 +269,7 @@ object Bench {
       }
       val telemetry = Seq(
         if (streamLine.nonEmpty) Some(s"""  "stream_throughput": $streamLine""") else None,
+        if (sessionizeLine.nonEmpty) Some(s"""  "stream_sessionize": $sessionizeLine""") else None,
         if (annLine.nonEmpty) Some(s"""  "ann_recall": $annLine""") else None,
         if (annStructuredLine.nonEmpty)
           Some(s"""  "ann_recall_structured": $annStructuredLine""") else None
@@ -285,6 +308,7 @@ object Bench {
     // full-map line is the first to be truncated away — r12's
     // streaming/ANN lines were lost exactly this way.
     if (streamLine.nonEmpty) println(streamLine)
+    if (sessionizeLine.nonEmpty) println(sessionizeLine)
     if (annLine.nonEmpty) println(annLine)
     if (annStructuredLine.nonEmpty) println(annStructuredLine)
     // Cold-total summary (sum of first runs): short, second-to-last.

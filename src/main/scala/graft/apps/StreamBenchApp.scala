@@ -83,6 +83,131 @@ object StreamBenchApp {
     (stats, alertRows)
   }
 
+  /** Regression floor for the session-window path (VERDICT r15 task
+    * #5). It carries no model inference, so per-record cost is well
+    * below the scoring graph's; the floor still sits ~3× under the
+    * measured steady state to absorb the host band while catching a
+    * structural regression (state-store rewrite, per-batch re-plan). */
+  val SessionizeFloorRecSec = 8000.0
+
+  /** Session-window gate result: throughput plus the streaming-vs-
+    * batch equality verdict. */
+  final case class SessionizeResult(
+      recordsPerSec: Double, records: Long, sessions: Long,
+      mismatches: Long, batches: Int)
+
+  /** Drive [[graft.streaming.StatefulOps.sessionWindowCounts]] over
+    * MemoryStream micro-batches and verify the emitted sessions
+    * against an INDEPENDENT batch recompute of the same corpus — a
+    * lag/cumsum sessionizer (the e2_sessionize formulation) with the
+    * engine's session_window semantics (split when the gap to the
+    * previous event EXCEEDS gap — boundary events exactly gap apart
+    * merge, probed empirically; session end = last event + gap). The
+    * equality is the correctness claim for the streaming state
+    * machine: sessions merged and evicted incrementally across
+    * batches must equal the one-shot batch answer.
+    *
+    * Append mode emits a session only once the watermark passes its
+    * end, so after the corpus a far-future sentinel row (excluded
+    * from both sides of the compare) advances the watermark and a
+    * second sentinel batch flushes the final emissions. */
+  def runSessionize(spark: SparkSession, sfDir: String, nBatches: Int,
+      batchRows: Int): SessionizeResult = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // a REPLAYED feed arrives in event-time order (step asc) — fed
+    // unordered, events >4h late would be watermark-dropped by the
+    // streaming side while the batch twin keeps them, and the
+    // equality claim would be vacuous
+    val txns = Transactions.fromEvents(spark, sfDir)
+    val wire = txns
+      .select(to_json(struct(col("*"))).as("v"), col("step"))
+      .limit(nBatches * batchRows)
+      .collect()
+      .sortBy(r => (r.getInt(1), r.getString(0)))
+    val maxStep = wire.map(_.getInt(1)).foldLeft(0)(math.max)
+    val rows = wire.map(_.getString(0)).toSeq
+    // far-future sentinel: advances the watermark past every real
+    // session's end; its own (never-emitted) session is excluded
+    val sentinel =
+      s"""{"step":${maxStep + 10000},"type":"PAYMENT","amount":1.0,
+         |"nameOrig":"__WM_SENTINEL__","oldbalanceOrg":0.0,
+         |"newbalanceOrig":0.0,"nameDest":"D","oldbalanceDest":0.0,
+         |"newbalanceDest":0.0,"isFraud":0,"isFlaggedFraud":0}"""
+        .stripMargin.replaceAll("\n", "")
+
+    val input = MemoryStream[String]
+    val parsed = ScoringStream.parse(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val sessions = graft.streaming.StatefulOps
+      .sessionWindowCounts(parsed, gap = "2 hours")
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_sessionize_ckpt").toString
+    val sinkName = "graft_sessionize_sink"
+    val query = sessions.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    val t0 = System.nanoTime()
+    try {
+      rows.grouped(batchRows).foreach { batch =>
+        input.addData(batch)
+        query.processAllAvailable()
+      }
+      // two sentinel batches: the first advances the watermark, the
+      // second triggers eviction/emission under the new watermark
+      input.addData(Seq(sentinel)); query.processAllAvailable()
+      input.addData(Seq(sentinel)); query.processAllAvailable()
+    } finally query.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val streamed = spark.table(sinkName)
+      .filter(col("nameOrig") =!= "__WM_SENTINEL__")
+      .localCheckpoint()
+
+    // independent batch twin: lag/cumsum over the same wire rows
+    import org.apache.spark.sql.expressions.Window
+    val byAcct = Window.partitionBy(col("nameOrig"))
+      .orderBy(col("eventTime"))
+    val gapSec = 7200L
+    val batchSessions = graft.streaming.StatefulOps.withEventTime(
+      ScoringStream.parse(
+        rows.toDF("json").select(col("json").cast("binary").as("value"))))
+      .withColumn("et", unix_timestamp(col("eventTime")))
+      .withColumn("prev", lag(col("et"), 1).over(byAcct))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("et") - col("prev") > gapSec,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byAcct.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("nameOrig"), col("session_id"))
+      .agg(
+        min(col("eventTime")).as("session_start"),
+        (max(col("et")) + gapSec).cast("timestamp").as("session_end"),
+        count(lit(1)).as("n_txns"),
+        sum(col("amount")).as("volume"))
+      .drop("session_id")
+
+    // exact on keys/boundaries/counts; volume to FP tolerance (the
+    // two sides sum doubles in different orders)
+    val joined = streamed.as("s").join(batchSessions.as("b"),
+      Seq("nameOrig", "session_start", "session_end", "n_txns"),
+      "full_outer")
+    val mismatches = joined.filter(
+      col("s.volume").isNull || col("b.volume").isNull ||
+        abs(col("s.volume") - col("b.volume")) >
+          greatest(lit(1e-6), abs(col("b.volume")) * 1e-9)).count()
+
+    SessionizeResult(
+      recordsPerSec = rows.size.toDouble / math.max(wallSec, 1e-9),
+      records = rows.size.toLong,
+      sessions = streamed.count(),
+      mismatches = mismatches,
+      batches = (rows.size + batchRows - 1) / batchRows)
+  }
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("artifacts/streaming_stats.json")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
