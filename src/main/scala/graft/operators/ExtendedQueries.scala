@@ -219,38 +219,40 @@ object ExtendedQueries {
 
   /** Column profiling — the df.summary() capability as a
     * deterministic relational query: per-column null count, distinct
-    * count, and exact min/max. ONE scan: all per-column aggregates in
-    * a single agg (Catalyst's Expand handles the multiple distincts),
-    * then stack() unpivots to one row per column — at 100 TB a
-    * profile must never cost one scan per column. */
+    * count, and exact min/max.
+    *
+    * r16 (VERDICT r15 task #6 — the t_trgm_index_stats discipline):
+    * the single-agg formulation put three COUNT(DISTINCT)s in one
+    * Aggregate, which Catalyst plans via Expand — every input row is
+    * REPLICATED ×4 (one copy per distinct group + one for the plain
+    * aggregates) before the first partial agg. The two-level census
+    * replaces it: per column, groupBy(value) → count, then one global
+    * agg over the (value, cnt) census reads off every statistic —
+    * n_rows = Σcnt, n_nulls = Σcnt over the null group, n_distinct =
+    * #non-null groups, min/max over group keys (computed in the
+    * column's NATIVE type, then cast — a string-side min would order
+    * "10" < "9"). Three narrow scans replace one ×4-expanded wide
+    * scan; with columnar storage each scan reads exactly one
+    * column's chunks, so total I/O is unchanged while the shuffles
+    * carry censuses (distinct values), not replicated rows — the
+    * shape that survives 100 TB. */
   def p11Profile(s: SparkSession, dir: String): DataFrame = {
-    def nulls(c: String): Column =
-      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
-    Tables.orders(s, dir)
-      .agg(
-        count(lit(1)).as("n_rows"),
-        nulls("o_orderstatus").as("nulls_status"),
-        countDistinct(col("o_orderstatus")).as("dist_status"),
-        min(col("o_orderstatus")).as("min_status"),
-        max(col("o_orderstatus")).as("max_status"),
-        nulls("o_orderpriority").as("nulls_prio"),
-        countDistinct(col("o_orderpriority")).as("dist_prio"),
-        min(col("o_orderpriority")).as("min_prio"),
-        max(col("o_orderpriority")).as("max_prio"),
-        nulls("o_custkey").as("nulls_cust"),
-        countDistinct(col("o_custkey")).as("dist_cust"),
-        min(col("o_custkey")).cast("string").as("min_cust"),
-        max(col("o_custkey")).cast("string").as("max_cust"))
-      .selectExpr(
-        """stack(3,
-          | 'o_orderstatus', n_rows, nulls_status, dist_status,
-          |   min_status, max_status,
-          | 'o_orderpriority', n_rows, nulls_prio, dist_prio,
-          |   min_prio, max_prio,
-          | 'o_custkey', n_rows, nulls_cust, dist_cust,
-          |   min_cust, max_cust)
-          |AS (column, n_rows, n_nulls, n_distinct, min_str, max_str)
-          |""".stripMargin)
+    val orders = Tables.orders(s, dir)
+    def profile(c: String): DataFrame =
+      orders.select(col(c).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .cast("long").as("n_nulls"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("v")).cast("string").as("min_str"),
+          max(col("v")).cast("string").as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    profile("o_orderstatus")
+      .unionByName(profile("o_orderpriority"))
+      .unionByName(profile("o_custkey"))
   }
 
   /** [[p11Profile]]'s 100 TB twin (VERDICT r7 task #2): same profile

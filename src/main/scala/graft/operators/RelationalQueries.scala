@@ -76,9 +76,22 @@ object RelationalQueries {
   /** P1+P2+P3: bytes → CAST(value AS STRING) → from_json(schema) →
     * select("data.*") — the reference's Kafka parse chain
     * (spark_streaming_app.py:419-421) run as a batch round-trip, so
-    * the oracle is the identity projection. */
+    * the oracle is the identity projection.
+    *
+    * The repartition decouples the codec stage's parallelism from the
+    * FILE SPLIT count (VERDICT r15's p2 watch item): the JSON
+    * serialize+parse is pure per-row CPU, but a small parquet input
+    * yields ~2 scan splits, so without it the whole roundtrip ran on
+    * 2 of 32 cores — the r15 bench's "never warms" signature was a
+    * 2-task codec stage at its single-thread floor. The shuffle moves
+    * 3 slim columns once; at 100 TB input splits saturate the cluster
+    * and AQE coalesces this exchange away, while on small inputs it
+    * is exactly the repartition-before-expensive-map discipline. */
   def p2JsonRoundtrip(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(
         to_json(struct(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"))).cast("binary").as("value"))

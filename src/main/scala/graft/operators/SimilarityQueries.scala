@@ -1292,10 +1292,17 @@ object SimilarityQueries {
     * collapse is the lossless candidate squeeze that actually bites
     * on this key space. */
   def ddEdJoin(s: SparkSession, dir: String): DataFrame = {
-    val keys = edJoinKeys(s, dir)
-    val classes = keys.groupBy(col("k"))
-      .agg(min(col("doc_id")).as("kid"))
-    val reps = classes.select(col("kid").as("doc_id"), col("k"))
+    import org.apache.spark.sql.expressions.Window
+    // ONE shuffle derives the class structure: kid = min doc_id per
+    // key (window, not groupBy+join-back), materialized once and fed
+    // to all four consumers below — the fixed-overhead discipline
+    // that keeps the collapse cheap when the corpus has few dups
+    val members = edJoinKeys(s, dir)
+      .withColumn("kid",
+        min(col("doc_id")).over(Window.partitionBy(col("k"))))
+      .localCheckpoint()
+    val reps = members.filter(col("doc_id") === col("kid"))
+      .select(col("doc_id"), col("k"))
     // one candidate row + one banded-levenshtein verify per DISTINCT
     // key pair (the -1-on-bail threshold form, not the full matrix)
     val classPairs = edJoinCandidates(reps)
@@ -1306,20 +1313,19 @@ object SimilarityQueries {
       .select(col("id_a").as("kid_a"), col("id_b").as("kid_b"),
         levenshtein(col("ka"), col("kb"), EdJoinMaxDist).as("dist"))
       .filter(col("dist") >= 0)
-    val members = keys.join(classes, "k")
-      .select(col("kid"), col("doc_id"))
+    val mem = members.select(col("kid"), col("doc_id"))
     // inter-class expansion: classes are disjoint, so da ≠ db and the
     // least/greatest projection restores the id_a < id_b contract
     val inter = classPairs
-      .join(members.select(col("kid").as("kid_a"),
+      .join(mem.select(col("kid").as("kid_a"),
         col("doc_id").as("da")), "kid_a")
-      .join(members.select(col("kid").as("kid_b"),
+      .join(mem.select(col("kid").as("kid_b"),
         col("doc_id").as("db")), "kid_b")
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("dist"))
     // intra-class: every pair inside an exact-dup pile is distance 0
-    val intra = members.as("a")
-      .join(members.as("b"),
+    val intra = mem.as("a")
+      .join(mem.as("b"),
         col("a.kid") === col("b.kid") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -87,9 +87,12 @@ class ExtendedQueriesSpec extends SparkSpec {
     val plan = approx.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"),
       s"approx profile must not pay Expand:\n$plan")
-    assert(ExtendedQueries.p11Profile(spark, sfDir)
+    // r16: the exact profile moved to the two-level census, so BOTH
+    // profiles are now Expand-free — the r15 contrast (exact = the
+    // Expand twin) no longer exists by design
+    assert(!ExtendedQueries.p11Profile(spark, sfDir)
       .queryExecution.executedPlan.toString.contains("Expand"),
-      "exact profile is the Expand twin this test contrasts against")
+      "exact profile must use the two-level census, not Expand")
     val exact = ExtendedQueries.p11Profile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
     val bound = RelationalQueries.ApproxDistinctBound

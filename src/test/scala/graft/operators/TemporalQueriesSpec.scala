@@ -250,9 +250,17 @@ class TemporalQueriesSpec extends SparkSpec {
     var fullSketch = 0
     kmv.foreach { case (hb, (eh, er)) =>
       val (xh, xr) = exact(hb)
-      // hourly/rolling distinct below K: the sketch holds every
-      // distinct hash, so the "estimate" must be EXACT
+      // below K the sketch holds every distinct hash, so the
+      // "estimate" must be EXACT; at/above K both the hourly and the
+      // rolling column must land inside the error band (ADVICE r15:
+      // the hourly column previously skipped the band check)
       if (xh < KmvSketch.K) assert(eh == xh, s"hour $hb: $eh != $xh")
+      else {
+        fullSketch += 1
+        val relErr = math.abs(eh - xh).toDouble / xh
+        assert(relErr <= 4.0 / math.sqrt(KmvSketch.K),
+          s"hour $hb: estimate $eh vs exact $xh (relErr $relErr)")
+      }
       if (xr < KmvSketch.K) assert(er == xr, s"roll $hb: $er != $xr")
       else {
         fullSketch += 1
@@ -282,7 +290,8 @@ class TemporalQueriesSpec extends SparkSpec {
     // hour 0: 600 distinct — the sketch is full, the estimate comes
     // from the (K-1)/p formula and must land inside ~4/sqrt(K)
     val (h0, _) = got(0L)
-    assert(h0 != 600L || true) // estimator MAY equal exact by chance
+    // (the estimator MAY equal the exact 600 by chance — only the
+    // error band below is asserted)
     assert(math.abs(h0 - 600L).toDouble / 600.0 <=
       4.0 / math.sqrt(KmvSketch.K),
       s"full-sketch hourly estimate $h0 vs exact 600")

@@ -111,7 +111,7 @@ class PqIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val overlap = pq.intersect(exact).size
     // 32-bit codes are a far coarser approximation than SQ8's 512 —
-    // the refine stage has RescoreCandidates=30 chances to recover
+    // the refine stage has PqRefineCandidates=100 chances to recover
     // the probed-cell top-10; ≥6 holds with wide margin in practice
     assert(overlap >= 6,
       s"IVFPQ rescore recovered only $overlap/10 of the exact " +
