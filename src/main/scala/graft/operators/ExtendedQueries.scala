@@ -322,6 +322,47 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_sampled"))
   }
 
+  /** Keep-rate constant for [[l12MixtureSample]]: a stratum of n docs
+    * is kept with probability min(1, K/√n) — strata with n ≤ K² (64)
+    * are kept whole, larger ones are downsampled ∝ 1/√n.
+    * Interpolated into the oracle SQL. */
+  val MixtureK = 8.0
+
+  /** L4: temperature-style mixture rebalancing — the multilingual-
+    * corpus sampling discipline (mT5/XLM-R's α-temperature source
+    * weighting, α = 0.5): downsample each language stratum with
+    * probability min(1, [[MixtureK]]/√n_l), so dominant languages
+    * shrink ∝ 1/√n while rare ones survive intact — the mixture
+    * moves toward p_l ∝ √n_l without an explicit normalizer.
+    *
+    * The keep-threshold is deliberately UNNORMALIZED (no Σ√n term):
+    * every arithmetic step — sqrt, divide, least, multiply, floor —
+    * is a single correctly-rounded IEEE-754 op on identical inputs
+    * in any engine, so the integer threshold (and therefore the
+    * sampled SET) is bit-reproducible cross-engine, which a
+    * normalizing sum of doubles could not guarantee (its rounding
+    * depends on accumulation order). Membership uses the same
+    * engine-portable md5-60 draw as [[l3Stratified]]: a property of
+    * the DATA, not of partition layout.
+    *
+    * 100 TB shape: one census aggregate (|langs| rows), one
+    * broadcast join of the tiny rate table, one scan-filter — a
+    * single pass over the corpus, no driver-side loop. */
+  def l12MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+    val rates = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("threshold",
+        floor(least(lit(1.0),
+          lit(MixtureK) / sqrt(col("n_l").cast("double"))) * 1000000.0)
+          .cast("long"))
+    docs.join(broadcast(rates), "lang")
+      .filter(graft.core.PortableHash.md5Hash60(col("doc_id"))
+        % 1000000L < col("threshold"))
+      .select(col("doc_id"), col("lang"), col("n_l"), col("threshold"))
+  }
+
   /** Array-function surface over grouped data: collect_set → sorted
     * array, size / membership / slice. Sorting the collected set is
     * what makes a set-valued column deterministic (collect order is
@@ -819,6 +860,7 @@ object ExtendedQueries {
     "p11_profile" -> (p11Profile _),
     "p11b_profile_approx" -> (p11bProfileApprox _),
     "l3_stratified" -> (l3Stratified _),
+    "l12_mixture_sample" -> (l12MixtureSample _),
     "p12_unpivot" -> (p12Unpivot _),
     "x13_array_funcs" -> (x13ArrayFuncs _),
     "g4_grouping_sets" -> (g4GroupingSets _),
@@ -1015,6 +1057,21 @@ object ExtendedQueries {
         |   OR (o_orderstatus = 'O' AND h < 100000)
         |   OR o_orderstatus = 'P'
         |GROUP BY o_orderstatus""".stripMargin,
+    // every arithmetic step in the threshold is a single correctly-
+    // rounded IEEE op on identical inputs, so the integer threshold
+    // and the sampled set hash-match bit-exactly (see the Scaladoc)
+    "l12_mixture_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_l
+         |           FROM documents GROUP BY lang),
+         |r AS (SELECT lang, n_l,
+         |        CAST(floor(least(1.0,
+         |          $MixtureK / sqrt(CAST(n_l AS DOUBLE))) * 1000000.0)
+         |          AS BIGINT) AS threshold
+         |      FROM c)
+         |SELECT d.doc_id, d.lang, r.n_l, r.threshold
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+         |  % 1000000 < r.threshold""".stripMargin,
     "p12_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, value
         |FROM (

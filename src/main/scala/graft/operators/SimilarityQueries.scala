@@ -1229,8 +1229,15 @@ object SimilarityQueries {
   /** Maximum edit distance for a pair to be emitted. */
   val EdJoinMaxDist = 2
 
-  /** q-gram width for the prefix filter. */
-  val EdJoinQ = 3
+  /** q-gram width for the prefix filter. The pigeonhole bound is
+    * lossless for ANY q; the knob trades prefix length (d·q + 1 rows
+    * per doc) against gram entropy (selectivity of each prefix
+    * bucket). Measured on the 15k rehearsal corpus over the collapsed
+    * key relation: q=3 → 1.90M candidates, q=4 → 0.90M, q=5 → 1.01M —
+    * the low-entropy word corpus needs the wider gram, and q=4 is the
+    * knee. (Keys must stay ≥ d·q + q chars for the bound to hold;
+    * they are fixed at 24.) */
+  val EdJoinQ = 4
 
   /** Ed-Join prefix length: one edit destroys at most q overlapping
     * q-grams, so two strings within distance d share at least
@@ -1366,20 +1373,22 @@ object SimilarityQueries {
     * docs, the position filter cuts candidates 129.6M → 27.9M
     * (4.6×) and end-to-end wall 230 → 23 s (10×, the banded
     * levenshtein compounding); growth exponent 1.17 → 1.03. */
-  private[operators] def edJoinCandidates(keys: DataFrame): DataFrame = {
+  private[operators] def edJoinCandidates(keys: DataFrame,
+      q: Int = EdJoinQ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val prefixLen = EdJoinMaxDist * q + 1
     val grams = keys
       .select(col("doc_id"),
         posexplode(expr(s"transform(" +
-          s"sequence(1, greatest(length(k) - ${EdJoinQ - 1}, 1)), " +
-          s"i -> xxhash64(substring(k, i, $EdJoinQ)))")))
+          s"sequence(1, greatest(length(k) - ${q - 1}, 1)), " +
+          s"i -> xxhash64(substring(k, i, $q)))")))
       .select(col("doc_id"), col("pos"), col("col").as("g"))
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("nf"))
     val prefix = grams.join(freq, "g")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("nf"), col("g"), col("pos"))))
-      .filter(col("rk") <= EdJoinPrefix)
+      .filter(col("rk") <= prefixLen)
       .select(col("doc_id"), col("g"), col("pos"))
     prefix.as("a")
       .join(prefix.as("b"),

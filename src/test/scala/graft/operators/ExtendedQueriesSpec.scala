@@ -30,6 +30,37 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mixture sample: boundary stratum kept whole, dominant " +
+      "stratum downsampled ~K/sqrt(n), deterministic") {
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = ExtendedQueries.l12MixtureSample(spark, sfDir).collect()
+    val kept = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+    rows.foreach { r =>
+      val (lang, n, thr) = (r.getString(1), r.getLong(2), r.getLong(3))
+      assert(n == totals(lang), s"census column wrong for $lang")
+      val expect = math.floor(math.min(1.0,
+        ExtendedQueries.MixtureK / math.sqrt(n.toDouble)) * 1e6).toLong
+      assert(thr == expect, s"threshold for $lang: $thr != $expect")
+    }
+    // a stratum with n <= K^2 keeps every doc (threshold = 1e6)
+    totals.filter(_._2 <= 64).foreach { case (lang, n) =>
+      assert(kept.getOrElse(lang, 0) == n.toInt,
+        s"stratum $lang (n=$n) must be kept whole")
+    }
+    // the dominant stratum lands near its K/sqrt(n) binomial mean
+    val (bigLang, bigN) = totals.maxBy(_._2)
+    val rate = ExtendedQueries.MixtureK / math.sqrt(bigN.toDouble)
+    val frac = kept.getOrElse(bigLang, 0).toDouble / bigN
+    assert(math.abs(frac - rate) < 0.2,
+      s"$bigLang keep fraction $frac vs rate $rate")
+    // hash sampling is a property of the data — rerun is identical
+    val again = ExtendedQueries.l12MixtureSample(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+  }
+
   test("outlier fence counts are sane") {
     val r = ExtendedQueries.x12OutlierFence(spark, sfDir).head()
     val (outliers, total) = (r.getLong(0), r.getLong(1))
