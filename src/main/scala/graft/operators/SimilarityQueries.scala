@@ -1471,7 +1471,6 @@ object SimilarityQueries {
     * boilerplate. Shuffles carry hashes and ids only; full gram
     * arrays travel once, to decorate the verify join. */
   def ddContainment(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.IntersectCount.ensureRegistered(s)
     val docs = Tables.documents(s, dir)
       .withColumn("words", split(col("text"), " "))
@@ -1485,6 +1484,40 @@ object SimilarityQueries {
     val grams = docs.select(col("doc_id"), col("na"),
       explode(col("g")).as("gr"))
     val freq = grams.groupBy(col("gr")).agg(count(lit(1)).as("nf"))
+    containmentServe(docs, freq)
+  }
+
+  /** [[ddContainment]] served from the PERSISTED containment index
+    * ([[graft.sources.IndexStore.ensureContainment]]): the per-doc
+    * sorted gram fingerprints and the additive gram-frequency census
+    * are read from the index — the text parse, gram hashing,
+    * per-doc sort, and the corpus-wide frequency aggregate (the
+    * build-side costs) all vanish from the serve plan, and the
+    * documents table is absent from it (ContainmentIndexSpec asserts
+    * both). The prefix/postings derivation stays at serve because it
+    * depends on GLOBAL frequencies — exactly the part that must be
+    * recomputed as the census absorbs deltas; the census itself is
+    * partial counts re-summed by key (the graph-index discipline),
+    * so the incremental build is lossless by additivity. Shares the
+    * scan twin's all-pairs oracle. */
+  def ddContainmentIndexed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.IntersectCount.ensureRegistered(s)
+    val paths = graft.sources.IndexStore.ensureContainment(s, dir)
+    val docs = s.read.parquet(paths.docs)
+    val freq = s.read.parquet(paths.freq)
+      .groupBy(col("gr")).agg(sum(col("nf")).as("nf"))
+    containmentServe(docs, freq)
+  }
+
+  /** Stages 2–5 of the containment join, shared by the scan and
+    * indexed twins: rare-prefix probes, capped postings, candidate
+    * equi-join, intersect_count verify. `docs` must carry
+    * (doc_id, g sorted-array, na); `freq` the global (gr, nf). */
+  private def containmentServe(docs: DataFrame,
+      freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"), col("na"),
+      explode(col("g")).as("gr"))
     val prefix = grams.join(freq, "gr")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
@@ -1745,6 +1778,7 @@ object SimilarityQueries {
     "dd_semantic_capstats" -> (ddSemanticCapstats _),
     "dd_edjoin" -> (ddEdJoin _),
     "dd_containment" -> (ddContainment _),
+    "dd_containment_indexed" -> (ddContainmentIndexed _),
     "sim_centroids" -> (simCentroids _),
     "sim_rand_proj" -> (simRandProj _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -1847,6 +1881,25 @@ object SimilarityQueries {
       s"(CASE WHEN (0.0 $terms) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
     }.mkString("(", "\n + ", ")")
 
+  /** All-ordered-pairs containment ground truth (DuckDB) — shared by
+    * the scan and indexed twins. */
+  private lazy val containmentOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_distinct(list_transform(
+       |          range(1, greatest(len(w) - 2, 1) + 1),
+       |          i -> array_to_string(w[i:i+2], ' '))) AS g
+       |      FROM w)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared,
+       |  CAST(len(a.g) AS BIGINT) AS na,
+       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |    / CAST(len(a.g) AS DOUBLE) AS containment
+       |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+       |WHERE len(list_intersect(a.g, b.g)) * 1000
+       |  >= $ContainmentTauPm * len(a.g)""".stripMargin
+
   /** Static oracles plus any dynamic entry that is UNAMBIGUOUS in
     * this JVM (exactly one dataset served). When a query served
     * multiple dirs, the no-dir view drops its dynamic entry rather
@@ -1932,22 +1985,10 @@ object SimilarityQueries {
     // all-ORDERED-pairs ground truth over the string gram sets —
     // certifies both the asymmetric prefix filter's losslessness
     // and that the postings cap never bound on this corpus
-    "dd_containment" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
-         |           FROM documents),
-         |g AS (SELECT doc_id,
-         |        list_distinct(list_transform(
-         |          range(1, greatest(len(w) - 2, 1) + 1),
-         |          i -> array_to_string(w[i:i+2], ' '))) AS g
-         |      FROM w)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared,
-         |  CAST(len(a.g) AS BIGINT) AS na,
-         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-         |    / CAST(len(a.g) AS DOUBLE) AS containment
-         |FROM g a JOIN g b ON a.doc_id <> b.doc_id
-         |WHERE len(list_intersect(a.g, b.g)) * 1000
-         |  >= $ContainmentTauPm * len(a.g)""".stripMargin,
+    "dd_containment" -> containmentOracleSql,
+    // the indexed twin against the SAME all-pairs oracle certifies
+    // the persisted fingerprint + census content end-to-end
+    "dd_containment_indexed" -> containmentOracleSql,
     // all-pairs ground truth: verifies the prefix filter is LOSSLESS
     // on the real corpus, not just that the verify step is right
     "dd_edjoin" ->

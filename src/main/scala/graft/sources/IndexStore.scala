@@ -458,6 +458,53 @@ object IndexStore {
       paths
     })
 
+  case class ContainmentPaths(docs: String, freq: String)
+
+  private val contBuilt = TrieMap.empty[String, ContainmentPaths]
+
+  /** Persisted containment-join index: the per-doc SORTED gram-hash
+    * fingerprints (`cont_docs`: doc_id, g, na — the probe, posting,
+    * and verify source) and the gram document-frequency census
+    * (`cont_freq`: gr, nf — PARTIAL counts per build split). The
+    * fingerprints are per-doc facts (append-stable); the census is
+    * additive over disjoint doc sets, so the delta appends partial
+    * rows and the serve side re-sums by gram — the graph-index
+    * discipline. The rare-prefix and capped postings derivations
+    * stay at serve: they depend on GLOBAL frequencies, which is
+    * exactly the part that must reflect newly-absorbed deltas.
+    * What the index removes from every serve: the text parse, gram
+    * hashing, per-doc sorts, and the corpus-wide frequency
+    * aggregate. Once per (JVM, dir). */
+  def ensureContainment(s: SparkSession, dir: String): ContainmentPaths =
+    contBuilt.getOrElseUpdate(dir, {
+      val root = indexRoot(dir)
+      val paths = ContainmentPaths(
+        root.resolve("cont_docs").toString,
+        root.resolve("cont_freq").toString)
+      val docs = Tables.documents(s, dir)
+      def write(d: DataFrame, mode: String): Unit = {
+        val fp = d
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"),
+            sort_array(transform(
+              graft.operators.SimilarityQueries.wordGramExpr("words", 3),
+              g => xxhash64(g))).as("g"))
+          .withColumn("na", size(col("g")).cast("long"))
+          .localCheckpoint() // feeds both table writes below
+        fp.write.mode(mode).parquet(paths.docs)
+        fp.select(explode(col("g")).as("gr"))
+          .groupBy(col("gr")).agg(count(lit(1)).as("nf"))
+          .write.mode(mode).parquet(paths.freq)
+      }
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          < TrgmDeltaMod - 1), "overwrite")
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          === TrgmDeltaMod - 1), "append")
+      paths
+    })
+
   /** Co-purchase graph index layout buckets: `pairs` rows are
     * hive-partitioned by `bucket` = u mod [[GraphBuckets]], so a
     * "neighbors of part X" point probe prunes to 1/[[GraphBuckets]]
