@@ -118,7 +118,14 @@ object ExplainAudit {
         // (mh_bands/mh_shingles only, documents absent)
         "sim_ivf_pq", "sim_pq_stats", "dd_minhash_indexed",
         "t_tfidf_indexed", "mm_pgm_frame_sample", "mm_pgm_downsample",
-        "e6b_sliding_kmv")
+        "e6b_sliding_kmv",
+        // round 16: the graph/SimHash/containment serve twins (index
+        // tables only, base tables absent), the collapsed edit-
+        // distance join, the census profile, and the temperature
+        // mixture sample (census -> broadcast rate join -> filter)
+        "g6_triangles_indexed", "x27_copurchase_indexed",
+        "dd_simhash_indexed", "dd_containment_indexed",
+        "l12_mixture_sample", "p11_profile")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -1400,6 +1400,49 @@ object SimilarityQueries {
   }
 
   // =================================================================
+  // sim_negatives — deterministic contrastive negative sampling
+  // =================================================================
+
+  /** Anchor set bound for [[simNegatives]] (one training batch's
+    * anchors). Interpolated into the oracle SQL. */
+  val NegAnchors = 32L
+
+  /** Negatives drawn per anchor. Interpolated into the oracle SQL. */
+  val NegPerAnchor = 5
+
+  /** Contrastive-training negative sampling: for each anchor vector,
+    * draw [[NegPerAnchor]] uniform negatives from the vectors of
+    * OTHER labels — the in-batch-negatives data prep every
+    * embedding/retrieval trainer runs. The draw is the
+    * engine-portable md5-60 of the (anchor, candidate) pair string,
+    * so the sample is a pure function of the DATA (reproducible
+    * across engines, partitionings, and epochs — resume-safe), and
+    * per-anchor selection is the smallest-k draws under the
+    * (draw, neg_id) total order.
+    *
+    * 100 TB shape: the anchor batch broadcasts against the corpus
+    * scan (never the reverse), the draw is map-side arithmetic, and
+    * the per-anchor top-k runs on the bounded-heap [[graft.plans
+    * .TopKPerGroup]] — partial heaps map-side, k rows per anchor in
+    * the exchange, no global sort, no candidate materialization. */
+  def simNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"))
+    val anchors = emb.filter(col("vec_id") < NegAnchors)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"))
+    val pairs = emb.join(broadcast(anchors),
+        col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        graft.core.PortableHash.md5Hash60(
+          concat(col("anchor_id").cast("string"), lit(":"),
+            col("vec_id").cast("string"))).as("draw"))
+    graft.plans.TopKPerGroup(pairs, Seq("anchor_id"), "draw",
+      descending = false, Seq("neg_id"), NegPerAnchor)
+  }
+
+  // =================================================================
   // sim_centroids — exact per-label embedding centroids
   // =================================================================
 
@@ -1780,6 +1823,7 @@ object SimilarityQueries {
     "dd_containment" -> (ddContainment _),
     "dd_containment_indexed" -> (ddContainmentIndexed _),
     "sim_centroids" -> (simCentroids _),
+    "sim_negatives" -> (simNegatives _),
     "sim_rand_proj" -> (simRandProj _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_indexed" -> (ddMinhashIndexed _),
@@ -1989,6 +2033,20 @@ object SimilarityQueries {
     // the indexed twin against the SAME all-pairs oracle certifies
     // the persisted fingerprint + census content end-to-end
     "dd_containment_indexed" -> containmentOracleSql,
+    // the draw is the portable md5-60 of the pair string, so the
+    // oracle replays the identical selection with a rank window
+    "sim_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label FROM embeddings),
+         |a AS (SELECT vec_id AS anchor_id, label AS anchor_label
+         |      FROM e WHERE vec_id < $NegAnchors),
+         |p AS (SELECT a.anchor_id, e.vec_id AS neg_id,
+         |        ('0x' || substr(md5(a.anchor_id::VARCHAR || ':' ||
+         |          e.vec_id::VARCHAR), 1, 15))::BIGINT AS draw
+         |      FROM e JOIN a ON e.label <> a.anchor_label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY draw, neg_id) AS rk FROM p)
+         |SELECT anchor_id, neg_id, draw FROM r
+         |WHERE rk <= $NegPerAnchor""".stripMargin,
     // all-pairs ground truth: verifies the prefix filter is LOSSLESS
     // on the real corpus, not just that the verify step is right
     "dd_edjoin" ->

@@ -378,4 +378,34 @@ class SimilarityQueriesSpec extends SparkSpec {
       assert(got(id) == expect, s"vec $id")
     }
   }
+
+  test("negative sampling: k per anchor, never the anchor's label, " +
+      "deterministic, bounded-heap + broadcast plan") {
+    val labels = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val df = SimilarityQueries.simNegatives(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"),
+      s"per-anchor selection must be the bounded heap:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the anchor batch must broadcast:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.size == SimilarityQueries.NegAnchors,
+      s"expected ${SimilarityQueries.NegAnchors} anchors")
+    byAnchor.foreach { case (a, negs) =>
+      assert(negs.length == SimilarityQueries.NegPerAnchor,
+        s"anchor $a drew ${negs.length} negatives")
+      negs.foreach { case (_, n, _) =>
+        assert(labels(n) != labels(a),
+          s"anchor $a drew same-label negative $n")
+      }
+    }
+    val again = SimilarityQueries.simNegatives(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == rows.toSet, "draw is not deterministic")
+  }
 }
