@@ -346,10 +346,36 @@ object RetrievalQueries {
     * rollup reuses the doc_id key. */
   def tCdcChunks(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
+    val chunks = cdcChunkHashes(Tables.documents(s, dir))
+    cdcRollup(chunks,
+      chunks.groupBy(col("h")).agg(count(lit(1)).as("occ")))
+  }
+
+  /** [[tCdcChunks]] served from the PERSISTED chunk index
+    * ([[graft.sources.IndexStore.ensureCdcChunks]]): chunk digests
+    * and the occurrence census are read from the index — the word
+    * explode, per-doc lag window + cumsum, and chunk md5 (the whole
+    * chunk-construction pipeline) vanish from the serve plan, and
+    * the documents table is absent from it (CdcIndexSpec asserts
+    * it). The census is partial counts re-summed by digest, lossless
+    * by additivity over the doc-keyed build splits. Shares the scan
+    * twin's oracle. */
+  def tCdcChunksIndexed(s: SparkSession, dir: String): DataFrame = {
+    val paths = graft.sources.IndexStore.ensureCdcChunks(s, dir)
+    val chunks = s.read.parquet(paths.chunks)
+    cdcRollup(chunks,
+      s.read.parquet(paths.census)
+        .groupBy(col("h")).agg(sum(col("occ")).as("occ")))
+  }
+
+  /** CDC stages 1–3 (doc_id, cid, h): word explode, boundary flags
+    * via the portable bigram hash, cumsum chunk ids, chunk-text md5.
+    * Shared by the scan twin and the index build — the boundary rule
+    * is local to each doc, so chunking is append-stable. */
+  private[graft] def cdcChunkHashes(d: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+    d.select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos"), col("col").as("w"))
       .withColumn("pw", lag(col("w"), 1).over(byDoc))
       .withColumn("flag",
@@ -358,18 +384,21 @@ object RetrievalQueries {
             concat(col("pw"), lit(" "), col("w"))) % CdcMod === 0,
           1L).otherwise(0L))
       .withColumn("cid", sum(col("flag")).over(byDoc))
-    val chunks = words.groupBy(col("doc_id"), col("cid"))
+      .groupBy(col("doc_id"), col("cid"))
       .agg(md5(array_join(expr(
         "transform(array_sort(collect_list(struct(pos, w))), " +
           "x -> x.w)"), " ")).as("h"))
-    val census = chunks.groupBy(col("h"))
-      .agg(count(lit(1)).as("occ"))
+  }
+
+  /** The shared tail of both CDC twins: per-doc chunk count and
+    * corpus-wide duplicate-occurrence count. */
+  private def cdcRollup(chunks: DataFrame,
+      census: DataFrame): DataFrame =
     chunks.join(census, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         sum(when(col("occ") > 1, 1L).otherwise(0L)).cast("long")
           .as("n_shared"))
-  }
 
   // =================================================================
   // t_trgm_like — trigram-index LIKE acceleration
@@ -512,7 +541,8 @@ object RetrievalQueries {
     "t_dsir_indexed" -> (tDsirIndexed _),
     "t_tfidf_indexed" -> (tTfidfIndexed _),
     "dd_chunk_dedup" -> (ddChunkDedup _),
-    "t_cdc_chunks" -> (tCdcChunks _)
+    "t_cdc_chunks" -> (tCdcChunks _),
+    "t_cdc_chunks_indexed" -> (tCdcChunksIndexed _)
   )
 
   // lazy: staticOracle is declared below (object-init order)
@@ -632,31 +662,38 @@ object RetrievalQueries {
          | coalesce(any_value(clean_text), '') AS clean_text
          |FROM chunks LEFT JOIN kept USING (doc_id)
          |GROUP BY doc_id""".stripMargin,
-    "t_cdc_chunks" ->
-      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |             FROM documents),
-         |words AS (SELECT doc_id,
-         |   unnest(range(len(ws))) AS pos, unnest(ws) AS w
-         | FROM docs),
-         |flagged AS (SELECT doc_id, pos, w,
-         |   CASE WHEN lag(w, 1) OVER win IS NOT NULL AND
-         |     ${PortableHash.duckSql("lag(w, 1) OVER win || ' ' || w")}
-         |       % $CdcMod = 0
-         |   THEN 1 ELSE 0 END AS flag
-         | FROM words
-         | WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-         |cids AS (SELECT doc_id, pos, w,
-         |   sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
-         | FROM flagged),
-         |chunks AS (SELECT doc_id, cid,
-         |   md5(string_agg(w, ' ' ORDER BY pos)) AS h
-         | FROM cids GROUP BY doc_id, cid),
-         |census AS (SELECT h, count(*) AS occ FROM chunks GROUP BY h)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-         | CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |   AS n_shared
-         |FROM chunks JOIN census USING (h)
-         |GROUP BY doc_id""".stripMargin
+    "t_cdc_chunks" -> cdcOracleSql,
+    // the indexed twin against the SAME oracle certifies the
+    // persisted chunk digests + census content end-to-end
+    "t_cdc_chunks_indexed" -> cdcOracleSql
   )
+
+  /** CDC rollup ground truth (DuckDB) — shared by the scan and
+    * indexed twins. */
+  private lazy val cdcOracleSql: String =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |             FROM documents),
+       |words AS (SELECT doc_id,
+       |   unnest(range(len(ws))) AS pos, unnest(ws) AS w
+       | FROM docs),
+       |flagged AS (SELECT doc_id, pos, w,
+       |   CASE WHEN lag(w, 1) OVER win IS NOT NULL AND
+       |     ${PortableHash.duckSql("lag(w, 1) OVER win || ' ' || w")}
+       |       % $CdcMod = 0
+       |   THEN 1 ELSE 0 END AS flag
+       | FROM words
+       | WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |cids AS (SELECT doc_id, pos, w,
+       |   sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+       | FROM flagged),
+       |chunks AS (SELECT doc_id, cid,
+       |   md5(string_agg(w, ' ' ORDER BY pos)) AS h
+       | FROM cids GROUP BY doc_id, cid),
+       |census AS (SELECT h, count(*) AS occ FROM chunks GROUP BY h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       | CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_shared
+       |FROM chunks JOIN census USING (h)
+       |GROUP BY doc_id""".stripMargin
 }

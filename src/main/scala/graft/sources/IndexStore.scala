@@ -458,6 +458,44 @@ object IndexStore {
       paths
     })
 
+  case class CdcPaths(chunks: String, census: String)
+
+  private val cdcBuilt = TrieMap.empty[String, CdcPaths]
+
+  /** Persisted content-defined-chunking index: per-doc chunk digests
+    * (`cdc_chunks`: doc_id, cid, h — append-stable facts; the
+    * boundary rule is LOCAL to each doc, so a doc's chunking never
+    * changes as the corpus grows) and the chunk-occurrence census
+    * (`cdc_census`: h, occ — PARTIAL counts per build split, additive
+    * over disjoint doc sets, re-summed at serve). What the index
+    * removes from every serve: the word explode, the per-doc lag
+    * window + cumsum, and the chunk-text md5 — the whole
+    * chunk-construction pipeline runs once, on ingest. Once per
+    * (JVM, dir). */
+  def ensureCdcChunks(s: SparkSession, dir: String): CdcPaths =
+    cdcBuilt.getOrElseUpdate(dir, {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val root = indexRoot(dir)
+      val paths = CdcPaths(
+        root.resolve("cdc_chunks").toString,
+        root.resolve("cdc_census").toString)
+      val docs = Tables.documents(s, dir)
+      def write(d: DataFrame, mode: String): Unit = {
+        val ch = graft.operators.RetrievalQueries.cdcChunkHashes(d)
+          .localCheckpoint() // feeds both table writes below
+        ch.write.mode(mode).parquet(paths.chunks)
+        ch.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+          .write.mode(mode).parquet(paths.census)
+      }
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          < TrgmDeltaMod - 1), "overwrite")
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          === TrgmDeltaMod - 1), "append")
+      paths
+    })
+
   case class ContainmentPaths(docs: String, freq: String)
 
   private val contBuilt = TrieMap.empty[String, ContainmentPaths]
