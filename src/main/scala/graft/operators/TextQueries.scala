@@ -212,6 +212,18 @@ object TextQueries {
   def ddWinnowPairs(s: SparkSession, dir: String): DataFrame =
     winnowPairsImpl(tWinnowFp(s, dir), WinnowMinShared)
 
+  /** [[ddWinnowPairs]] served from the PERSISTED winnow fingerprint
+    * index ([[graft.sources.IndexStore.ensureWinnow]]): the windowed-
+    * min selection over the full text — the expensive map-side stage
+    * — ran once at build; the serve is census + self-join + rollup
+    * over the slim persisted (doc_id, fp) table, and the documents
+    * table is absent from the plan (WinnowIndexSpec asserts it).
+    * Shares the scan twin's oracle. */
+  def ddWinnowIndexed(s: SparkSession, dir: String): DataFrame = {
+    val paths = graft.sources.IndexStore.ensureWinnow(s, dir)
+    winnowPairsImpl(s.read.parquet(paths.fps), WinnowMinShared)
+  }
+
   /** Pair search over a (doc_id, fp) fingerprint table; split out so
     * the planted-overlap spec can run it with minShared = 1 (the
     * winnowing guarantee is ≥ ONE shared fp per qualifying run). */
@@ -753,6 +765,7 @@ object TextQueries {
     "t_fingerprint" -> (tFingerprint _),
     "t_winnow_fp" -> (tWinnowFp _),
     "dd_winnow_pairs" -> (ddWinnowPairs _),
+    "dd_winnow_indexed" -> (ddWinnowIndexed _),
     "dd_dup_spans" -> (ddDupSpans _),
     "t_word_entropy" -> (tWordEntropy _),
     "t_vocab_encode" -> (tVocabEncode _),
@@ -806,6 +819,17 @@ object TextQueries {
      |   ON a.fp = b.fp AND a.doc_id < b.doc_id
      | GROUP BY a.doc_id, b.doc_id
      | HAVING count(*) >= $WinnowMinShared)""".stripMargin
+
+  /** Winnow pair-search ground truth (DuckDB) — shared by the scan
+    * and indexed twins. */
+  private lazy val winnowPairsOracleSql: String = winnowPairsCte + s"""
+     |, sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id)
+     |SELECT id_a, id_b, n_shared,
+     |  CAST(n_shared AS DOUBLE)
+     |    / least(sa.n_fp, sb.n_fp) AS containment
+     |FROM pairs
+     |JOIN sz sa ON sa.doc_id = id_a
+     |JOIN sz sb ON sb.doc_id = id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // joins on raw gram strings where the engine joins on their
@@ -918,14 +942,10 @@ object TextQueries {
     // ADVICE r9: a hard-coded window is a silent hash-compare time
     // bomb if the constant is ever bumped)
     "t_winnow_fp" -> (winnowFpCte + "\nSELECT doc_id, fp FROM fps"),
-    "dd_winnow_pairs" -> (winnowPairsCte + s"""
-        |, sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id)
-        |SELECT id_a, id_b, n_shared,
-        |  CAST(n_shared AS DOUBLE)
-        |    / least(sa.n_fp, sb.n_fp) AS containment
-        |FROM pairs
-        |JOIN sz sa ON sa.doc_id = id_a
-        |JOIN sz sb ON sb.doc_id = id_b""".stripMargin),
+    "dd_winnow_pairs" -> winnowPairsOracleSql,
+    // the indexed twin against the SAME oracle certifies the
+    // persisted fingerprint content end-to-end
+    "dd_winnow_indexed" -> winnowPairsOracleSql,
     // positional gram hashes from the shared CTE's ordered h lists;
     // islands: matches on a diagonal are consecutive iff pos_a is
     "dd_dup_spans" -> (winnowPairsCte + """

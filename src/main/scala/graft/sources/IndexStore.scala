@@ -458,6 +458,38 @@ object IndexStore {
       paths
     })
 
+  case class WinnowPaths(fps: String)
+
+  private val winnowBuilt = TrieMap.empty[String, WinnowPaths]
+
+  /** Persisted winnowing fingerprint index: the selected (doc_id,
+    * fp) rows — per-doc facts from the position-local windowed-min
+    * rule, so chunking of NEW docs never disturbs existing rows and
+    * the doc-keyed base+delta append is lossless. The winnow
+    * selection (the native winnow_fps expression over the full text)
+    * is the expensive map-side stage; persisting it turns every
+    * pair-search serve into joins over a slim long-pair table. Once
+    * per (JVM, dir). */
+  def ensureWinnow(s: SparkSession, dir: String): WinnowPaths =
+    winnowBuilt.getOrElseUpdate(dir, {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val paths = WinnowPaths(indexRoot(dir).resolve("winnow_fps").toString)
+      val docs = Tables.documents(s, dir)
+      def write(d: DataFrame, mode: String): Unit =
+        d.select(col("doc_id"),
+            expr(s"winnow_fps(split(text, ' '), " +
+              s"${graft.operators.TextQueries.WinnowWindow})").as("fps"))
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .write.mode(mode).parquet(paths.fps)
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          < TrgmDeltaMod - 1), "overwrite")
+      write(docs.filter(
+        pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+          === TrgmDeltaMod - 1), "append")
+      paths
+    })
+
   case class CdcPaths(chunks: String, census: String)
 
   private val cdcBuilt = TrieMap.empty[String, CdcPaths]
