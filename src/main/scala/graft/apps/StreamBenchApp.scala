@@ -84,11 +84,15 @@ object StreamBenchApp {
   }
 
   /** Regression floor for the session-window path (VERDICT r15 task
-    * #5). It carries no model inference, so per-record cost is well
-    * below the scoring graph's; the floor still sits ~3× under the
-    * measured steady state to absorb the host band while catching a
-    * structural regression (state-store rewrite, per-batch re-plan). */
-  val SessionizeFloorRecSec = 8000.0
+    * #5). Unlike the scoring graph (stateless per-record inference,
+    * 12k+ rec/s), session windows on this corpus are STATE-bound:
+    * ~0.9 sessions per record (the events clock spreads accounts
+    * thinly), so every batch rewrites most of its state-store
+    * partitions — measured 2.8k rec/s steady at local[32]/sf0.1.
+    * The floor sits ~30% under that: inside the host band, but a
+    * structural regression (per-batch re-plan, state-store rewrite
+    * amplification, a lineage re-execution) costs multiples. */
+  val SessionizeFloorRecSec = 2000.0
 
   /** Session-window gate result: throughput plus the streaming-vs-
     * batch equality verdict. */
