@@ -537,12 +537,32 @@ object TextQueries {
     * on the raw gram strings — identical counts absent a 64-bit
     * collision, the same standing assumption as the other dd_*
     * oracles). Only matched rows reach the per-doc aggregate. */
-  def tDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+  def tDecontaminate(s: SparkSession, dir: String): DataFrame =
+    deconServe(Tables.documents(s, dir)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"),
         explode(transform(SimilarityQueries.wordGramExpr("words", 13),
-          g => xxhash64(g))).as("g"))
+          g => xxhash64(g))).as("g")))
+
+  /** [[tDecontaminate]] served from the PERSISTED 13-gram index
+    * ([[graft.sources.IndexStore.ensureGram13]]) — the textbook
+    * build→serve case: eval sets change with every benchmark
+    * release while corpus fingerprints do not, so production
+    * decontamination probes a maintained gram index per release
+    * instead of re-shingling the corpus. The text split, 13-gram
+    * construction, and hashing vanish from the serve plan, and the
+    * documents table is absent from it (Gram13IndexSpec asserts
+    * it). Shares the scan twin's oracle. */
+  def tDecontaminateIndexed(s: SparkSession, dir: String): DataFrame = {
+    val paths = graft.sources.IndexStore.ensureGram13(s, dir)
+    deconServe(s.read.parquet(paths.grams))
+  }
+
+  /** The shared decontamination tail: split the gram table into the
+    * eval membership (doc_id % 17 == 0, standing in for the eval
+    * list) and the training side, broadcast the distinct eval
+    * grams, count collisions per training doc. */
+  private def deconServe(grams: DataFrame): DataFrame = {
     val evalGrams = grams.filter(col("doc_id") % 17 === 0)
       .select("g").distinct()
     grams.filter(col("doc_id") % 17 =!= 0)
@@ -754,6 +774,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "t_decontaminate" -> (tDecontaminate _),
+    "t_decontaminate_indexed" -> (tDecontaminateIndexed _),
     "l6_source_mix" -> (l6SourceMix _),
     "l7_hash_split" -> (l7HashSplit _),
     "l8_seq_pack" -> (l8SeqPack _),
@@ -820,6 +841,23 @@ object TextQueries {
      | GROUP BY a.doc_id, b.doc_id
      | HAVING count(*) >= $WinnowMinShared)""".stripMargin
 
+  /** Decontamination ground truth (DuckDB) — shared by the scan and
+    * indexed twins. Joins on raw gram strings where the engine joins
+    * on their 64-bit hashes — equal counts absent a collision. */
+  private lazy val deconOracleSql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_distinct(list_transform(
+      |          range(1, greatest(len(w) - 12, 1) + 1),
+      |          i -> array_to_string(w[i:i+12], ' ')))) AS g
+      |      FROM w),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
+      |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 17 <> 0)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY doc_id""".stripMargin
+
   /** Winnow pair-search ground truth (DuckDB) — shared by the scan
     * and indexed twins. */
   private lazy val winnowPairsOracleSql: String = winnowPairsCte + s"""
@@ -834,19 +872,10 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     // joins on raw gram strings where the engine joins on their
     // 64-bit hashes — equal counts absent a collision (see Scaladoc)
-    "t_decontaminate" ->
-      """WITH w AS (
-        | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |        unnest(list_distinct(list_transform(
-        |          range(1, greatest(len(w) - 12, 1) + 1),
-        |          i -> array_to_string(w[i:i+12], ' ')))) AS g
-        |      FROM w),
-        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
-        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 17 <> 0)
-        |SELECT doc_id, count(*) AS n_shared
-        |FROM tr JOIN ev USING (g)
-        |GROUP BY doc_id""".stripMargin,
+    "t_decontaminate" -> deconOracleSql,
+    // the indexed twin against the SAME oracle certifies the
+    // persisted gram fingerprint content end-to-end
+    "t_decontaminate_indexed" -> deconOracleSql,
     "l6_source_mix" ->
       """WITH d AS (
         | SELECT source, n_chars,
