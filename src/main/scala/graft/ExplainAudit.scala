@@ -126,7 +126,8 @@ object ExplainAudit {
         "g6_triangles_indexed", "x27_copurchase_indexed",
         "dd_simhash_indexed", "dd_containment_indexed",
         "l12_mixture_sample", "p11_profile",
-        "t_cdc_chunks_indexed", "dd_winnow_indexed", "sim_negatives")
+        "t_cdc_chunks_indexed", "dd_winnow_indexed", "sim_negatives",
+        "t_decontaminate_indexed")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
