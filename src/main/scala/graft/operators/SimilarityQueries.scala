@@ -1239,12 +1239,12 @@ object SimilarityQueries {
     * they are fixed at 24.) */
   val EdJoinQ = 4
 
-  /** Ed-Join prefix length: one edit destroys at most q overlapping
-    * q-grams, so two strings within distance d share at least
-    * |G| − d·q grams (as a multiset) — by the prefix-filtering
-    * principle their (d·q + 1)-element prefixes under ANY fixed
-    * global element order must intersect. Lossless, no tuning knob. */
-  val EdJoinPrefix = EdJoinMaxDist * EdJoinQ + 1
+  // (The Ed-Join prefix length — one edit destroys at most q
+  // overlapping q-grams, so strings within distance d share at least
+  // |G| − d·q grams, hence their (d·q + 1)-element prefixes under ANY
+  // fixed global order intersect; lossless, no tuning knob — is
+  // derived inside edJoinCandidates as `prefixLen` from its q
+  // parameter, so there is no module-level constant to drift.)
 
   /** Edit-distance similarity join (Ed-Join, Xiao/Wang/Lin VLDB'08):
     * all document pairs whose [[EdJoinKeyLen]]-char key prefixes are
@@ -1258,7 +1258,7 @@ object SimilarityQueries {
     * and enables Ed-Join's location filter; (2) global
     * gram-frequency census (one agg — the ordering that makes
     * prefixes maximally selective: rarest grams first); (3) per-doc
-    * prefix = first [[EdJoinPrefix]] elements under the global
+    * prefix = first d·q + 1 elements under the global
     * (freq, gram, pos) order — a row_number window over ≤ 22 rows
     * per doc; (4) candidate pairs = self-equi-join of prefixes on
     * gram with |Δpos| ≤ d — a superset of the answer (pigeonhole +
