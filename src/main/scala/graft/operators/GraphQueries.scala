@@ -74,83 +74,162 @@ object GraphQueries {
     * replay it. */
   val PrbTolPerNode = PrScale / 20
 
-  /** PageRank iterated to convergence: same integer-quantized step
-    * as [[g5Pagerank]], with an L1-delta stop — after each step the
-    * engine sums |pr_i − pr_{i−1}| (exact longs, any partitioning)
-    * and stops at the FIRST iteration where the total falls under
+  /** Power steps fused per materialization in [[g5bPagerankConverged]]
+    * (VERDICT r16 task #1). 5 divides the 20-iteration cap evenly:
+    * worst case 4 materializations + 4 delta scans instead of 20+20. */
+  val PrbBlock = 5
+
+  /** PageRank iterated to convergence: same integer-quantized power
+    * step as [[g5Pagerank]], with an L1-delta stop on the
+    * PAIR-SMOOTHED iterate sequence — the engine emits
+    * `avg_k = (pr_{k−1} + pr_k) div 2` and stops at the FIRST step
+    * k ≥ 2 where `Σ|avg_k − avg_{k−1}|` falls under
     * `n_nodes · PrbTolPerNode`, or at [[PrbMaxIters]]. The chosen
-    * iteration is emitted as `n_iters`, so the stopping decision
-    * itself is part of the hash-compared result. Each iterate is
-    * localCheckpointed: iteration i+1 and the delta both read a
-    * materialized i-th iterate instead of re-executing an
-    * i-join-deep lineage (the classic iterative-Spark trap).
+    * step count is emitted as `n_iters`, so the stopping decision
+    * itself is part of the hash-compared result. Everything stays
+    * exact 64-bit integer arithmetic, so the result is
+    * bit-reproducible under any partitioning and the oracle replays
+    * the loop data-independently (all stages unrolled, first
+    * under-tolerance smoothed delta selected).
     *
-    * The oracle unrolls all [[PrbMaxIters]] stages, computes every
-    * stage's delta, and selects rows from stage
-    * `min{i : Δi ≤ tol} ∪ {max}` — a data-independent REPLAY of the
-    * engine's data-dependent loop, so both engines agree on ranks
-    * AND iteration count bit-for-bit.
+    * Why smoothing (VERDICT r16 task #1, the iteration-count lever):
+    * the part↔supplier graph is exactly BIPARTITE, so the damped
+    * transition matrix's eigenvalues come in ± pairs and the error's
+    * dominant component sits at −0.85 — rank mass OSCILLATES with
+    * period 2 and plain consecutive deltas decay only as 0.85^k
+    * (~18 steps to the 5% bar). Averaging consecutive iterates is
+    * the standard periodic-chain remedy (the 2-term Cesàro smoothing
+    * of the power sequence): the λ-component of the averaged error
+    * is scaled by (1+λ)/2, which at λ = −0.85 is 0.075 — the
+    * oscillating mode is cut ~13× while every smooth mode is barely
+    * touched, so the smoothed sequence reaches the same per-node bar
+    * in a small fraction of the steps AND the emitted ranks are
+    * strictly closer to the fixed point than the raw iterate at its
+    * own (later) stop. The power step itself is unchanged — only the
+    * convergence check and the emitted vector read the smoothed
+    * sequence.
     *
-    * Iteration hygiene (VERDICT r13 task #5): the delta is FOLDED
-    * into the iteration's materialization — each checkpointed iterate
-    * carries `pr_prev` alongside `pr` (the join with the previous
-    * iterate rides the same groupBy exchange), so the per-iteration
-    * jobs are one heavy pass (join+agg+checkpoint) plus a cheap scan
-    * of the just-materialized blocks, instead of the former second
-    * join job. Likewise `outdeg` (VERDICT r15 task #2) rides INSIDE
-    * the checkpointed iterate: it is constant across iterations, and
-    * the pr_prev join already meets the previous iterate row-for-row,
-    * so carrying it as a column deletes the per-iteration pr⋈outdeg
-    * join + exchange entirely — the rate projection becomes a narrow
-    * map over the just-checkpointed blocks. And each superseded
-    * iterate's checkpoint blocks are
-    * freed EAGERLY ([[org.apache.spark.sql.GraftSqlShims
-    * .unpersistLocalCheckpoint]]) once its successor is materialized —
-    * without this, up to [[PrbMaxIters]] rank tables sit in executor
-    * storage memory until driver GC notices (the r13 storage-pressure
-    * flag). */
+    * Block fusion (same task): per-step materialization + delta jobs
+    * dominated the residual wall time, so power steps are fused
+    * [[PrbBlock]] at a time. Every iterate shares the same node
+    * universe (edges are bidirectional), so a block of consecutive
+    * iterates rides as COLUMNS `pr_0..pr_B` of ONE frame: each
+    * step's rate is a projection of the accumulating frame, its
+    * aggregate joins back on `node`, and the block is
+    * localCheckpointed ONCE; a single scan of the just-materialized
+    * blocks yields every smoothed delta in the block, and the driver
+    * picks the first converged step (steps computed past the stop
+    * are discarded, never emitted). `outdeg` rides inside the frame
+    * (VERDICT r15 task #2) so rates never re-join it; the rebase
+    * carries the last TWO iterates so the first smoothed delta of
+    * the next block spans the boundary. Superseded block checkpoints
+    * are freed EAGERLY ([[org.apache.spark.sql.GraftSqlShims
+    * .unpersistLocalCheckpoint]]) once their successor is
+    * materialized — without this, every superseded rank table sits
+    * in executor storage memory until driver GC notices (the r13
+    * storage-pressure flag). */
   def g5bPagerankConverged(s: SparkSession, dir: String): DataFrame = {
     val edges = edgesFor(s, dir)
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint() // read by every iteration + the node count
+      .localCheckpoint() // read by the init iterate + the node count
     val nNodes = outdeg.count()
     val tol = nNodes * PrbTolPerNode
-    // the iterate carries (node, pr, outdeg): outdeg is constant, so
-    // folding it into the checkpoint makes the rate a pure projection
+    // smoothed iterate i of the current frame; i = 0 spans the block
+    // boundary via the rebased pr_m1 column
+    def avgC(i: Int) =
+      if (i == 0) expr("(pr_m1 + pr_0) div 2")
+      else expr(s"(pr_${i - 1} + pr_$i) div 2")
+    // the iterate carries (node, pr_0, outdeg): outdeg is constant,
+    // so folding it into the frame makes every rate a pure projection
     var ckpt = outdeg
-      .select(col("src").as("node"), lit(PrScale).as("pr"),
+      .select(col("src").as("node"), lit(PrScale).as("pr_0"),
         col("outdeg"))
       .localCheckpoint() // the iterate whose blocks we own + may free
-    var it = 0
-    var converged = false
-    while (it < PrbMaxIters && !converged) {
-      val rate = ckpt
-        .select(col("node").as("src"), expr("pr div outdeg").as("rate"))
-      // one materialization serves both consumers: the new ranks AND
-      // the delta operands (pr_prev + outdeg joined in before the
-      // checkpoint, so the delta job below is a scan of these blocks,
-      // not a join, and the next rate needs no join either)
-      val next = edges.join(rate, "src")
-        .groupBy(col("dst").as("node"))
-        .agg((lit(PrScale * 15 / 100) +
-          expr("(sum(rate) * 85) div 100")).as("pr"))
-        .join(ckpt.select(col("node"), col("pr").as("pr_prev"),
-          col("outdeg")), "node")
-        .localCheckpoint()
-      val delta = next
-        .agg(sum(abs(col("pr") - col("pr_prev"))).cast("long"))
-        .head().getLong(0)
+    var done = 0            // completed power steps
+    var result: DataFrame = null
+    while (done < PrbMaxIters && result == null) {
+      val b = math.min(PrbBlock, PrbMaxIters - done)
+      // fuse b power steps into one lineage: iterate i's ranks join
+      // back onto the accumulating frame as column pr_i
+      var f = ckpt
+      for (i <- 1 to b) {
+        val rate = f.select(col("node").as("src"),
+          expr(s"pr_${i - 1} div outdeg").as("rate"))
+        f = f.join(edges.join(rate, "src")
+          .groupBy(col("dst").as("node"))
+          .agg((lit(PrScale * 15 / 100) +
+            expr("(sum(rate) * 85) div 100")).as(s"pr_$i")), "node")
+      }
+      val next = f.localCheckpoint()
+      // one scan of the just-materialized blocks yields every
+      // smoothed delta in the block; the first block has no pr_m1,
+      // so its checks start at global step 2 (avg_1 is the first
+      // smoothed iterate — it has no predecessor to delta against)
+      val iMin = (if (done == 0) 2 else 1)
+      val dExprs = (iMin to b).map(i =>
+        sum(abs(avgC(i) - avgC(i - 1))).cast("long").as(s"d_$i"))
+      val dRow = next.agg(dExprs.head, dExprs.tail: _*).head()
+      val hit = (0 to b - iMin).indexWhere(j => dRow.getLong(j) <= tol)
       // the old iterate is fully superseded: next is materialized and
-      // carries pr_prev, so nothing will read the old blocks again
+      // carries the boundary iterates, so nothing reads the old blocks
       org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(ckpt)
-      ckpt = next
-      it += 1
-      converged = delta <= tol
+      if (hit >= 0) {
+        val i = iMin + hit
+        done += i
+        result = next.select(col("node"), avgC(i).as("pr"),
+          lit(done).cast("int").as("n_iters"))
+      } else {
+        done += b
+        // rebase for the next block: a projection of next's blocks,
+        // no extra materialization (unpersisting ckpt later reaches
+        // next's underlying RDD through the projection); the last two
+        // iterates ride along so avg_0 spans the boundary
+        ckpt = next.select(col("node"),
+          col(s"pr_${b - 1}").as("pr_m1"), col(s"pr_$b").as("pr_0"),
+          col("outdeg"))
+      }
     }
-    ckpt.select(col("node"), col("pr"),
-      lit(it).cast("int").as("n_iters"))
+    if (result != null) result
+    else ckpt.select(col("node"), avgC(0).as("pr"),
+      lit(done).cast("int").as("n_iters"))
   }
+
+  /** One distinct (order, part) census + one basket pair census per
+    * (context, input) — the expensive self-join subtree shared by the
+    * g6_triangles and x27_copurchase SCAN twins (VERDICT r16 task
+    * #4). Both derive purely from lineitem (never from index files),
+    * so the scan twins remain independent certifiers of the persisted
+    * graph index; they just stop paying for the identical subtree
+    * twice per sweep. Same memoization contract as [[edgeCache]]. */
+  private val basketCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Distinct (o, p) = (l_orderkey, l_partkey) pairs, checkpointed. */
+  private[graft] def basketItems(s: SparkSession, dir: String): DataFrame =
+    basketCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":items:" + dir,
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint())
+
+  /** Unordered co-purchase part pairs with their order co-occurrence
+    * counts: (u, v, pair_n), u < v. The groupBy keys ARE g6's edge
+    * set; the counts are x27's pair support — one self-join serves
+    * both scan twins. */
+  private[graft] def basketPairCensus(s: SparkSession,
+      dir: String): DataFrame =
+    basketCache.getOrElseUpdate(
+      s.sparkContext.applicationId + ":pairs:" + dir, {
+        val items = basketItems(s, dir)
+        items.as("a")
+          .join(items.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("pair_n"))
+          .localCheckpoint()
+      })
 
   private def edgesFor(s: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate(
@@ -198,20 +277,14 @@ object GraphQueries {
     * The triangle COUNT is orientation-invariant, so the oracle can
     * use the simple id-ordered triple join — same number, different
     * (quadratic-in-hub) plan that is fine at oracle scale. */
-  def g6Triangles(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    // the basket self-join + distinct is the expensive subtree and
-    // feeds THREE consumers (degree census, orientation, edge
-    // count) — materialize once, the g5 edge-cache discipline
-    val edges = pairs.as("x").join(pairs.as("y"), Seq("o"))
-      .filter(col("x.p") < col("y.p"))
-      .select(col("x.p").as("u"), col("y.p").as("v"))
-      .distinct()
-      .localCheckpoint()
-    triangleClosure(s, edges)
-  }
+  def g6Triangles(s: SparkSession, dir: String): DataFrame =
+    // the basket self-join is the expensive subtree, feeds THREE
+    // consumers here (degree census, orientation, edge count) AND the
+    // x27_copurchase scan twin — one memoized checkpoint serves all
+    // (VERDICT r16 task #4); the census groupBy keys are exactly the
+    // distinct edge set
+    triangleClosure(s, basketPairCensus(s, dir)
+      .select(col("u"), col("v")))
 
   /** g6's serve twin off the persisted co-purchase graph index
     * (VERDICT r15 task #1): the expensive subtree — the basket
@@ -314,22 +387,29 @@ object GraphQueries {
          |GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
     val iters = iterCtes(PrIters)
-    // convergence replay (g5b): unroll ALL PrbMaxIters stages, take
-    // each stage's L1 delta vs its predecessor, and select rows from
-    // stage min{i : Δi ≤ n_nodes·tol} (else the cap) — the
-    // data-independent SQL image of the engine's stop-at-first loop
-    val deltas = (1 to PrbMaxIters).map { i =>
-      val prev = if (i == 1) "pr0" else s"it${i - 1}"
-      s"""d$i AS (SELECT $i AS it, CAST(sum(abs(a.pr - b.pr)) AS BIGINT) AS d
-         |FROM it$i a JOIN $prev b ON a.node = b.node)""".stripMargin
+    // convergence replay (g5b): unroll ALL PrbMaxIters power stages,
+    // form each PAIR-SMOOTHED stage avg_k = (it_{k-1} + it_k) // 2,
+    // take each smoothed stage's L1 delta vs its predecessor, and
+    // select rows from smoothed stage min{k ≥ 2 : Δk ≤ n_nodes·tol}
+    // (else the cap) — the data-independent SQL image of the
+    // engine's stop-at-first loop over the smoothed sequence
+    val avgs = (1 to PrbMaxIters).map { k =>
+      val prev = if (k == 1) "pr0" else s"it${k - 1}"
+      s"""av$k AS (SELECT a.node, CAST((b.pr + a.pr) // 2 AS BIGINT) AS pr
+         |FROM it$k a JOIN $prev b ON a.node = b.node)""".stripMargin
     }.mkString(",\n")
-    val allDeltas = (1 to PrbMaxIters)
+    val deltas = (2 to PrbMaxIters).map { k =>
+      s"""d$k AS (SELECT $k AS it, CAST(sum(abs(a.pr - b.pr)) AS BIGINT) AS d
+         |FROM av$k a JOIN av${k - 1} b ON a.node = b.node)""".stripMargin
+    }.mkString(",\n")
+    val allDeltas = (2 to PrbMaxIters)
       .map(i => s"SELECT it, d FROM d$i").mkString("\nUNION ALL ")
     val allStages = (1 to PrbMaxIters)
-      .map(i => s"SELECT $i AS it, node, pr FROM it$i")
+      .map(i => s"SELECT $i AS it, node, pr FROM av$i")
       .mkString("\nUNION ALL ")
     val convergedSql =
-      base + ",\n" + iterCtes(PrbMaxIters) + ",\n" + deltas + s""",
+      base + ",\n" + iterCtes(PrbMaxIters) + ",\n" + avgs + ",\n" +
+        deltas + s""",
         |dd AS ($allDeltas),
         |chosen AS (SELECT coalesce(min(it), $PrbMaxIters) AS it
         |           FROM dd

@@ -42,6 +42,57 @@ class GraphQueriesSpec extends SparkSpec {
     assert(pr.count() == expectedNodes)
   }
 
+  test("g5b block-fused convergence equals a step-at-a-time replay") {
+    // Reference replay of the convergence rule, one power step at a
+    // time: plain integer power steps, pair-smoothed iterates
+    // avg_k = (pr_{k-1} + pr_k) div 2, consecutive smoothed L1
+    // delta, stop at the first step k >= 2 under tol or at the cap.
+    // The block-fused engine must reproduce the smoothed ranks AND
+    // n_iters bit-for-bit — a fused block may compute steps past the
+    // stop, but must never emit them.
+    import GraphQueries.{PrScale, PrbMaxIters, PrbTolPerNode}
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = li ++ li.map { case (p, s) => (s, p) }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tol = outdeg.size.toLong * PrbTolPerNode
+    var prRaw = outdeg.keys.map(_ -> PrScale).toMap
+    var avgPrev: Map[Long, Long] = null // smoothed iterate k-1
+    var pr: Map[Long, Long] = null      // smoothed iterate k (emitted)
+    var it = 0
+    var converged = false
+    while (it < PrbMaxIters && !converged) {
+      val rate = prRaw.map { case (n, p) => n -> p / outdeg(n) }
+      val nxt = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> (PrScale * 15 / 100 +
+          es.map(e => rate(e._1)).sum * 85 / 100)
+      }
+      val avg = nxt.map { case (n, p) => n -> (prRaw(n) + p) / 2 }
+      if (avgPrev != null) {
+        val delta = avg.map { case (n, p) =>
+          math.abs(p - avgPrev(n)) }.sum
+        converged = delta <= tol
+      }
+      avgPrev = avg
+      pr = avg
+      prRaw = nxt
+      it += 1
+    }
+    val got = GraphQueries.g5bPagerankConverged(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.forall(_._3 == it),
+      s"n_iters ${got.head._3} vs replay $it")
+    val gotMap = got.map(r => r._1 -> r._2).toMap
+    assert(gotMap == pr, {
+      val diff = pr.collect {
+        case (n, p) if gotMap.get(n) != Some(p) =>
+          s"$n: engine=${gotMap.get(n)} replay=$p"
+      }
+      s"rank mismatch (${diff.size} nodes): ${diff.take(5).mkString(", ")}"
+    })
+  }
+
   test("triangles: planted co-purchase graph counted exactly") {
     import spark.implicits._
     // order 1 contains parts 1,2,3 (one triangle); order 2 parts
