@@ -269,36 +269,41 @@ object ExtendedQueries {
     * algorithm-specific and cannot hash-match another engine.
     * Compensating spec (ExtendedQueriesSpec "p11b") asserts each
     * approx distinct lands within 3×rsd of p11's exact count and
-    * that the physical plan contains no Expand. */
+    * that the physical plan contains no Expand.
+    *
+    * Plan shape (VERDICT r16 task #2 — the warm=cold watch item,
+    * diagnosed r17): the former one-wide-Aggregate formulation put
+    * all three columns' sketch + min/max + null work into a SINGLE
+    * scan split's partial agg — the small parquet input plans one
+    * split, so the whole profile ran serially on 1 of 32 cores while
+    * p11's exact twin got its three per-column censuses as three
+    * INDEPENDENT narrow single-task stages running concurrently
+    * (which is why the "100 TB plan" was losing to the exact twin at
+    * bench SF; a repartition-before-agg A/B was measured WORSE —
+    * +0.26 s median — because it trades the serial partial agg for a
+    * full row exchange). The fix mirrors p11's shape: one narrow
+    * scan + one tiny agg per column, unioned — per-column stages run
+    * in parallel at any split count, each scan reads exactly one
+    * column's chunks (columnar I/O unchanged), no exchange carries
+    * rows, and the per-column aggregate is still the fixed-memory
+    * HLL++ sketch with NO Expand anywhere. */
   def p11bProfileApprox(s: SparkSession, dir: String): DataFrame = {
-    def nulls(c: String): Column =
-      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
     val rsd = graft.operators.RelationalQueries.ApproxDistinctRsd
-    Tables.orders(s, dir)
-      .agg(
-        count(lit(1)).as("n_rows"),
-        nulls("o_orderstatus").as("nulls_status"),
-        approx_count_distinct(col("o_orderstatus"), rsd).as("dist_status"),
-        min(col("o_orderstatus")).as("min_status"),
-        max(col("o_orderstatus")).as("max_status"),
-        nulls("o_orderpriority").as("nulls_prio"),
-        approx_count_distinct(col("o_orderpriority"), rsd).as("dist_prio"),
-        min(col("o_orderpriority")).as("min_prio"),
-        max(col("o_orderpriority")).as("max_prio"),
-        nulls("o_custkey").as("nulls_cust"),
-        approx_count_distinct(col("o_custkey"), rsd).as("dist_cust"),
-        min(col("o_custkey")).cast("string").as("min_cust"),
-        max(col("o_custkey")).cast("string").as("max_cust"))
-      .selectExpr(
-        """stack(3,
-          | 'o_orderstatus', n_rows, nulls_status, dist_status,
-          |   min_status, max_status,
-          | 'o_orderpriority', n_rows, nulls_prio, dist_prio,
-          |   min_prio, max_prio,
-          | 'o_custkey', n_rows, nulls_cust, dist_cust,
-          |   min_cust, max_cust)
-          |AS (column, n_rows, n_nulls, n_distinct, min_str, max_str)
-          |""".stripMargin)
+    val orders = Tables.orders(s, dir)
+    def profile(c: String): DataFrame =
+      orders.select(col(c).as("v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_nulls"),
+          approx_count_distinct(col("v"), rsd).as("n_distinct"),
+          min(col("v")).cast("string").as("min_str"),
+          max(col("v")).cast("string").as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    profile("o_orderstatus")
+      .unionByName(profile("o_orderpriority"))
+      .unionByName(profile("o_custkey"))
   }
 
   /** L3: stratified sampling via the engine-portable hash — keep a

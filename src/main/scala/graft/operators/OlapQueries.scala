@@ -71,18 +71,19 @@ object OlapQueries {
     * shuffles on the (p1, p2) key. Item frequencies are a census
     * bounded by |part| — dimension-sized, so broadcast back onto the
     * pair table; on a catalog too big to broadcast this join falls
-    * back to sort-merge on p1/p2 and nothing else changes. */
+    * back to sort-merge on p1/p2 and nothing else changes.
+    *
+    * The pair self-join + census is the SAME subtree g6_triangles
+    * builds its edge set from, so both scan twins read one memoized
+    * checkpoint ([[GraphQueries.basketPairCensus]], VERDICT r16 task
+    * #4) — derived purely from lineitem, so this twin still
+    * certifies the persisted graph index independently. */
   def x27Copurchase(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("pair_n"))
+    val pairs = GraphQueries.basketPairCensus(s, dir)
+      .select(col("u").as("p1"), col("v").as("p2"), col("pair_n"))
       .filter(col("pair_n") >= MinPairSupport)
-    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("item_n"))
+    val freq = GraphQueries.basketItems(s, dir)
+      .groupBy(col("p")).agg(count(lit(1)).as("item_n"))
     pairs
       .join(broadcast(freq.select(col("p").as("p1"),
         col("item_n").as("n1"))), "p1")
