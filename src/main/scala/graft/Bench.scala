@@ -209,6 +209,29 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
       }
 
+    // Streaming-dedup gate (VERDICT r16 task #7): the watermark-
+    // bounded dropDuplicatesWithinWatermark path over MemoryStream
+    // micro-batches with planted re-deliveries, verified IN the
+    // bench against the batch distinct-key twin (mismatches must be
+    // 0, and dups_fed must be positive or the gate is vacuous) and
+    // gated on a records/s floor — same discipline as sessionize.
+    val dedupLine = if (args.nonEmpty) "" else
+      try {
+        val r = graft.apps.StreamBenchApp.runDedup(spark, sfDir,
+          nBatches = 10, batchRows = 5000)
+        val floor = graft.apps.StreamBenchApp.DedupFloorRecSec
+        s"""{"metric":"stream_dedup","records_per_sec":${f"${r.recordsPerSec}%.1f"},""" +
+          s""""records":${r.records},"uniques":${r.uniques},""" +
+          s""""dups_fed":${r.dupsFed},"batches":${r.batches},""" +
+          s""""mismatches":${r.mismatches},"floor_rec_per_sec":${floor.toLong},""" +
+          s""""gate_ok":${r.mismatches == 0 && r.dupsFed > 0 &&
+            r.recordsPerSec >= floor}}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"metric":"stream_dedup","err":${jstr(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
+
     // ANN index-quality telemetry (VERDICT r7 task #4): recall@10 of
     // each approximate index vs the exact brute-force top-10, so
     // index-quality regressions are visible round-over-round the way
@@ -223,6 +246,14 @@ object Bench {
     // Gated to full runs like the streaming line — a subset
     // invocation is a timing probe. untimed: runs after all timed
     // medians are recorded.
+    // Adaptive-probe gate (VERDICT r16 task #3): alongside the
+    // fixed-probe recalls (unchanged — they document the serve
+    // settings), the adaptive paths widen nprobe / the Hamming
+    // radius until the top-k stabilizes, and the line gates on the
+    // MEASURED adaptive recall reaching the target on BOTH corpora —
+    // on the unstructured corpus the expansion buys the recall the
+    // fixed setting can't (recall ≈ scan fraction is the floor
+    // there, so the scan fraction is reported, not bounded).
     def annMetrics(metric: String, dir: String): String =
       try {
         def topIds(name: String): Set[String] =
@@ -230,16 +261,28 @@ object Bench {
             .select("vec_id").collect()
             .map(r => String.valueOf(r.get(0))).toSet
         val truth = topIds("sim_brute_topk")
-        def recall(name: String): Double =
+        def recall(ids: Set[String]): Double =
           if (truth.isEmpty) 1.0
-          else topIds(name).intersect(truth).size.toDouble / truth.size
-        val lsh = recall("sim_lsh_ann")
-        val ivf = recall("sim_ivf_ann")
+          else ids.intersect(truth).size.toDouble / truth.size
+        val lsh = recall(topIds("sim_lsh_ann"))
+        val ivf = recall(topIds("sim_ivf_ann"))
         val (lshFrac, ivfFrac) =
           graft.operators.SimilarityQueries.annScanFractions(spark, dir)
+        val (aIvfIds, aIvfFrac, aNprobe) =
+          graft.operators.SimilarityQueries.simIvfAdaptive(spark, dir)
+        val (aLshIds, aLshFrac, aRadius) =
+          graft.operators.SimilarityQueries.simLshAdaptive(spark, dir)
+        val aIvf = recall(aIvfIds.map(String.valueOf(_)).toSet)
+        val aLsh = recall(aLshIds.map(String.valueOf(_)).toSet)
+        val target =
+          graft.operators.SimilarityQueries.AnnAdaptiveRecallTarget
+        val gateOk = aIvf >= target && aLsh >= target
         s"""{"metric":${jstr(metric)},"k":${truth.size},""" +
           s""""lsh_recall":${f"$lsh%.2f"},"lsh_scan_frac":${f"$lshFrac%.3f"},""" +
-          s""""ivf_recall":${f"$ivf%.2f"},"ivf_scan_frac":${f"$ivfFrac%.3f"}}"""
+          s""""ivf_recall":${f"$ivf%.2f"},"ivf_scan_frac":${f"$ivfFrac%.3f"},""" +
+          s""""ivf_adaptive_recall":${f"$aIvf%.2f"},"ivf_adaptive_frac":${f"$aIvfFrac%.3f"},"ivf_adaptive_nprobe":$aNprobe,""" +
+          s""""lsh_adaptive_recall":${f"$aLsh%.2f"},"lsh_adaptive_frac":${f"$aLshFrac%.3f"},"lsh_adaptive_radius":$aRadius,""" +
+          s""""recall_target":$target,"gate_ok":$gateOk}"""
       } catch {
         case e: Throwable =>
           s"""{"metric":${jstr(metric)},"err":${jstr(
@@ -270,6 +313,7 @@ object Bench {
       val telemetry = Seq(
         if (streamLine.nonEmpty) Some(s"""  "stream_throughput": $streamLine""") else None,
         if (sessionizeLine.nonEmpty) Some(s"""  "stream_sessionize": $sessionizeLine""") else None,
+        if (dedupLine.nonEmpty) Some(s"""  "stream_dedup": $dedupLine""") else None,
         if (annLine.nonEmpty) Some(s"""  "ann_recall": $annLine""") else None,
         if (annStructuredLine.nonEmpty)
           Some(s"""  "ann_recall_structured": $annStructuredLine""") else None
@@ -309,6 +353,7 @@ object Bench {
     // streaming/ANN lines were lost exactly this way.
     if (streamLine.nonEmpty) println(streamLine)
     if (sessionizeLine.nonEmpty) println(sessionizeLine)
+    if (dedupLine.nonEmpty) println(dedupLine)
     if (annLine.nonEmpty) println(annLine)
     if (annStructuredLine.nonEmpty) println(annStructuredLine)
     // Cold-total summary (sum of first runs): short, second-to-last.

@@ -719,12 +719,22 @@ object SimilarityQueries {
     * to those cells (VERDICT r6 task #6). */
   private[graft] def ivfTopology(s: SparkSession, dir: String)
       : (DataFrame, Array[Int], Array[Double]) = {
+    val (assigned, order, query) = ivfCellOrder(s, dir)
+    (assigned, order.take(graft.sources.IndexStore.IvfNprobe), query)
+  }
+
+  /** Full probe order for `dir`'s IVF index: the persisted
+    * cell-assigned collection, ALL cells sorted by centroid distance
+    * to query vec_id=0, and the query vector — the adaptive probe
+    * path walks this order instead of cutting it at IvfNprobe. */
+  private[graft] def ivfCellOrder(s: SparkSession, dir: String)
+      : (DataFrame, Array[Int], Array[Double]) = {
     val paths = graft.sources.IndexStore.ensureIvf(s, dir)
     val assigned = s.read.parquet(paths.assignments)
     val query = assigned.filter(col("vec_id") === 0)
       .select("e").head().getSeq[Double](0).toArray
     // the root read: IvfK (cell, centroid) rows — index metadata
-    val probes = s.read.parquet(paths.centroids)
+    val order = s.read.parquet(paths.centroids)
       .collect()
       .map { r =>
         val arr = r.getSeq[Double](r.fieldIndex("centroid")).toArray
@@ -735,9 +745,118 @@ object SimilarityQueries {
         }
         (r.getInt(r.fieldIndex("cell")), d)
       }
-      .sortBy(_._2).take(graft.sources.IndexStore.IvfNprobe)
+      .sortBy(_._2)
       .map(_._1)
-    (assigned, probes, query)
+    (assigned, order, query)
+  }
+
+  /** Recall bar for the adaptive-probe ANN gate (both corpora). */
+  val AnnAdaptiveRecallTarget = 0.9
+
+  /** Adaptive IVF probing (VERDICT r16 task #3 — the standing
+    * lsh 0.20 / ivf 0.30 unstructured-recall watch item): instead of
+    * serving at a FIXED nprobe and reporting whatever recall falls
+    * out, walk the centroid-distance cell order and DOUBLE the probe
+    * count each level until the top-k id set is UNCHANGED from the
+    * previous level (the standard no-ground-truth stopping proxy:
+    * more probes stopped changing the answer) or every cell is
+    * probed. On a clustered corpus the result stabilizes after a few
+    * cells — recall ≈ 1 at a small scan fraction; on an i.i.d.
+    * random corpus (where recall ≈ scan fraction is the theoretical
+    * floor and NO index can do better) the expansion degrades
+    * gracefully to the exact scan instead of silently reporting 0.3
+    * — the recall/scan-fraction trade is bought, measured, and
+    * gated, never guessed. Each level is one partition-pruned
+    * cosine top-k over the probed cells (the sim_ivf_ann serve plan
+    * at a wider probe set); the confirming level's scan is billed to
+    * the reported fraction.
+    *
+    * Returns (top-k vec_ids, scan fraction actually scanned,
+    * final nprobe). */
+  def simIvfAdaptive(s: SparkSession, dir: String)
+      : (Seq[Long], Double, Int) = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val (assigned, order, query) = ivfCellOrder(s, dir)
+    val qe = {
+      val spark = s
+      import spark.implicits._
+      Seq(Tuple1(query.toSeq)).toDF("qe")
+    }
+    val coll = assigned.filter(col("vec_id") =!= 0)
+    def topAt(n: Int): Seq[Long] = coll
+      .filter(col("cell")
+        .isin(order.take(n).map(Integer.valueOf).toIndexedSeq: _*))
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), expr("cosine_sim(e, qe)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    var n = graft.sources.IndexStore.IvfNprobe
+    var ids = topAt(n)
+    var stable = n >= order.length
+    while (!stable) {
+      val n2 = math.min(order.length, n * 2)
+      val ids2 = topAt(n2)
+      stable = ids2.toSet == ids.toSet || n2 == order.length
+      ids = ids2
+      n = n2
+    }
+    val row = coll.agg(
+      count(lit(1)),
+      sum(when(col("cell")
+          .isin(order.take(n).map(Integer.valueOf).toIndexedSeq: _*),
+        1L).otherwise(0L))).head()
+    (ids, row.getLong(1).toDouble / math.max(1L, row.getLong(0)), n)
+  }
+
+  /** Adaptive sign-LSH probing — the Hamming-radius counterpart of
+    * [[simIvfAdaptive]]: widen the probe ball one radius at a time,
+    * starting from the fixed serve setting [[MultiProbeRadius]],
+    * until the top-k id set is unchanged from the previous radius or
+    * the ball covers every bucket. Returns (top-k vec_ids, scan
+    * fraction, final radius). */
+  def simLshAdaptive(s: SparkSession, dir: String)
+      : (Seq[Long], Double, Int) = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    graft.functions.SignLshBucket.ensureRegistered(s)
+    val planes = AnnPlanes
+    val emb = cleanEmbeddings(s, dir)
+      .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
+      .localCheckpoint() // re-read once per radius level
+    val qRow = emb.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("e")).head()
+    val qBucket = qRow.getLong(0)
+    val qe = {
+      val spark = s
+      import spark.implicits._
+      Seq(Tuple1(qRow.getSeq[Double](1))).toDF("qe")
+    }
+    val coll = emb.filter(col("vec_id") =!= 0)
+    def ball(r: Int): Array[java.lang.Long] = (0 to r)
+      .flatMap(w => (0 until planes).combinations(w)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b)) ^ qBucket))
+      .map(java.lang.Long.valueOf).toArray
+    def topAt(r: Int): Seq[Long] = coll
+      .filter(col("bucket").isin(ball(r).toIndexedSeq: _*))
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), expr("cosine_sim(e, qe)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    var r = MultiProbeRadius
+    var ids = topAt(r)
+    var stable = r >= planes
+    while (!stable) {
+      val r2 = r + 1
+      val ids2 = topAt(r2)
+      stable = ids2.toSet == ids.toSet || r2 == planes
+      ids = ids2
+      r = r2
+    }
+    val row = coll.agg(
+      count(lit(1)),
+      sum(when(col("bucket").isin(ball(r).toIndexedSeq: _*), 1L)
+        .otherwise(0L))).head()
+    org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(emb)
+    (ids, row.getLong(1).toDouble / math.max(1L, row.getLong(0)), r)
   }
 
   /** Dynamic oracle registry for the IVF serve path: the serving
@@ -1272,9 +1391,11 @@ object SimilarityQueries {
     * buckets (the same hot-bucket discipline as dd_ngram_jaccard's
     * rarest-gram routing). The only per-pair work is the final
     * verify, on candidates the filter already proved share a rare
-    * gram. Keys shorter than d·q + q would need a length-bucket
-    * fallback (the bound degenerates); this corpus can't produce
-    * one. The filter is deliberately UNCAPPED (a hot-bucket drop
+    * gram. Keys shorter than d·q + q (where the pigeonhole bound
+    * degenerates) are routed through a length-bounded all-pairs
+    * fallback inside [[edJoinCandidates]] (ADVICE r16), so the
+    * lossless claim holds on ANY corpus, not just ones with long
+    * keys. The filter is deliberately UNCAPPED (a hot-bucket drop
     * would break the lossless contract the all-pairs oracle
     * certifies), so on an exact-duplicate pile the candidate set is
     * the pile's true n² distance-0 pairs — output-bound, not
@@ -1377,7 +1498,31 @@ object SimilarityQueries {
       q: Int = EdJoinQ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prefixLen = EdJoinMaxDist * q + 1
-    val grams = keys
+    // Pigeonhole floor (ADVICE r16): a key of length L has L−q+1
+    // grams and d edits destroy up to d·q of them, so the prefix
+    // filter is lossless only for L ≥ d·q + q — a shorter key can
+    // lose EVERY gram to d edits and a true near-pair would share no
+    // gram at all. Keys under the floor take the all-pairs fallback
+    // below instead of a silently lossy filter; on the standard
+    // corpora (keys fixed at EdJoinKeyLen = 24) the short pool is
+    // empty and the fallback contributes nothing.
+    val minLen = EdJoinMaxDist * q + q
+    val longKeys = keys.filter(length(col("k")) >= minLen)
+    val shortKeys = keys.filter(length(col("k")) < minLen)
+    // a short key can only be within d edits of a key no more than d
+    // longer, so the fallback partner pool is length-bounded too —
+    // the all-pairs block is confined to the short stratum, never
+    // the corpus
+    val nearShort = keys
+      .filter(length(col("k")) < minLen + EdJoinMaxDist)
+    val fallback = shortKeys.as("a")
+      .join(nearShort.as("b"),
+        col("a.doc_id") =!= col("b.doc_id") &&
+          abs(length(col("a.k")) - length(col("b.k")))
+            <= EdJoinMaxDist)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val grams = longKeys
       .select(col("doc_id"),
         posexplode(expr(s"transform(" +
           s"sequence(1, greatest(length(k) - ${q - 1}, 1)), " +
@@ -1396,6 +1541,7 @@ object SimilarityQueries {
           abs(col("a.pos") - col("b.pos")) <= EdJoinMaxDist &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .unionByName(fallback)
       .distinct()
   }
 

@@ -38,6 +38,43 @@ class AnnStructuredSpec extends SparkSpec {
         "recall bar must be met SUBLINEARLY")
   }
 
+  test("adaptive probing: full recall on the structured corpus " +
+      "while still sublinear, and full recall on an unstructured " +
+      "one by graceful expansion") {
+    // structured: the planted cluster stabilizes the top-k within a
+    // few cells — the adaptive walk must reach the recall target at
+    // a sublinear scan fraction
+    val truth = SimilarityQueries.simBruteTopK(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (ids, frac, nprobe) =
+      SimilarityQueries.simIvfAdaptive(spark, dir)
+    val recall = ids.toSet.intersect(truth).size.toDouble / truth.size
+    assert(recall >= SimilarityQueries.AnnAdaptiveRecallTarget,
+      s"adaptive IVF recall $recall below target at nprobe $nprobe")
+    assert(frac <= 0.5,
+      s"adaptive IVF scanned ${f"$frac%.3f"} of a STRUCTURED corpus " +
+        s"(nprobe $nprobe) — stabilization failed to exploit structure")
+    // unstructured floor: on the sf corpus recall ≈ scan fraction,
+    // so the expansion must keep widening (possibly to the full
+    // index) rather than stop early with a low-recall answer
+    val sfTruth = SimilarityQueries.simBruteTopK(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (sfIds, sfFrac, _) =
+      SimilarityQueries.simIvfAdaptive(spark, sfDir)
+    val sfRecall =
+      sfIds.toSet.intersect(sfTruth).size.toDouble / sfTruth.size
+    assert(sfRecall >= SimilarityQueries.AnnAdaptiveRecallTarget,
+      s"adaptive IVF recall $sfRecall below target on the " +
+        s"unstructured corpus (scanned ${f"$sfFrac%.3f"})")
+    val (lshIds, lshFrac, radius) =
+      SimilarityQueries.simLshAdaptive(spark, dir)
+    val lshRecall =
+      lshIds.toSet.intersect(truth).size.toDouble / truth.size
+    assert(lshRecall >= SimilarityQueries.AnnAdaptiveRecallTarget,
+      s"adaptive LSH recall $lshRecall below target at radius " +
+        s"$radius (scanned ${f"$lshFrac%.3f"})")
+  }
+
   test("brute-force top-10 on the structured corpus is " +
       "dominated by the probe's planted cluster") {
     // cluster 0 is vec_ids [0, perCluster); if the fixture lost its

@@ -102,6 +102,32 @@ class OlapQueriesSpec extends SparkSpec {
     got.keys.foreach { case (x, y) => assert(x < y) }
   }
 
+  test("edjoin: short keys under the pigeonhole floor take the " +
+      "all-pairs fallback and near-pairs are still found") {
+    import spark.implicits._
+    // 5-char keys with one mid-key substitution: a single edit
+    // destroys every q=4 gram they share, so the prefix filter alone
+    // would silently miss the pair (ADVICE r16) — the length-bounded
+    // all-pairs fallback must catch it
+    val docs = (Seq(
+      0L -> "abcde",          // short near-pair, dist 1 vs doc 1
+      1L -> "abxde",
+      2L -> "zzzzz",          // short, far from everything
+      3L -> "abcdefgh") ++    // short (8 < 12), dist 3 vs doc 0
+      (10L to 29L).map(i =>
+        (i, s"unrelated filler document number $i with its own words")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_edjoin_short").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SimilarityQueries.ddEdJoin(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.contains((0L, 1L)) && got((0L, 1L)) == 1,
+      s"short-key near-pair missed: $got")
+    assert(!got.contains((0L, 2L)), "distance-4 short pair emitted")
+    assert(!got.contains((0L, 3L)), "distance-3 short pair emitted")
+  }
+
   test("edjoin on the fixture corpus agrees with brute force") {
     import spark.implicits._
     val keys = graft.core.Tables.documents(spark, sfDir)
