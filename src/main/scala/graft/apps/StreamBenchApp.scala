@@ -37,6 +37,23 @@ object StreamBenchApp {
     * per-round artifact is self-gating. */
   val ThroughputFloorRecSec = 8000.0
 
+  /** Temp checkpoint for one streaming query, deleted recursively
+    * when the body finishes (ADVICE r16: every bench/spec invocation
+    * used to leak a state-store checkpoint tree in /tmp). */
+  private def withTempCheckpoint[A](prefix: String)(
+      body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Drive the scoring graph over `nBatches` MemoryStream batches of
     * `batchRows` JSON wire rows each; returns the cumulative stats
     * plus the number of alert rows the sink received. Pure function
@@ -65,21 +82,22 @@ object StreamBenchApp {
       input.toDF().select(col("value").cast("binary").as("value")))
     val stats = new ScoringStream.StatsAccumulator
     resources.foreach(_.capture())
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory("graft_stream_bench_ckpt").toString
     var alertRows = 0L
-    val query = ScoringStream.start(parsed, model, checkpoint,
-      // distributed alert path: the frame is fully computed on
-      // executors; the sink here just counts what Kafka would receive
-      alertDf => alertRows += alertDf.count(),
-      stats)
-    try {
-      wire.grouped(batchRows).take(nBatches).foreach { rows =>
-        input.addData(rows)
-        query.processAllAvailable()
-        resources.foreach(_.capture())
-      }
-    } finally query.stop()
+    withTempCheckpoint("graft_stream_bench_ckpt") { checkpoint =>
+      val query = ScoringStream.start(parsed, model, checkpoint,
+        // distributed alert path: the frame is fully computed on
+        // executors; the sink here just counts what Kafka would
+        // receive
+        alertDf => alertRows += alertDf.count(),
+        stats)
+      try {
+        wire.grouped(batchRows).take(nBatches).foreach { rows =>
+          input.addData(rows)
+          query.processAllAvailable()
+          resources.foreach(_.capture())
+        }
+      } finally query.stop()
+    }
     (stats, alertRows)
   }
 
@@ -146,25 +164,25 @@ object StreamBenchApp {
       input.toDF().select(col("value").cast("binary").as("value")))
     val sessions = graft.streaming.StatefulOps
       .sessionWindowCounts(parsed, gap = "2 hours")
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory("graft_sessionize_ckpt").toString
     val sinkName = "graft_sessionize_sink"
-    val query = sessions.writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .start()
     val t0 = System.nanoTime()
-    try {
-      rows.grouped(batchRows).foreach { batch =>
-        input.addData(batch)
-        query.processAllAvailable()
-      }
-      // two sentinel batches: the first advances the watermark, the
-      // second triggers eviction/emission under the new watermark
-      input.addData(Seq(sentinel)); query.processAllAvailable()
-      input.addData(Seq(sentinel)); query.processAllAvailable()
-    } finally query.stop()
+    withTempCheckpoint("graft_sessionize_ckpt") { checkpoint =>
+      val query = sessions.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try {
+        rows.grouped(batchRows).foreach { batch =>
+          input.addData(batch)
+          query.processAllAvailable()
+        }
+        // two sentinel batches: the first advances the watermark, the
+        // second triggers eviction/emission under the new watermark
+        input.addData(Seq(sentinel)); query.processAllAvailable()
+        input.addData(Seq(sentinel)); query.processAllAvailable()
+      } finally query.stop()
+    }
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val streamed = spark.table(sinkName)
@@ -210,6 +228,94 @@ object StreamBenchApp {
       sessions = streamed.count(),
       mismatches = mismatches,
       batches = (rows.size + batchRows - 1) / batchRows)
+  }
+
+  /** Regression floor for the streaming-dedup path (VERDICT r16 task
+    * #7). The state machine is lighter than sessionize (one key per
+    * record, no merge logic), but every record still writes the
+    * dedup state store; floor set ~30% under the measured local[32]
+    * steady state, same discipline as the other stream gates. */
+  val DedupFloorRecSec = 2500.0
+
+  /** Streaming-dedup gate result: throughput plus the batch-twin
+    * equality verdict. `dupsFed` counts the planted re-deliveries —
+    * the gate is vacuous unless it is positive. */
+  final case class DedupResult(
+      recordsPerSec: Double, records: Long, uniques: Long,
+      dupsFed: Long, mismatches: Long, batches: Int)
+
+  /** Drive [[graft.streaming.StatefulOps.dedupWithinWatermark]] over
+    * MemoryStream micro-batches with PLANTED re-deliveries (each
+    * batch i > 0 re-delivers the tail of batch i−1 — the at-least-
+    * once replay a Kafka source produces after a failover) and
+    * verify the emitted rows against the batch twin: exactly one row
+    * per distinct content key of the FED multiset, no key missing,
+    * none emitted twice. The key derivation is shared with the
+    * operator ([[graft.streaming.StatefulOps.txnKey]]), and `step`
+    * is inside the hash, so a re-delivery can never straddle the
+    * watermark horizon — the equality is exact, not probabilistic. */
+  def runDedup(spark: SparkSession, sfDir: String, nBatches: Int,
+      batchRows: Int): DedupResult = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val txns = Transactions.fromEvents(spark, sfDir)
+    // replay order (step asc), as a replayed feed would arrive
+    val wire = txns
+      .select(to_json(struct(col("*"))).as("v"), col("step"))
+      .limit(nBatches * batchRows)
+      .collect()
+      .sortBy(r => (r.getInt(1), r.getString(0)))
+      .map(_.getString(0)).toSeq
+    val clean = wire.grouped(batchRows).toIndexedSeq
+    val redeliver = math.min(200, batchRows)
+    val batches = clean.zipWithIndex.map { case (b, i) =>
+      if (i == 0) b else clean(i - 1).takeRight(redeliver) ++ b
+    }
+    val fed = batches.flatten
+
+    val input = MemoryStream[String]
+    val parsed = ScoringStream.parse(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val deduped = graft.streaming.StatefulOps
+      .dedupWithinWatermark(parsed)
+    val sinkName = "graft_dedup_sink"
+    val t0 = System.nanoTime()
+    withTempCheckpoint("graft_dedup_ckpt") { checkpoint =>
+      val query = deduped.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try batches.foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val streamed = spark.table(sinkName).localCheckpoint()
+    // batch twin: distinct content keys of the same fed multiset,
+    // via the operator's own key derivation
+    val fedKeys = ScoringStream.parse(
+        fed.toDF("json").select(col("json").cast("binary").as("value")))
+      .select(graft.streaming.StatefulOps.txnKey.as("txn_key"))
+      .groupBy(col("txn_key")).agg(count(lit(1)).as("n_fed"))
+    val emitted = streamed.groupBy(col("txn_key"))
+      .agg(count(lit(1)).as("n_out"))
+    val joined = fedKeys.join(emitted, Seq("txn_key"), "full_outer")
+    val mismatches = joined.filter(
+      col("n_fed").isNull || col("n_out").isNull ||
+        col("n_out") =!= 1L).count()
+    val uniques = fedKeys.count()
+
+    DedupResult(
+      recordsPerSec = fed.size.toDouble / math.max(wallSec, 1e-9),
+      records = fed.size.toLong,
+      uniques = uniques,
+      dupsFed = fed.size.toLong - uniques,
+      mismatches = mismatches,
+      batches = batches.size)
   }
 
   def main(args: Array[String]): Unit = {

@@ -125,9 +125,16 @@ object StatefulOps {
   def dedupWithinWatermark(parsed: DataFrame,
       horizon: String = "2 hours"): DataFrame =
     withEventTime(parsed)
-      .withColumn("txn_key",
-        xxhash64(col("step"), col("type"), col("nameOrig"),
-          col("nameDest"), col("amount")))
+      .withColumn("txn_key", txnKey)
       .withWatermark("eventTime", horizon)
       .dropDuplicatesWithinWatermark("txn_key")
+
+  /** The content hash [[dedupWithinWatermark]] keys its state on —
+    * shared with the bench gate's batch twin so both sides derive
+    * the key identically. `step` is part of the hash, so identical
+    * keys always share an event time: a re-delivery can never
+    * straddle the watermark horizon relative to its original. */
+  def txnKey: org.apache.spark.sql.Column =
+    xxhash64(col("step"), col("type"), col("nameOrig"),
+      col("nameDest"), col("amount"))
 }
