@@ -100,8 +100,16 @@ object ScaleRehearsal {
     * are much cheaper per row than the text ops). */
   def genNumeric(s: SparkSession, n: Long, dir: String): Unit = {
     s.range(n).toDF("id")
-      .select((pmod(xxhash64(col("id")), lit(1000000L))
-        .cast("double") / 100.0).as("l_extendedprice"))
+      .select(
+        (pmod(xxhash64(col("id")), lit(1000000L))
+          .cast("double") / 100.0).as("l_extendedprice"),
+        // basket structure for the graph-index serve rehearsal
+        // (r17): 5-line orders over an n/25-part catalog — pair
+        // fan-out bounded by the basket (≤ 10 pairs per order), the
+        // co-purchase graph grows with the corpus
+        (col("id") / 5L).cast("long").as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(3)),
+          greatest(lit(n / 25L), lit(100L))).as("l_partkey"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     s.range(n).toDF("id")
       .select(
@@ -122,7 +130,7 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sizes: Seq[Long] =
       if (args.nonEmpty) args.toSeq.map(_.toLong)
-      else Seq(5000L, 15000L, 50000L)
+      else Seq(5000L, 15000L, 50000L, 150000L)
     val base = sys.env.getOrElse("GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val spark = graft.core.Sessions.local("graft-scale-rehearsal")
     spark.sparkContext.setLogLevel("WARN")
@@ -260,7 +268,37 @@ object ScaleRehearsal {
       val (_, tX8b) = time(runNoop(ExtendedQueries.x8bApproxPercentile(spark, dir)))
       val (_, tX12b) = time(runNoop(ExtendedQueries.x12bApproxFence(spark, dir)))
 
+      // --- persisted-index serve paths (VERDICT r16 task #6): each
+      // build→serve twin measured TWICE per size — the first call
+      // pays the index build (reported *_bs: build + first serve),
+      // the second is the steady serve read. The serve exponents are
+      // the 100 TB claim: serving must scale with the INDEX tables
+      // read, not with corpus re-derivation (every ensure* is
+      // per-(JVM, dir)-memoized and the index roots are
+      // process-unique, so each rehearsal run builds fresh).
+      def twice(f: => DataFrame): (Double, Double) = {
+        val (_, t1) = time(runNoop(f))
+        val (_, t2) = time(runNoop(f))
+        (t1, t2)
+      }
+      val (mhBs, mhSv) = twice(SimilarityQueries.ddMinhashIndexed(spark, dir))
+      val (shBs, shSv) = twice(SimilarityQueries.ddSimhashIndexed(spark, dir))
+      val (ctBs, ctSv) = twice(SimilarityQueries.ddContainmentIndexed(spark, dir))
+      val (cdBs, cdSv) = twice(RetrievalQueries.tCdcChunksIndexed(spark, dir))
+      val (wnBs, wnSv) = twice(TextQueries.ddWinnowIndexed(spark, dir))
+      val (dcBs, dcSv) = twice(TextQueries.tDecontaminateIndexed(spark, dir))
+      val (g6Bs, g6Sv) = twice(GraphQueries.g6TrianglesIndexed(spark, dir))
+      val (x27Bs, x27Sv) = twice(OlapQueries.x27CopurchaseIndexed(spark, dir))
+
       println(s"""{"metric":"scale_rehearsal","n_docs":$n,""" +
+        s""""mh_bs":${f"$mhBs%.2f"},"mh_serve_sec":${f"$mhSv%.2f"},""" +
+        s""""sh_bs":${f"$shBs%.2f"},"sh_serve_sec":${f"$shSv%.2f"},""" +
+        s""""cont_bs":${f"$ctBs%.2f"},"cont_serve_sec":${f"$ctSv%.2f"},""" +
+        s""""cdc_bs":${f"$cdBs%.2f"},"cdc_serve_sec":${f"$cdSv%.2f"},""" +
+        s""""winnow_bs":${f"$wnBs%.2f"},"winnow_serve_sec":${f"$wnSv%.2f"},""" +
+        s""""decon_bs":${f"$dcBs%.2f"},"decon_serve_sec":${f"$dcSv%.2f"},""" +
+        s""""g6_bs":${f"$g6Bs%.2f"},"g6_serve_sec":${f"$g6Sv%.2f"},""" +
+        s""""x27_bs":${f"$x27Bs%.2f"},"x27_serve_sec":${f"$x27Sv%.2f"},""" +
         s""""candidates":$nCand,"hot_buckets":$hot,""" +
         s""""dropped_pairs":$dropped,""" +
         s""""lsh_sec":${f"$tLsh%.2f"},"cc_sec":${f"$tCc%.2f"},""" +
@@ -292,7 +330,12 @@ object ScaleRehearsal {
           (nEdCand.toDouble / math.max(1L, nEdPairs)),
         "cont_sec" -> tCont, "sem_sec" -> tSem,
         "x31_sec" -> tX31, "x32_sec" -> tX32,
-        "x8b_sec" -> tX8b, "x12b_sec" -> tX12b))
+        "x8b_sec" -> tX8b, "x12b_sec" -> tX12b,
+        // serve-path walls (r17): the steady index read per twin
+        "mh_serve_sec" -> mhSv, "sh_serve_sec" -> shSv,
+        "cont_serve_sec" -> ctSv, "cdc_serve_sec" -> cdSv,
+        "winnow_serve_sec" -> wnSv, "decon_serve_sec" -> dcSv,
+        "g6_serve_sec" -> g6Sv, "x27_serve_sec" -> x27Sv))
     }
 
     // growth exponents between smallest and largest corpus:
