@@ -775,7 +775,24 @@ object SimilarityQueries {
     * final nprobe). */
   def simIvfAdaptive(s: SparkSession, dir: String)
       : (Seq[Long], Double, Int) = {
+    val (_, ids, frac, n) = ivfAdaptiveWalk(s, dir)
+    (ids, frac, n)
+  }
+
+  /** The adaptive IVF walk as a REGISTERED query with a dynamic
+    * oracle (the sim_ivf_ann discipline): the serving plan at the
+    * stabilized probe level is plain SQL over the persisted index,
+    * so once the walk has fixed its probe set in this JVM, a
+    * read_parquet twin with the final cells interpolated certifies
+    * the adaptive serve by hash — the stopping decision's OUTPUT is
+    * exactly verified, not just recall-gated in the bench. */
+  def simIvfAdaptiveQuery(s: SparkSession, dir: String): DataFrame =
+    ivfAdaptiveWalk(s, dir)._1
+
+  private def ivfAdaptiveWalk(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Long], Double, Int) = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
+    val paths = graft.sources.IndexStore.ensureIvf(s, dir)
     val (assigned, order, query) = ivfCellOrder(s, dir)
     val qe = {
       val spark = s
@@ -783,29 +800,43 @@ object SimilarityQueries {
       Seq(Tuple1(query.toSeq)).toDF("qe")
     }
     val coll = assigned.filter(col("vec_id") =!= 0)
-    def topAt(n: Int): Seq[Long] = coll
+    def topDf(n: Int): DataFrame = coll
       .filter(col("cell")
         .isin(order.take(n).map(Integer.valueOf).toIndexedSeq: _*))
       .crossJoin(broadcast(qe))
-      .select(col("vec_id"), expr("cosine_sim(e, qe)").as("cosine"))
+      .select(col("vec_id"), col("label"),
+        expr("cosine_sim(e, qe)").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(10).collect().map(_.getLong(0)).toSeq
+      .limit(10)
+    def topIds(n: Int): Seq[Long] =
+      topDf(n).select("vec_id").collect().map(_.getLong(0)).toSeq
     var n = graft.sources.IndexStore.IvfNprobe
-    var ids = topAt(n)
+    var ids = topIds(n)
     var stable = n >= order.length
     while (!stable) {
       val n2 = math.min(order.length, n * 2)
-      val ids2 = topAt(n2)
+      val ids2 = topIds(n2)
       stable = ids2.toSet == ids.toSet || n2 == order.length
       ids = ids2
       n = n2
     }
+    val probes = order.take(n)
+    dynamicOracle(("sim_ivf_adaptive", dir)) =
+      s"""WITH e AS (SELECT vec_id, label, e, CAST(cell AS INTEGER) AS cell
+         | FROM read_parquet('${paths.assignments}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+         |SELECT vec_id, label, list_cosine_similarity(e, qe) AS cosine
+         |FROM e CROSS JOIN q
+         |WHERE vec_id <> 0 AND cell IN (${probes.mkString(", ")})
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     val row = coll.agg(
       count(lit(1)),
       sum(when(col("cell")
-          .isin(order.take(n).map(Integer.valueOf).toIndexedSeq: _*),
+          .isin(probes.map(Integer.valueOf).toIndexedSeq: _*),
         1L).otherwise(0L))).head()
-    (ids, row.getLong(1).toDouble / math.max(1L, row.getLong(0)), n)
+    (topDf(n), ids,
+      row.getLong(1).toDouble / math.max(1L, row.getLong(0)), n)
   }
 
   /** Adaptive sign-LSH probing — the Hamming-radius counterpart of
@@ -1982,6 +2013,7 @@ object SimilarityQueries {
     "sim_exact_pairs" -> (simExactPairs _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
+    "sim_ivf_adaptive" -> (simIvfAdaptiveQuery _),
     "sim_ivf_drift" -> (simIvfDrift _),
     "sim_ivf_sq8" -> (simIvfSq8 _),
     "sim_ivf_pq" -> (simIvfPq _),
