@@ -954,6 +954,94 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Query-batch size for [[simIvfBatch]] (one serving batch).
+    * Interpolated into the dynamic oracle. */
+  val BatchQueries = 8L
+
+  /** Neighbors returned per batched query. */
+  val BatchK = 5
+
+  /** BATCHED IVF serving (r17) — the realistic 100 TB vector-serving
+    * shape: ANN tiers amortize index reads over a BATCH of queries,
+    * not one probe at a time. The driver picks each query's
+    * [[graft.sources.IndexStore.IvfNprobe]] probe cells from the
+    * 16-row centroid root (index metadata — the only driver data),
+    * then ONE plan serves the whole batch: the assignments scan is
+    * partition-pruned to the UNION of probed cells, each candidate
+    * row joins the (query, cell) probe pairs on `cell` (a broadcast
+    * literal — a row fans out only to the queries that probed its
+    * cell), the query vectors ride a second broadcast, and the
+    * per-query top-k runs on the bounded-heap [[graft.plans
+    * .TopKPerGroup]] — partial heaps map-side, ≤ k rows per query
+    * per task in the exchange, no global sort.
+    *
+    * Hash-oracled end-to-end by a dynamic read_parquet twin with the
+    * probe pairs interpolated as a VALUES literal: the partition
+    * prune, the per-query candidate sets, the cosine chain, and the
+    * (cosine DESC, vec_id) total-ordered k-cut all verify in one
+    * compare. */
+  def simIvfBatch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val paths = graft.sources.IndexStore.ensureIvf(s, dir)
+    val assigned = s.read.parquet(paths.assignments)
+    // the batch: vectors 0..BatchQueries-1, fetched from the index
+    val batch = assigned.filter(col("vec_id") < BatchQueries)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // the root read: per query, the IvfNprobe nearest cells
+    val cents = s.read.parquet(paths.centroids).collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+    val probePairs: Seq[(Long, Int)] = batch.toSeq.flatMap {
+      case (qid, qv) =>
+        cents.map { case (cell, c) =>
+          var d = 0.0; var j = 0
+          while (j < c.length) {
+            val diff = c(j) - qv(j); d += diff * diff; j += 1
+          }
+          (cell, d)
+        }.sortBy(_._2).take(graft.sources.IndexStore.IvfNprobe)
+          .map(p => (qid, p._1)).toSeq
+    }
+    val valuesSql = probePairs
+      .map { case (q, c) => s"(CAST($q AS BIGINT), $c)" }
+      .mkString(", ")
+    dynamicOracle(("sim_ivf_batch", dir)) =
+      s"""WITH e AS (SELECT vec_id, label, e, CAST(cell AS INTEGER) AS cell
+         | FROM read_parquet('${paths.assignments}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |probes AS (SELECT * FROM (VALUES $valuesSql)
+         |           v(query_id, cell)),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+         |      WHERE vec_id < $BatchQueries),
+         |cand AS (SELECT p.query_id, c.vec_id, c.label,
+         |           list_cosine_similarity(c.e, q.qe) AS cosine
+         |         FROM e c
+         |         JOIN probes p ON c.cell = p.cell
+         |         JOIN q ON q.query_id = p.query_id
+         |         WHERE c.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, vec_id) AS rk FROM cand)
+         |SELECT query_id, vec_id, label, cosine
+         |FROM r WHERE rk <= $BatchK""".stripMargin
+    val spark = s
+    import spark.implicits._
+    val probesDf = probePairs.toDF("query_id", "cell")
+    val queriesDf = batch.toSeq.map { case (q, v) => (q, v.toSeq) }
+      .toDF("query_id", "qe")
+    val cand = assigned
+      .filter(col("cell").isin(
+        probePairs.map(_._2).distinct.map(Integer.valueOf): _*))
+      .join(broadcast(probesDf), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(queriesDf), "query_id")
+      .select(col("query_id"), col("vec_id"), col("label"),
+        expr("cosine_sim(e, qe)").as("cosine"))
+    graft.plans.TopKPerGroup(cand, Seq("query_id"), "cosine",
+      descending = true, Seq("vec_id"), BatchK)
+  }
+
   /** Quantization scale for the IVF drift census: per-component
     * residuals (x − c) quantized to 1e-4 before squaring, so the
     * census is pure integer arithmetic — exact in any accumulation
@@ -2014,6 +2102,7 @@ object SimilarityQueries {
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_adaptive" -> (simIvfAdaptiveQuery _),
+    "sim_ivf_batch" -> (simIvfBatch _),
     "sim_ivf_drift" -> (simIvfDrift _),
     "sim_ivf_sq8" -> (simIvfSq8 _),
     "sim_ivf_pq" -> (simIvfPq _),

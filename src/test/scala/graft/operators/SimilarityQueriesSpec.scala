@@ -200,6 +200,53 @@ class SimilarityQueriesSpec extends SparkSpec {
     }
   }
 
+  test("batched IVF serve: per-query results == restricted brute " +
+      "force over that query's own probe cells") {
+    // the batch generalization of the probe-set invariant: each
+    // query's k results must equal a local brute-force recompute
+    // over ONLY the cells that query probed (per-query probe sets
+    // re-derived here from the persisted centroid root)
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val paths = graft.sources.IndexStore.ensureIvf(spark, sfDir)
+    val assigned = spark.read.parquet(paths.assignments)
+      .selectExpr("vec_id", "cell", "e").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val cents = spark.read.parquet(paths.centroids).collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val byQuery = SimilarityQueries.simIvfBatch(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(byQuery.keySet == (0L until SimilarityQueries.BatchQueries).toSet,
+      s"queries answered: ${byQuery.keySet}")
+    (0L until SimilarityQueries.BatchQueries).foreach { qid =>
+      val qv = assigned.find(_._1 == qid).get._3
+      val probeCells = cents.map { case (cell, c) =>
+        (cell, c.zip(qv).map { case (x, y) =>
+          (x - y) * (x - y) }.sum)
+      }.sortBy(_._2).take(graft.sources.IndexStore.IvfNprobe)
+        .map(_._1).toSet
+      val expected = assigned
+        .filter(r => probeCells.contains(r._2) && r._1 != qid)
+        .map { case (id, _, e) =>
+          (id, dot(e, qv) / (norm(e) * norm(qv))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(SimilarityQueries.BatchK)
+      val got = byQuery(qid).sortBy(r => (-r._3, r._2))
+      assert(got.map(_._2).toSeq == expected.map(_._1).toSeq,
+        s"query $qid: got ${got.map(_._2).toSeq}, " +
+          s"want ${expected.map(_._1).toSeq}")
+      got.zip(expected).foreach { case ((_, _, c1), (_, c2)) =>
+        assert(math.abs(c1 - c2) < 1e-9)
+      }
+    }
+  }
+
   test("exact-pairs cartesian baseline refuses oversized input") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_exact_pairs").toString
