@@ -292,64 +292,122 @@ object SimilarityQueries {
     expr(pack.replace("VOTES", votes))
   }
 
-  /** SimHash near-dup PAIRS via multi-index hashing: split the
-    * 32-bit simhash into 4 byte bands; by pigeonhole, any pair with
-    * hamming distance ≤ 3 shares at least one identical band, so
-    * banding is a LOSSLESS candidate filter for r = 3 — candidate
-    * generation stays an equi-join on (band, byte), then the exact
-    * hamming distance (bit_count of xor) verifies. Output is the
-    * complete radius-3 pair set — identical by construction to the
-    * oracle's all-pairs scan, which is what makes an LSH-indexed
-    * query hash-verifiable. */
+  /** SimHash multi-index scheme (r17 — the 150k-decade rehearsal
+    * flag): the signature splits into [[ShNibbles]] 4-bit nibbles,
+    * and any pair within hamming distance [[ShRadius]] = 3 differs
+    * in at most 3 nibbles, so it matches at least one of the
+    * C(8,3) = 56 complementary 5-nibble (20-bit) probe keys exactly
+    * — the block-combination multi-index of Manku, Jain & Sarma
+    * (WWW'07) adapted to the 32-bit signature. The previous 4×8-bit
+    * banding was equally lossless but had only 256 buckets per
+    * band: candidate generation was Θ(n²/128) BY CONSTRUCTION —
+    * 176M candidate pairs at a 150k-doc corpus (20.8 s serve),
+    * infeasible at 100 TB. The 56×2²⁰-bucket scheme cuts the
+    * uniform-collision rate ~300× at the price of 14× more
+    * (combo, key) probe rows — rows grow linearly, collisions
+    * quadratically, so the trade wins everywhere past toy sizes. */
+  val ShNibbles = 8
+
+  /** Hamming radius of the near-dup pair contract. */
+  val ShRadius = 3
+
+  /** All 5-nibble combinations, ascending; combo id = position. Any
+    * ≤ [[ShRadius]]-bit-different pair shares every nibble of at
+    * least one combo (pigeonhole over the 3-subset its dirty bits
+    * occupy). */
+  val ShCombos: IndexedSeq[Seq[Int]] =
+    (0 until ShNibbles).combinations(ShNibbles - ShRadius)
+      .map(_.toSeq).toIndexedSeq
+
+  /** 20-bit probe key of `sigCol` for one combo: the 5 included
+    * nibbles concatenated in ascending nibble order. */
+  private def shKeyExpr(nibs: Seq[Int], sigCol: String): String =
+    nibs.zipWithIndex.map { case (nib, i) =>
+      s"shiftleft(shiftright($sigCol, ${nib * 4}) & 15, ${i * 4})"
+    }.mkString("(", " | ", ")")
+
+  /** `posexplode(...)` of the 56 probe keys of `sigCol` — pos IS the
+    * combo id (ShCombos order), so the generator carries a plain int
+    * array instead of 56 structs. Shared by the scan twin and the
+    * index build so the layouts can never diverge. Use as
+    * `select(..., shComboPosexplode("simhash").as(Seq("combo", "k")))`. */
+  private[graft] def shComboPosexplode(sigCol: String): Column = {
+    val keys = ShCombos
+      .map(nibs => s"cast(${shKeyExpr(nibs, sigCol)} as int)")
+      .mkString(", ")
+    posexplode(expr(s"array($keys)"))
+  }
+
+  /** CASE yielding the LOWEST combo id whose included nibbles are
+    * all clean in the xor column — the canonical witness: a joined
+    * pair is kept only at this combo, so near-identical signatures
+    * (which match many combos at once) contribute ONE candidate row
+    * instead of up to 56. Total on join output by construction
+    * (the row's own combo matched, so some WHEN holds). */
+  private[graft] def shCanonicalComboSql(xorCol: String): String =
+    ShCombos.zipWithIndex.map { case (nibs, ci) =>
+      val mask = nibs.map(n => 0xFL << (4 * n)).reduce(_ | _)
+      s"WHEN ($xorCol & $mask) = 0 THEN $ci"
+    }.mkString("CASE ", " ", " END")
+
+  /** `k`-vs-`simhash` consistency predicate for the persisted index
+    * (SimhashIndexSpec): the key must equal its combo's nibble
+    * concatenation. */
+  private[graft] def shKeyCaseSql(sigCol: String): String =
+    ShCombos.zipWithIndex.map { case (nibs, ci) =>
+      s"WHEN $ci THEN cast(${shKeyExpr(nibs, sigCol)} as int)"
+    }.mkString("CASE combo ", " ", " END")
+
+  /** The shared candidate-join + verify body of the SimHash pair
+    * twins: equi-join on (combo, k), canonical-witness dedup, exact
+    * hamming verify — output is the complete radius-[[ShRadius]]
+    * pair set, identical to the oracle's all-pairs scan. Each
+    * surviving pair is unique by the witness filter, so no
+    * dedup shuffle follows the join. */
+  private def shPairClosure(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("combo"), col("k"),
+      col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("combo"), col("k"),
+      col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("combo", "k"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("xr", expr("h_a ^ h_b"))
+      .filter(col("combo") === expr(shCanonicalComboSql("xr")))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(xr) as int)").as("hamming"))
+      .filter(col("hamming") <= ShRadius)
+      .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup PAIRS via the [[ShCombos]] multi-index: probe
+    * keys are an equi-join, the exact hamming distance (bit_count of
+    * xor) verifies, and the canonical-witness filter keeps each pair
+    * once. Output is the complete radius-3 pair set — identical by
+    * construction to the oracle's all-pairs scan, which is what
+    * makes an LSH-indexed query hash-verifiable. */
   def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = ddSimhash(s, dir) // already localCheckpointed by the cache
-    val banded = hashes.select(col("doc_id"), col("simhash"),
-      expr("explode(transform(sequence(0, 3), b -> " +
-        "named_struct('band', b, " +
-        "'byte', shiftright(simhash, b * 8) & 255)))").as("x"))
+    shPairClosure(hashes
       .select(col("doc_id"), col("simhash"),
-        col("x.band"), col("x.byte"))
-    val a = banded.select(col("band"), col("byte"),
-      col("doc_id").as("id_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("band"), col("byte"),
-      col("doc_id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("band", "byte"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("cast(bit_count(h_a ^ h_b) as int)").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
-      .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+        shComboPosexplode("simhash").as(Seq("combo", "k"))))
   }
 
   /** [[ddSimhashPairs]] served from the PERSISTED SimHash index
     * ([[graft.sources.IndexStore.ensureSimhash]]) — the build→serve
     * twin discipline applied to the last dedup family member that
     * still recomputed signatures per run. Candidate generation AND
-    * the hamming verify both read the one banded signature table
-    * (the signature travels with its band rows; the verify is
-    * bit_count(xor), no fingerprint store needed), the (band, byte)
-    * equi-join is partition-local by layout, and the raw documents
-    * table is absent from the plan (SimhashIndexSpec asserts it).
-    * Shares the scan twin's exact all-pairs oracle, so a hash match
-    * certifies the incrementally-built index content end-to-end. */
+    * the hamming verify both read the one probe-keyed signature
+    * table (the signature travels with its (combo, k) rows; the
+    * verify is bit_count(xor), no fingerprint store needed), the
+    * (combo, k) equi-join is partition-local by layout, and the raw
+    * documents table is absent from the plan (SimhashIndexSpec
+    * asserts it). Shares the scan twin's exact all-pairs oracle, so
+    * a hash match certifies the incrementally-built index content
+    * end-to-end. */
   def ddSimhashIndexed(s: SparkSession, dir: String): DataFrame = {
     val paths = graft.sources.IndexStore.ensureSimhash(s, dir)
-    val banded = s.read.parquet(paths.sigs)
-      .select(col("band"), col("byte"), col("doc_id"), col("simhash"))
-    val a = banded.select(col("band"), col("byte"),
-      col("doc_id").as("id_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("band"), col("byte"),
-      col("doc_id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("band", "byte"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("cast(bit_count(h_a ^ h_b) as int)").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
-      .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+    shPairClosure(s.read.parquet(paths.sigs)
+      .select(col("combo"), col("k"), col("doc_id"), col("simhash")))
   }
 
   /** n-gram Jaccard similarity via bucketed self-join: word 3-gram

@@ -403,30 +403,27 @@ object IndexStore {
       paths
     })
 
-  /** SimHash signature-table band count: 4 byte-bands of the 32-bit
-    * signature — the SAME banding the scan-side dd_simhash_pairs
-    * uses, so pigeonhole completeness at hamming radius 3 carries
-    * over to the indexed serve unchanged. */
-  val ShBands = 4
-
   case class SimhashPaths(sigs: String)
 
   private val shBuilt = TrieMap.empty[String, SimhashPaths]
 
   /** Persisted SimHash near-dup index (VERDICT r15 task #4 — the
     * last dedup family member still recomputing signatures per run):
-    * one banded signature table (doc_id, simhash, byte), hive-
-    * partitioned by `band`, holding each document's 32-bit majority-
-    * vote signature exploded into its [[ShBands]] byte bands. Unlike
-    * MinHash there is no separate fingerprint store — the hamming
-    * verify is bit_count(xor) of the signatures themselves, which
-    * travel with the banded rows, so ONE table serves both candidate
-    * generation (partition-local equi-join on (band, byte)) and
-    * verification. Rows are per-doc facts, so the doc-keyed
-    * base+delta split appends losslessly (incremental ≡ one-shot,
-    * pinned by SimhashIndexSpec; the serve twin's hash-equality to
-    * the scan twin certifies the content end-to-end). Once per
-    * (JVM, dir). */
+    * one probe-keyed signature table (doc_id, simhash, k), hive-
+    * partitioned by `combo`, holding each document's 32-bit
+    * majority-vote signature exploded into its
+    * [[graft.operators.SimilarityQueries.ShCombos]] 5-nibble probe
+    * keys (the Manku block-combination multi-index — the r17 layout;
+    * the previous 4×8-bit banding had 256 buckets per band and was
+    * Θ(n²/128) at candidate time). Unlike MinHash there is no
+    * separate fingerprint store — the hamming verify is
+    * bit_count(xor) of the signatures themselves, which travel with
+    * the probe rows, so ONE table serves both candidate generation
+    * (partition-local equi-join on (combo, k)) and verification.
+    * Rows are per-doc facts, so the doc-keyed base+delta split
+    * appends losslessly (incremental ≡ one-shot, pinned by
+    * SimhashIndexSpec; the serve twin's hash-equality to the scan
+    * twin certifies the content end-to-end). Once per (JVM, dir). */
   def ensureSimhash(s: SparkSession, dir: String): SimhashPaths =
     shBuilt.getOrElseUpdate(dir, {
       graft.functions.GraftFunctions.ensureRegistered(s)
@@ -442,13 +439,10 @@ object IndexStore {
           .select(col("doc_id"),
             call_function("simhash32", col("hs")).as("simhash"))
           .select(col("doc_id"), col("simhash"),
-            expr(s"explode(transform(sequence(0, ${ShBands - 1}), " +
-              "b -> named_struct('band', b, " +
-              "'byte', shiftright(simhash, b * 8) & 255)))").as("x"))
-          .select(col("doc_id"), col("simhash"),
-            col("x.band").as("band"), col("x.byte").as("byte"))
-          .repartition(col("band"))
-          .write.mode(mode).partitionBy("band").parquet(paths.sigs)
+            graft.operators.SimilarityQueries
+              .shComboPosexplode("simhash").as(Seq("combo", "k")))
+          .repartition(col("combo"))
+          .write.mode(mode).partitionBy("combo").parquet(paths.sigs)
       write(docs.filter(
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           < TrgmDeltaMod - 1), "overwrite")

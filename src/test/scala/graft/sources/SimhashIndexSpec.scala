@@ -21,15 +21,16 @@ class SimhashIndexSpec extends SparkSpec {
   test("incrementally-built signature table matches a one-shot " +
       "recompute from the raw corpus row-for-row") {
     val paths = IndexStore.ensureSimhash(spark, sfDir)
-    // every doc contributes exactly ShBands rows, all carrying the
-    // SAME signature
+    // every doc contributes exactly one row per probe combo, all
+    // carrying the SAME signature
     val sigs = spark.read.parquet(paths.sigs)
     val bad = sigs.groupBy("doc_id")
       .agg(count(lit(1)).as("n"),
         countDistinct(col("simhash")).as("ns"))
-      .filter(col("n") =!= IndexStore.ShBands || col("ns") =!= 1)
+      .filter(col("n") =!= SimilarityQueries.ShCombos.size ||
+        col("ns") =!= 1)
       .count()
-    assert(bad == 0, s"$bad docs with wrong band count or mixed sigs")
+    assert(bad == 0, s"$bad docs with wrong combo count or mixed sigs")
     // persisted signatures == the scan path's signatures
     val persisted = sigs.select(col("doc_id"), col("simhash"))
       .distinct().collect()
@@ -41,11 +42,12 @@ class SimhashIndexSpec extends SparkSpec {
     persisted.foreach { case (id, h) =>
       assert(h == fresh(id), s"doc $id: persisted signature diverges")
     }
-    // band bytes are the signature's bytes (the layout contract the
-    // partition-local candidate join relies on)
-    val badBytes = sigs.filter(
-      expr(s"byte != (shiftright(simhash, band * 8) & 255)")).count()
-    assert(badBytes == 0, s"$badBytes band rows with wrong byte")
+    // probe keys are the signature's nibble concatenations (the
+    // layout contract the partition-local candidate join relies on)
+    val badKeys = sigs.filter(
+      expr(s"k != (${SimilarityQueries.shKeyCaseSql("simhash")})"))
+      .count()
+    assert(badKeys == 0, s"$badKeys probe rows with wrong key")
   }
 
   test("indexed serve reads only the persisted signature table, " +
