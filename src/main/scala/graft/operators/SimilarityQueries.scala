@@ -2084,18 +2084,34 @@ object SimilarityQueries {
           .orderBy(col("cosc").desc, col("vec_id"))))
       .localCheckpoint() // both sides of the prune join + output
     val withE = emb.select(col("vec_id"), col("e"))
-    val dropped = rnk.as("a")
-      .join(rnk.as("b"), col("a.bucket") === col("b.bucket")
-        && col("a.rk") < col("b.rk")
-        // rank-window cap: compare each member only to its `window`
-        // nearest-ranked predecessors — the Θ(n·W) bound
-        && col("b.rk") - col("a.rk") <= window)
+    // Rank-window prune join, BANDED on rank blocks (r17 — the 150k
+    // rehearsal decade showed the former bucket-only equi-join
+    // materializing Θ(n²/256) rows and post-filtering the rank
+    // window: 44M joined rows at 150k docs, segment exponent 2.0).
+    // A predecessor within `window` ranks sits in the successor's
+    // rank block or the one before it ((x − W) div W = x div W − 1),
+    // so the successor side probes exactly those two blocks and the
+    // join output is Θ(n·2W) BY KEY — the x16 range-join bucketing
+    // discipline applied to ranks. A pair can match only one probe
+    // (the two probe blocks differ), so no dedup is needed and the
+    // output is unchanged.
+    val aSide = rnk.select(col("bucket"),
+      expr(s"(rk - 1) div $window").as("blk"),
+      col("vec_id").as("a_id"), col("rk").as("a_rk"))
+    val bSide = rnk.select(col("bucket"),
+      col("vec_id").as("b_id"), col("rk").as("b_rk"))
+      .withColumn("blk", explode(array(
+        expr(s"(b_rk - 1) div $window"),
+        expr(s"(b_rk - 1) div $window - 1"))))
+    val dropped = aSide.join(bSide, Seq("bucket", "blk"))
+      .filter(col("a_rk") < col("b_rk")
+        && col("b_rk") - col("a_rk") <= window)
       .join(withE.select(col("vec_id").as("ia"), col("e").as("ea")),
-        col("a.vec_id") === col("ia"))
+        col("a_id") === col("ia"))
       .join(withE.select(col("vec_id").as("ib"), col("e").as("eb")),
-        col("b.vec_id") === col("ib"))
+        col("b_id") === col("ib"))
       .filter(expr("cosine_sim(ea, eb)") > SemTau)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+      .select(col("b_id").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
     rnk.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket"), col("cosc"),
