@@ -905,6 +905,21 @@ object SimilarityQueries {
     * fraction, final radius). */
   def simLshAdaptive(s: SparkSession, dir: String)
       : (Seq[Long], Double, Int) = {
+    val (_, ids, frac, r) = lshAdaptiveWalk(s, dir)
+    (ids, frac, r)
+  }
+
+  /** The adaptive LSH walk as a REGISTERED query with a dynamic
+    * oracle — the [[simIvfAdaptiveQuery]] discipline for the
+    * Hamming-ball side: the serving plan at the stabilized radius is
+    * the sim_lsh_ann SQL with the FINAL radius interpolated
+    * (`bit_count(xor(bucket, qbucket)) <= r`), so the stopping
+    * decision's output is hash-verified in DuckDB. */
+  def simLshAdaptiveQuery(s: SparkSession, dir: String): DataFrame =
+    lshAdaptiveWalk(s, dir)._1
+
+  private def lshAdaptiveWalk(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Long], Double, Int) = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
     graft.functions.SignLshBucket.ensureRegistered(s)
     val planes = AnnPlanes
@@ -919,33 +934,56 @@ object SimilarityQueries {
       import spark.implicits._
       Seq(Tuple1(qRow.getSeq[Double](1))).toDF("qe")
     }
-    val coll = emb.filter(col("vec_id") =!= 0)
     def ball(r: Int): Array[java.lang.Long] = (0 to r)
       .flatMap(w => (0 until planes).combinations(w)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b)) ^ qBucket))
       .map(java.lang.Long.valueOf).toArray
-    def topAt(r: Int): Seq[Long] = coll
+    def topDfFrom(base: DataFrame, r: Int): DataFrame = base
+      .filter(col("vec_id") =!= 0)
       .filter(col("bucket").isin(ball(r).toIndexedSeq: _*))
       .crossJoin(broadcast(qe))
-      .select(col("vec_id"), expr("cosine_sim(e, qe)").as("cosine"))
+      .select(col("vec_id"), col("label"),
+        expr("cosine_sim(e, qe)").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(10).collect().map(_.getLong(0)).toSeq
+      .limit(10)
+    def topIds(r: Int): Seq[Long] =
+      topDfFrom(emb, r).select("vec_id").collect()
+        .map(_.getLong(0)).toSeq
     var r = MultiProbeRadius
-    var ids = topAt(r)
+    var ids = topIds(r)
     var stable = r >= planes
     while (!stable) {
       val r2 = r + 1
-      val ids2 = topAt(r2)
+      val ids2 = topIds(r2)
       stable = ids2.toSet == ids.toSet || r2 == planes
       ids = ids2
       r = r2
     }
-    val row = coll.agg(
+    dynamicOracle(("sim_lsh_adaptive", dir)) =
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[])
+         |             AS e FROM embeddings),
+         |b AS (SELECT vec_id, label, e,
+         |        ${bucketSqlExpr(AnnPlanes, 64, "e")} AS bucket
+         |      FROM e),
+         |q AS (SELECT bucket AS qbucket, e AS qe FROM b
+         |      WHERE vec_id = 0)
+         |SELECT vec_id, label, list_cosine_similarity(e, qe) AS cosine
+         |FROM b CROSS JOIN q
+         |WHERE vec_id <> 0
+         |  AND bit_count(xor(bucket, qbucket)) <= $r
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    val row = emb.filter(col("vec_id") =!= 0).agg(
       count(lit(1)),
       sum(when(col("bucket").isin(ball(r).toIndexedSeq: _*), 1L)
         .otherwise(0L))).head()
+    val frac = row.getLong(1).toDouble / math.max(1L, row.getLong(0))
+    // the returned frame re-derives buckets from the base table (a
+    // fresh one-scan lineage), so the walk's checkpoint can be freed
+    // NOW instead of leaking until driver GC
+    val out = topDfFrom(cleanEmbeddings(s, dir)
+      .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)")), r)
     org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(emb)
-    (ids, row.getLong(1).toDouble / math.max(1L, row.getLong(0)), r)
+    (out, ids, frac, r)
   }
 
   /** Dynamic oracle registry for the IVF serve path: the serving
@@ -2176,6 +2214,7 @@ object SimilarityQueries {
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_adaptive" -> (simIvfAdaptiveQuery _),
+    "sim_lsh_adaptive" -> (simLshAdaptiveQuery _),
     "sim_ivf_batch" -> (simIvfBatch _),
     "sim_ivf_drift" -> (simIvfDrift _),
     "sim_ivf_sq8" -> (simIvfSq8 _),
