@@ -127,7 +127,12 @@ object ExplainAudit {
         "dd_simhash_indexed", "dd_containment_indexed",
         "l12_mixture_sample", "p11_profile",
         "t_cdc_chunks_indexed", "dd_winnow_indexed", "sim_negatives",
-        "t_decontaminate_indexed")
+        "t_decontaminate_indexed",
+        // round 17: the adaptive serve at its stabilized probe set
+        // and the batched serve (one pruned scan + broadcast probe
+        // pairs + bounded-heap per-query top-k); p11b's reshaped
+        // per-column plan is already audited via the r9 entry
+        "sim_ivf_adaptive", "sim_lsh_adaptive", "sim_ivf_batch")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
