@@ -1929,7 +1929,7 @@ object SimilarityQueries {
       .filter(col("rk") <=
         col("na") - expr(s"($ContainmentTauPm * na + 999) div 1000")
           + 1)
-      .select(col("doc_id").as("id_a"), col("gr"))
+      .select(col("doc_id").as("id_a"), col("na"), col("gr"))
     // Hot-gram cap (ADVICE r12): TRUNCATE each posting list to its
     // first [[ContainmentPostingsCap]] docs (deterministic doc_id
     // order, bounded-heap TopKPerGroup — no full sort of a
@@ -1940,12 +1940,24 @@ object SimilarityQueries {
     // corpus never reaches the cap (the all-pairs oracle certifies
     // this), so results are unchanged where the cap doesn't bind.
     val posts = graft.plans.TopKPerGroup(
-        grams.select(col("gr"), col("doc_id")),
+        grams.select(col("gr"), col("doc_id"), col("na")),
         Seq("gr"), "doc_id", descending = false, Seq.empty,
         ContainmentPostingsCap.toInt)
-      .select(col("gr"), col("doc_id").as("id_b"))
+      .select(col("gr"), col("doc_id").as("id_b"),
+        col("na").as("nb"))
+    // Length prune (r17, lossless): containment_A = shared/na ≥ τ
+    // forces shared ≥ ⌈τ·na⌉, and shared ≤ nb — so a candidate with
+    // nb·1000 < τ·na can never pass the verify. Both lengths ride
+    // the slim candidate rows, so the prune fires BEFORE the
+    // gram-array joins ship the heavy payloads. Measured NEUTRAL on
+    // the length-uniform rehearsal corpus (8.9 vs 9.3 s at 50k —
+    // candidates there are gram-frequency-dominated); it exists for
+    // length-SKEWED corpora (short quotes probed against long
+    // documents), where the asymmetry of the containment measure
+    // makes short-b candidates both common and unverifiable.
     val cand = prefix.join(posts, "gr")
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") =!= col("id_b")
+        && col("nb") * 1000 >= lit(ContainmentTauPm) * col("na"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("g").as("ga"),
