@@ -75,9 +75,15 @@ object GraphQueries {
   val PrbTolPerNode = PrScale / 20
 
   /** Power steps fused per materialization in [[g5bPagerankConverged]]
-    * (VERDICT r16 task #1). 5 divides the 20-iteration cap evenly:
-    * worst case 4 materializations + 4 delta scans instead of 20+20. */
-  val PrbBlock = 5
+    * (VERDICT r16 task #1). Measured knee at sf0.1 (5-run medians):
+    * block 3 → 3.65 s, 4 → 3.80, 5 → 4.24, 8 → 7.52 — the
+    * accumulating frame carries one pr column per fused step, so
+    * deeper blocks shuffle wider rows through more chained stages
+    * and the win from fewer materializations reverses past ~4.
+    * 4 also puts the measured pair-smoothed stop (k = 8 on every
+    * corpus tried) exactly at a block boundary: two blocks, zero
+    * wasted steps. */
+  val PrbBlock = 4
 
   /** PageRank iterated to convergence: same integer-quantized power
     * step as [[g5Pagerank]], with an L1-delta stop on the
