@@ -128,9 +128,53 @@ object DedupCluster {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  /** #occurrences of literal `pat` in `c` (the TextQueries metric,
+    * inlined: integer-valued, engine-agnostic). */
+  private def occ(c: org.apache.spark.sql.Column, pat: String) =
+    ((length(c) - length(regexp_replace(c,
+      java.util.regex.Pattern.quote(pat), ""))) / pat.length)
+      .cast("long")
+
+  /** Quality-aware canonical selection — the keeper step real corpus
+    * dedup runs AFTER clustering: [[ddClusterDedup]] keeps the
+    * min-id representative (the cheap convention); production
+    * pipelines keep each cluster's BEST member (highest quality,
+    * e.g. the RefinedWeb/FineWeb keep-one-per-cluster step). Keeper
+    * order is (stopword-permille desc, n_chars desc, doc_id asc) —
+    * all exact integers, so the argmax is a data property both
+    * engines replay: the quality key is the [[TextQueries
+    * .tQualityScore]] stopword-density heuristic quantized to
+    * permille by integer division.
+    *
+    * 100 TB shape: the cluster table is only the near-DUPLICATE
+    * membership (tiny vs the corpus), so the documents join
+    * broadcasts the clusters and only member rows reach the argmax;
+    * the argmax itself is one map-side-combinable max(struct) — no
+    * window, no sort. */
+  def ddClusterKeepbest(s: SparkSession, dir: String): DataFrame = {
+    val cc = ddClusterCc(s, dir)
+    val toks = (length(col("text")) -
+      length(translate(col("text"), " ", ""))).cast("long") + 1L
+    val stops = occ(col("text"), "the") + occ(col("text"), "and") +
+      occ(col("text"), "of")
+    Tables.documents(s, dir)
+      .join(broadcast(cc), Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+        stops.as("stops"), toks.as("toks"))
+      .withColumn("q_permille", expr("(1000 * stops) div toks"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("q_permille"), col("n_chars"),
+          (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("doc_id"),
+        col("best.q_permille").as("q_permille"), col("n_members"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dd_cluster_cc" -> (ddClusterCc _),
-    "dd_cluster_dedup" -> (ddClusterDedup _)
+    "dd_cluster_dedup" -> (ddClusterDedup _),
+    "dd_cluster_keepbest" -> (ddClusterKeepbest _)
   )
 
   /** Transitive closure over the exact all-pairs edge set — the
@@ -164,6 +208,30 @@ object DedupCluster {
         |FROM documents
         |WHERE doc_id NOT IN
         |  (SELECT doc_id FROM lbl WHERE cluster_id <> doc_id)
-        |GROUP BY source""".stripMargin)
+        |GROUP BY source""".stripMargin),
+    // the SEMANTIC argmax (window sort per cluster); the engine runs
+    // one max(struct) aggregate — hash equality pins the
+    // reformulation. Stop counts are literal-replace arithmetic:
+    // each /len term is integer-valued, so the BIGINT cast is exact.
+    "dd_cluster_keepbest" -> (ccCte +
+      """,
+        |q AS (SELECT lbl.cluster_id, d.doc_id, d.n_chars,
+        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3
+        |     + (length(text) - length(replace(text, 'and', ''))) / 3
+        |     + (length(text) - length(replace(text, 'of', ''))) / 2
+        |    AS BIGINT) AS stops,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |    AS BIGINT) AS toks
+        |  FROM documents d JOIN lbl ON d.doc_id = lbl.doc_id),
+        |r AS (SELECT cluster_id, doc_id,
+        |        (1000 * stops) // toks AS q_permille,
+        |        CAST(count(*) OVER (PARTITION BY cluster_id)
+        |          AS BIGINT) AS n_members,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY (1000 * stops) // toks DESC,
+        |            n_chars DESC, doc_id) AS rn
+        |      FROM q)
+        |SELECT cluster_id, doc_id, q_permille, n_members
+        |FROM r WHERE rn = 1""".stripMargin)
   )
 }

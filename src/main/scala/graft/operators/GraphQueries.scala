@@ -293,41 +293,41 @@ object GraphQueries {
       .select(col("u"), col("v")))
 
   /** g6's serve twin off the persisted co-purchase graph index
-    * (VERDICT r15 task #1): the expensive subtree — the basket
-    * self-join over lineitem — is replaced by a scan of the
-    * edge-sized `graph_pairs` table; the distinct collapses the
-    * base/delta partial-count rows to the edge SET, and the closure
-    * is byte-identical to the scan twin's (same [[triangleClosure]]),
-    * so the shared oracle hash certifies the persisted index content
-    * end-to-end. lineitem is absent from the serve plan
-    * (GraphIndexSpec asserts this). */
-  def g6TrianglesIndexed(s: SparkSession, dir: String): DataFrame =
-    triangleClosure(s, indexedEdgeSource(s, dir).localCheckpoint())
-
-  /** The indexed serve's only file-reading subtree (the checkpoint in
-    * [[g6TrianglesIndexed]] truncates lineage, so GraphIndexSpec
-    * asserts the lineitem-absent file discipline on THIS plan). */
-  private[graft] def indexedEdgeSource(s: SparkSession,
-      dir: String): DataFrame = {
+    * (VERDICT r15 task #1; serving view since r18): the expensive
+    * subtrees — the basket self-join over lineitem AND the
+    * degree-census + orientation + adjacency build — are both
+    * replaced by a scan of the persisted `graph_adj` serving view
+    * (refreshed by [[graft.sources.IndexStore.ensureGraphEdges]]
+    * after every append batch); only the edge-iterator closure join
+    * runs at serve time. The closure tail is byte-identical to the
+    * scan twin's (same [[closureFromAdjacency]]), so the shared
+    * oracle hash certifies the persisted adjacency content — and
+    * transitively the pair census it was derived from — end-to-end.
+    * lineitem AND graph_pairs are absent from the serve plan
+    * (GraphIndexSpec asserts only graph_adj/graph_stats files are
+    * read). */
+  def g6TrianglesIndexed(s: SparkSession, dir: String): DataFrame = {
     val gp = graft.sources.IndexStore.ensureGraphEdges(s, dir)
-    s.read.parquet(gp.pairs)
-      // a pair co-occurring in both base and delta orders carries one
-      // partial-count row per split — the edge set is their distinct
-      .select(col("u"), col("v")).distinct()
+    s.read.parquet(gp.stats)
+      .crossJoin(closureFromAdjacency(s, s.read.parquet(gp.adj)))
   }
 
-  /** Degree-ordered orientation + sorted-adjacency edge-iterator
-    * closure over a materialized undirected edge set (u < v) — the
-    * part of [[g6Triangles]] both twins share. */
-  private def triangleClosure(s: SparkSession,
-      edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("n"))
+  /** Per-node degree census of an undirected (u < v) edge set. */
+  private[graft] def nodeDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient: src = endpoint with smaller (degree, id); carry the
-    // dst's (degree, id) so wedge pairs can be ordered without a
-    // further degree join
-    val dedges = edges
+
+  /** Degree-ordered orientation → sorted adjacency lists
+    * (node, nbrs): each undirected edge points from its
+    * lower-(degree, id) endpoint, which bounds every out-degree by
+    * O(√E) on skewed graphs — the hub that breaks the naive
+    * u<v<w triple join is exactly the node the orientation silences.
+    * Shared by the scan twin (computed in-plan) and the index build
+    * (persisted as the `graph_adj` serving view). */
+  private[graft] def orientedAdjacency(edges: DataFrame): DataFrame = {
+    val deg = nodeDegrees(edges)
+    edges
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(when(
@@ -335,31 +335,58 @@ object GraphQueries {
           struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t")))
         .as("e"))
-      .select(col("e.s").as("src"), col("e.t").as("dst"))
-      .localCheckpoint() // consumed by the adjacency build AND the
-                         // per-edge closure join
-    // edge-iterator closure: a triangle with oriented edges a→b,
-    // a→c, b→c is counted exactly once, at edge (a,b), as a common
-    // out-neighbor c ∈ N⁺(a) ∩ N⁺(b). Carrying SORTED adjacency
-    // arrays (out-degree ≤ O(√E) by the orientation) to each edge
-    // replaces the wedge fanout — the wedge-join formulation
-    // shuffled ~70M wedge rows at sf0.1 (11.5 s); the per-edge
-    // codegen'd array_intersect does the same closure in-place.
-    graft.functions.IntersectCount.ensureRegistered(s)
-    val adj = dedges.groupBy(col("src"))
+      .select(col("e.s").as("node"), col("e.t").as("dst"))
+      .groupBy(col("node"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val tri = dedges
-      .join(adj, "src")
-      .join(adj.select(col("src").as("dst"),
+  }
+
+  /** Edge-iterator closure over sorted adjacency: a triangle with
+    * oriented edges a→b, a→c, b→c is counted exactly once, at edge
+    * (a,b), as a common out-neighbor c ∈ N⁺(a) ∩ N⁺(b). Exploding
+    * the adjacency re-enumerates every oriented edge WITH its
+    * source's array already attached (out-degree ≤ O(√E) by the
+    * orientation), so one equi-join fetches the dst's array and the
+    * codegen'd sorted-merge `intersect_count` closes the wedge
+    * in-place — the wedge-join formulation shuffled ~70M wedge rows
+    * at sf0.1 (11.5 s). */
+  private[graft] def closureFromAdjacency(s: SparkSession,
+      adj: DataFrame): DataFrame = {
+    graft.functions.IntersectCount.ensureRegistered(s)
+    // The oriented edge stream is exploded SLIM — (src, dst) longs
+    // only — and each endpoint's array joins in from the node-sized
+    // adjacency table. Carrying nbrs_src through the explode instead
+    // (one join fewer) plans catastrophically: the exploded side's
+    // size estimate stays at the adj file size, so the planner
+    // broadcast |E| array-carrying rows (measured 9 s/run at sf0.1
+    // vs 0.3 s this shape). With slim pairs every input estimate is
+    // honest, so the planner broadcasts adj while it fits and
+    // degrades to a shuffle on 8-byte keys — never a sort or
+    // exchange of array-carrying rows — when it does not.
+    adj.select(col("node").as("src"), explode(col("nbrs")).as("dst"))
+      .join(adj.select(col("node").as("src"),
+        col("nbrs").as("nbrs_src")), Seq("src"))
+      .join(adj.select(col("node").as("dst"),
         col("nbrs").as("nbrs_dst")), Seq("dst"))
       // native sorted-merge count: no per-pair hash table, no
       // materialized intersection array (adjacency is sort_array'd)
-      // coalesce restores 0-on-empty: on a graph where both
-      // adjacency joins drop every row (e.g. a single-edge corpus)
-      // sum() yields NULL while the oracle's count(*) yields 0
-      .agg(coalesce(sum(call_function("intersect_count", col("nbrs"),
-        col("nbrs_dst"))), lit(0L)).cast("long").as("n_triangles"))
-    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      // coalesce restores 0-on-empty: on a graph where the adjacency
+      // join drops every row (e.g. a single-edge corpus) sum()
+      // yields NULL while the oracle's count(*) yields 0
+      .agg(coalesce(sum(call_function("intersect_count",
+        col("nbrs_src"), col("nbrs_dst"))), lit(0L))
+        .cast("long").as("n_triangles"))
+  }
+
+  /** Orientation + closure over a materialized undirected edge set
+    * (u < v) — the part of [[g6Triangles]] both twins share (the
+    * serve twin enters at [[closureFromAdjacency]] with the
+    * persisted adjacency). */
+  private def triangleClosure(s: SparkSession,
+      edges: DataFrame): DataFrame = {
+    // consumed twice (explode side + dst side of the closure join)
+    val adj = orientedAdjacency(edges).localCheckpoint()
+    val tri = closureFromAdjacency(s, adj)
+    val nn = nodeDegrees(edges).agg(count(lit(1)).as("n_nodes"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri)
   }

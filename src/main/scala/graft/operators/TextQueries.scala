@@ -593,6 +593,35 @@ object TextQueries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
   }
 
+  /** Per-domain cap for [[l13DomainQuota]]: at most this many docs
+    * survive per source. Binds at every shipped SF (sources are
+    * ≥25 docs from sf0.001 up). Interpolated into the oracle. */
+  val DomainQuota = 10
+
+  /** Per-domain quota capping — the web-corpus balance op (CCNet /
+    * Gopher-style per-domain caps: no single domain may dominate the
+    * training mix): keep at most [[DomainQuota]] documents per
+    * source, selected by the engine-portable md5-60 draw of doc_id
+    * (ascending, doc_id tie-break) so the KEPT SET is a property of
+    * the data — identical across engines, partitionings, and cluster
+    * sizes, and therefore exactly hash-verifiable.
+    *
+    * 100 TB shape: runs on the custom [[graft.plans.TopKPerGroup]]
+    * whole-operator path — bounded per-group heaps, partial→final,
+    * ≤ quota rows per domain per map task in the exchange, no Sort
+    * and no full window materialization (the window(row_number)
+    * formulation sorts the entire corpus per domain; the oracle
+    * deliberately uses it — hash equality pins the reformulation). */
+  def l13DomainQuota(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.core.PortableHash.md5Hash60(col("doc_id")).as("h"))
+    graft.plans.TopKPerGroup(docs, Seq("source"), "h",
+      descending = false, Seq("doc_id"), DomainQuota)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Deterministic train/val/test split (98/1/1) as a DATA PROPERTY:
     * membership is `portable_hash(doc_id) % 100`, so the assignment
     * is identical across engines, partitionings, and cluster sizes —
@@ -776,6 +805,7 @@ object TextQueries {
     "t_decontaminate" -> (tDecontaminate _),
     "t_decontaminate_indexed" -> (tDecontaminateIndexed _),
     "l6_source_mix" -> (l6SourceMix _),
+    "l13_domain_quota" -> (l13DomainQuota _),
     "l7_hash_split" -> (l7HashSplit _),
     "l8_seq_pack" -> (l8SeqPack _),
     "dd_exact_group" -> (ddExactGroup _),
@@ -876,6 +906,18 @@ object TextQueries {
     // the indexed twin against the SAME oracle certifies the
     // persisted gram fingerprint content end-to-end
     "t_decontaminate_indexed" -> deconOracleSql,
+    // the SEMANTIC definition (full per-domain window sort); the
+    // engine runs the bounded-heap TopKPerGroup plan — hash equality
+    // pins the reformulation, the x20/w5 discipline
+    "l13_domain_quota" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${graft.core.PortableHash.duckSql("CAST(doc_id AS VARCHAR)")} AS h
+         |FROM documents),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY h, doc_id) AS rn
+         |      FROM h)
+         |SELECT doc_id, source FROM r WHERE rn <= $DomainQuota""".stripMargin,
     "l6_source_mix" ->
       """WITH d AS (
         | SELECT source, n_chars,

@@ -617,7 +617,8 @@ object IndexStore {
     * already-indexed order later). */
   val GraphDeltaMod = 5
 
-  case class GraphPaths(pairs: String, freq: String)
+  case class GraphPaths(pairs: String, freq: String, adj: String,
+      stats: String)
 
   private val graphBuilt = TrieMap.empty[String, GraphPaths]
 
@@ -641,7 +642,9 @@ object IndexStore {
       val root = indexRoot(dir)
       val paths = GraphPaths(
         root.resolve("graph_pairs").toString,
-        root.resolve("graph_freq").toString)
+        root.resolve("graph_freq").toString,
+        root.resolve("graph_adj").toString,
+        root.resolve("graph_stats").toString)
       val li = Tables.lineitem(s, dir)
       def split(base: Boolean): DataFrame = li.filter(
         if (base) pmod(col("l_orderkey"), lit(GraphDeltaMod.toLong))
@@ -668,6 +671,28 @@ object IndexStore {
       }
       write(split(base = true), "overwrite")
       write(split(base = false), "append")
+      // Serving views, refreshed from the merged pairs table after
+      // every append batch (r18): the degree-oriented sorted
+      // adjacency `graph_adj` and the one-row `graph_stats` page
+      // (n_nodes, n_edges). The pairs table stays the
+      // incrementally-maintained TRUTH (additive partial counts);
+      // adjacency is not additive under appends — degrees shift, so
+      // orientations can flip — which is exactly the materialized-
+      // view discipline PQ codebooks already follow: derive the
+      // serving artifact from the maintained table each refresh,
+      // never from the base corpus. The g6 serve then pays only the
+      // closure join; the per-serve degree census + orientation +
+      // collect_list rebuild (the r17 profile's residual on
+      // g6_triangles_indexed) moves into the build.
+      val edges = s.read.parquet(paths.pairs)
+        .select(col("u"), col("v")).distinct()
+        .localCheckpoint() // feeds adjacency + both stats aggregates
+      graft.operators.GraphQueries.orientedAdjacency(edges)
+        .write.mode("overwrite").parquet(paths.adj)
+      graft.operators.GraphQueries.nodeDegrees(edges)
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .write.mode("overwrite").parquet(paths.stats)
       paths
     })
 

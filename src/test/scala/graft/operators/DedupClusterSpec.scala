@@ -96,4 +96,59 @@ class DedupClusterSpec extends SparkSpec {
     assert(badRep == 0)
     assert(out.filter(col("cluster_id") > col("doc_id")).count() == 0)
   }
+
+  test("keepbest picks the highest-stopword-density member, with " +
+      "n_chars then doc_id breaking ties") {
+    import spark.implicits._
+    // one near-dup cluster of three: doc 21 swaps two filler words
+    // for stopwords ("the of") → strictly higher stop-permille than
+    // 20/22; the unrelated doc 23 forms no cluster and must not
+    // appear in the output at all
+    val a = baseWords.mkString(" ")
+    val b = baseWords.updated(59, "the").updated(58, "of").mkString(" ")
+    val c = baseWords.updated(59, "edited59").mkString(" ")
+    val d = (0 until 60).map(i => s"zz$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kb").toString
+    Seq((20L, a, "s"), (21L, b, "s"), (22L, c, "s"), (23L, d, "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupCluster.ddClusterKeepbest(spark, dir).collect()
+    assert(rows.length == 1, s"expected one cluster, got ${rows.length}")
+    assert(rows(0).getLong(0) == 20L, "cluster label is the min id")
+    assert(rows(0).getLong(1) == 21L,
+      s"keeper must be the stopword-rich member, got ${rows(0)}")
+    assert(rows(0).getLong(3) == 3L, "cluster has three members")
+  }
+
+  test("keepbest agrees with the window-argmax formulation on the " +
+      "test corpus") {
+    val cc = DedupCluster.ddClusterCc(spark, sfDir)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val toks = (length(col("text")) -
+      length(translate(col("text"), " ", ""))).cast("long") + lit(1L)
+    def occ(pat: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(pat), ""))) / pat.length)
+        .cast("long")
+    // window reference: rank members per cluster by the same key
+    val q = docs.join(cc, Seq("doc_id"))
+      .withColumn("stops", occ("the") + occ("and") + occ("of"))
+      .withColumn("toks", toks)
+      .withColumn("q_permille", expr("(1000 * stops) div toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("q_permille").desc, col("n_chars").desc,
+        col("doc_id"))
+    val ref = q.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = DedupCluster.ddClusterKeepbest(spark, sfDir)
+      .select(col("cluster_id"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref,
+      s"keepbest diverges from the window argmax: $got vs $ref")
+    assert(got.nonEmpty, "test corpus must contain near-dup clusters")
+  }
 }

@@ -409,4 +409,28 @@ class TextQueriesSpec extends SparkSpec {
         s"separate runs must not bridge: $spans")
     }
   }
+
+  test("domain quota caps every source at the quota, keeping the " +
+      "lowest-hash members") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val out = TextQueries.l13DomainQuota(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // every shipped source has ≥ quota docs, so the cap binds on all
+    val perSource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perSource.values.forall(_ == TextQueries.DomainQuota),
+      s"cap must bind on every source: $perSource")
+    // kept set = the window formulation over the same portable hash
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val ref = graft.core.Tables.documents(spark, sfDir)
+      .withColumn("h",
+        graft.core.PortableHash.md5Hash60(col("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TextQueries.DomainQuota)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == ref.toSet,
+      "TopKPerGroup quota diverges from the window formulation")
+  }
 }

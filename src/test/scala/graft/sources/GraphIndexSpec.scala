@@ -57,21 +57,43 @@ class GraphIndexSpec extends SparkSpec {
 
   test("indexed serves read only the persisted index tables, never " +
       "lineitem") {
-    // g6's closure runs over a localCheckpoint whose lineage is
-    // truncated, so its file discipline is asserted on the one
-    // file-reading subtree the serve path has (indexedEdgeSource);
-    // x27's serve plan is checked whole
-    for (df <- Seq(GraphQueries.indexedEdgeSource(spark, sfDir),
-        OlapQueries.x27CopurchaseIndexed(spark, sfDir))) {
-      val files = scannedFiles(df)
-      assert(files.nonEmpty)
-      files.foreach { f =>
-        assert(f.contains("graph_pairs") || f.contains("graph_freq"),
-          s"indexed serve reads a non-index file: $f")
-        assert(!f.contains("lineitem.parquet"),
-          s"indexed serve touches the base lineitem table: $f")
-      }
+    // both serve plans are checked whole; since r18 the g6 serve
+    // reads only the adjacency serving view + stats page (never
+    // graph_pairs — the orientation build moved into the index)
+    val g6Files = scannedFiles(
+      GraphQueries.g6TrianglesIndexed(spark, sfDir))
+    assert(g6Files.nonEmpty)
+    g6Files.foreach { f =>
+      assert(f.contains("graph_adj") || f.contains("graph_stats"),
+        s"g6 serve reads a non-serving-view file: $f")
     }
+    val x27Files = scannedFiles(
+      OlapQueries.x27CopurchaseIndexed(spark, sfDir))
+    assert(x27Files.nonEmpty)
+    x27Files.foreach { f =>
+      assert(f.contains("graph_pairs") || f.contains("graph_freq"),
+        s"x27 serve reads a non-index file: $f")
+      assert(!f.contains("lineitem.parquet"),
+        s"indexed serve touches the base lineitem table: $f")
+    }
+  }
+
+  test("persisted adjacency serving view matches a fresh orientation " +
+      "of the merged pair census") {
+    val paths = IndexStore.ensureGraphEdges(spark, sfDir)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val persisted = rows(spark.read.parquet(paths.adj))
+    val fresh = rows(GraphQueries.orientedAdjacency(
+      spark.read.parquet(paths.pairs).select("u", "v").distinct()))
+    assert(persisted == fresh,
+      s"adjacency view diverges: ${persisted.size} vs ${fresh.size} nodes")
+    val st = spark.read.parquet(paths.stats).head()
+    assert(st.getLong(0) == fresh.keySet
+      .union(fresh.values.flatten.toSet).size.toLong,
+      "stats n_nodes diverges from the adjacency node universe")
+    assert(st.getLong(1) == fresh.values.map(_.size.toLong).sum,
+      "stats n_edges diverges from the adjacency edge total")
   }
 
   test("g6 indexed serve equals the scan twin") {
