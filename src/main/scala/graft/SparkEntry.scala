@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlQueries
-import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, GraphQueries, MergeOps, MultimodalQueries, OlapQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SketchQueries, SkewJoin, TemporalQueries, TextQueries}
+import graft.operators.{AsofJoin, BloomJoin, DedupCluster, ExtendedQueries, GraphQueries, MergeOps, MultimodalQueries, OlapQueries, PipelineQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SketchQueries, SkewJoin, TemporalQueries, TextQueries}
 import graft.sources.LayoutQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -38,7 +38,8 @@ object SparkEntry {
       RetrievalQueries.queries ++
       TemporalQueries.queries ++
       OlapQueries.queries ++
-      LayoutQueries.queries
+      LayoutQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -68,5 +69,6 @@ object SparkEntry {
       RetrievalQueries.oracle ++
       TemporalQueries.oracle ++
       OlapQueries.oracle ++
-      LayoutQueries.oracle
+      LayoutQueries.oracle ++
+      PipelineQueries.oracle
 }

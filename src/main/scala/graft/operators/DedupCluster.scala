@@ -178,8 +178,9 @@ object DedupCluster {
   )
 
   /** Transitive closure over the exact all-pairs edge set — the
-    * shared base of both cluster oracles. */
-  private val ccCte =
+    * shared base of the cluster oracles (and, since r18, of the
+    * pipe_corpus_build funnel oracle). */
+  private[operators] val ccCte =
     """WITH RECURSIVE
       |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id,
