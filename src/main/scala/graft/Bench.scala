@@ -232,6 +232,28 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
       }
 
+    // Stream-stream join gate (r18): the watermarked CASH_OUT ⋈
+    // TRANSFER laundering probe over two lockstep MemoryStreams,
+    // verified IN the bench against the batch twin of the same fed
+    // rows (mismatches must be 0, joined must be positive or the
+    // gate is vacuous) and gated on a records/s floor.
+    val joinLine = if (args.nonEmpty) "" else
+      try {
+        val r = graft.apps.StreamBenchApp.runJoin(spark, sfDir,
+          nBatches = 10, batchRows = 5000)
+        val floor = graft.apps.StreamBenchApp.JoinFloorRecSec
+        s"""{"metric":"stream_join","records_per_sec":${f"${r.recordsPerSec}%.1f"},""" +
+          s""""records":${r.records},"joined":${r.joined},""" +
+          s""""batches":${r.batches},"mismatches":${r.mismatches},""" +
+          s""""floor_rec_per_sec":${floor.toLong},""" +
+          s""""gate_ok":${r.mismatches == 0 && r.joined > 0 &&
+            r.recordsPerSec >= floor}}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"metric":"stream_join","err":${jstr(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
+
     // ANN index-quality telemetry (VERDICT r7 task #4): recall@10 of
     // each approximate index vs the exact brute-force top-10, so
     // index-quality regressions are visible round-over-round the way
@@ -314,6 +336,7 @@ object Bench {
         if (streamLine.nonEmpty) Some(s"""  "stream_throughput": $streamLine""") else None,
         if (sessionizeLine.nonEmpty) Some(s"""  "stream_sessionize": $sessionizeLine""") else None,
         if (dedupLine.nonEmpty) Some(s"""  "stream_dedup": $dedupLine""") else None,
+        if (joinLine.nonEmpty) Some(s"""  "stream_join": $joinLine""") else None,
         if (annLine.nonEmpty) Some(s"""  "ann_recall": $annLine""") else None,
         if (annStructuredLine.nonEmpty)
           Some(s"""  "ann_recall_structured": $annStructuredLine""") else None
@@ -354,6 +377,7 @@ object Bench {
     if (streamLine.nonEmpty) println(streamLine)
     if (sessionizeLine.nonEmpty) println(sessionizeLine)
     if (dedupLine.nonEmpty) println(dedupLine)
+    if (joinLine.nonEmpty) println(joinLine)
     if (annLine.nonEmpty) println(annLine)
     if (annStructuredLine.nonEmpty) println(annStructuredLine)
     // Cold-total summary (sum of first runs): short, second-to-last.

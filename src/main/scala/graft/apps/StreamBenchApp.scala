@@ -318,6 +318,127 @@ object StreamBenchApp {
       batches = batches.size)
   }
 
+  /** Regression floor for the stream-stream join path (r18, closing
+    * the last ungated StatefulOps operator). The op is the most
+    * state-intensive of the gates — four state stores per partition,
+    * all rewritten every batch — so its per-record cost is dominated
+    * by per-batch store IO, not row volume: measured 1,151 rec/s
+    * steady at local[32]/sf0.1 with traffic-sized state partitions
+    * (see runJoin). Floor ~30% under, same discipline as the other
+    * stream gates. */
+  val JoinFloorRecSec = 800.0
+
+  /** Stream-stream join gate result: throughput plus the batch-twin
+    * equality verdict. `joined` counts emitted pairs — the gate is
+    * vacuous unless it is positive. */
+  final case class JoinResult(
+      recordsPerSec: Double, records: Long, joined: Long,
+      mismatches: Long, batches: Int)
+
+  /** Drive [[graft.streaming.StatefulOps.streamStreamJoin]] over two
+    * MemoryStreams — CASH_OUT events on the left, PAYMENT events on
+    * the right, fed in lockstep step order so both watermarks
+    * advance together — and verify the emitted pairs against the
+    * batch twin: the SAME operator body applied to the fed rows as
+    * bounded frames (`withWatermark` is a no-op on batch, so the
+    * join condition is shared verbatim, zero re-spelling risk).
+    * (TRANSFER cannot be the inflow side on this corpus: its
+    * destinations are merchant-prefixed, disjoint from every other
+    * type's account space, so that join is empty by construction.)
+    *
+    * The join itself is the PaySim laundering probe: each cash-out
+    * paired with every payment into the same destination account
+    * during the preceding 2 hours. Inner join in append mode emits a
+    * pair as soon as both sides have arrived; the watermark exists
+    * to EVICT join state, and feeding both sides in event-time order
+    * keeps every needed right-side row inside the retention bound —
+    * so streaming emissions must equal the batch join EXACTLY (the
+    * compare is a full-outer multiset diff on the pair payload). */
+  def runJoin(spark: SparkSession, sfDir: String, nBatches: Int,
+      batchRows: Int): JoinResult = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val txns = Transactions.fromEvents(spark, sfDir)
+    val wire = txns
+      .select(to_json(struct(col("*"))).as("v"), col("step"),
+        col("type"))
+      .limit(nBatches * batchRows)
+      .collect()
+      .sortBy(r => (r.getInt(1), r.getString(0)))
+    val groups = wire.grouped(batchRows).toIndexedSeq
+    def sideRows(g: Seq[org.apache.spark.sql.Row], t: String) =
+      g.filter(_.getString(2) == t).map(_.getString(0))
+    val nFed = wire.count(r => r.getString(2) == "CASH_OUT" ||
+      r.getString(2) == "PAYMENT").toLong
+
+    val lIn = MemoryStream[String]
+    val rIn = MemoryStream[String]
+    def parsedSide(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StatefulOps.withEventTime(ScoringStream.parse(df))
+        .select(col("nameDest"), col("eventTime"), col("step"),
+          col("amount"))
+    def joinOf(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StatefulOps
+        .streamStreamJoin(parsedSide(l), parsedSide(r), "nameDest",
+          maxDelay = "2 hours")
+        .select(col("nameDest"), col("step"), col("amount"),
+          col("r_step"), col("r_amount"))
+    def wireDf(in: MemoryStream[String]) =
+      in.toDF().select(col("value").cast("binary").as("value"))
+
+    val sinkName = "graft_ssjoin_sink"
+    val t0 = System.nanoTime()
+    // State partitions sized to the traffic, the standard streaming
+    // tuning knob: a stream-stream join runs FOUR state stores per
+    // partition, so the per-batch fixed cost scales with the
+    // partition count, not the data — at ~2k rows/batch, 32
+    // partitions measured 355 rec/s vs 1,151 at 8 (4 → 1,087, 16 →
+    // 623: the knee). The conf is scoped to this query (state
+    // partition count pins at checkpoint creation; restored in
+    // finally, and the batch twin below runs at the session default).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val wallSec = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      withTempCheckpoint("graft_ssjoin_ckpt") { checkpoint =>
+        val query = joinOf(wireDf(lIn), wireDf(rIn)).writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", checkpoint)
+          .start()
+        try groups.foreach { g =>
+          lIn.addData(sideRows(g, "CASH_OUT"))
+          rIn.addData(sideRows(g, "PAYMENT"))
+          query.processAllAvailable()
+        } finally query.stop()
+      }
+      (System.nanoTime() - t0) / 1e9
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    val streamed = spark.table(sinkName).localCheckpoint()
+    def binify(rows: Seq[String]) = rows.toDF("json")
+      .select(col("json").cast("binary").as("value"))
+    val batchJoin = joinOf(
+      binify(groups.flatMap(sideRows(_, "CASH_OUT"))),
+      binify(groups.flatMap(sideRows(_, "PAYMENT"))))
+    val keys = Seq("nameDest", "step", "amount", "r_step", "r_amount")
+    def census(df: org.apache.spark.sql.DataFrame, n: String) =
+      df.groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as(n))
+    val mismatches = census(streamed, "n_s")
+      .join(census(batchJoin, "n_b"), keys, "full_outer")
+      .filter(col("n_s").isNull || col("n_b").isNull ||
+        col("n_s") =!= col("n_b")).count()
+
+    JoinResult(
+      recordsPerSec = nFed.toDouble / math.max(wallSec, 1e-9),
+      records = nFed,
+      joined = streamed.count(),
+      mismatches = mismatches,
+      batches = groups.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("artifacts/streaming_stats.json")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
