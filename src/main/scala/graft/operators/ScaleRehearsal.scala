@@ -39,7 +39,30 @@ object ScaleRehearsal {
     * doc_id, text, lang, source, n_chars) of `n` docs under
     * `dir/documents.parquet`. Deterministic and fully distributed:
     * word j of doc i is `'w' || xxhash64(seed(i), j) % 500`. */
-  def genCorpus(s: SparkSession, n: Long, dir: String): Unit = {
+  def genCorpus(s: SparkSession, n: Long, dir: String): Unit =
+    corpusDf(s, n).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+  /** Corpus variant for the pipe_corpus_build timing: the SAME
+    * generated docs with three vocabulary words rewritten to English
+    * stopwords (w17→the, w29→and, w41→of — seed-deterministic, so
+    * near-dup pairs rewrite identically and the planted dedup
+    * structure survives). The base vocabulary has no stopwords at
+    * all, so on the unmodified corpus the funnel's lang gate drops
+    * 100% of docs and every later stage times an empty input; here
+    * docs lacking all three words (~e^(−3·len/500) of them) still
+    * drop at the gate, so the funnel genuinely funnels. Kept as a
+    * separate dir so the base corpus's planted structure — which the
+    * LSH/edjoin/winnow measures depend on — is untouched. */
+  def genPipeCorpus(s: SparkSession, n: Long, dir: String): Unit =
+    corpusDf(s, n)
+      .withColumn("text",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "\\bw17\\b", "the"), "\\bw29\\b", "and"), "\\bw41\\b", "of"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def corpusDf(s: SparkSession, n: Long): DataFrame = {
     val docs = s.range(n).toDF("doc_id")
       // near-dups regenerate their base doc's words (seed id-4),
       // exact dups their base's (seed id-8)
@@ -74,7 +97,7 @@ object ScaleRehearsal {
         lit("en").as("lang"),
         concat(lit("src"), pmod(col("doc_id"), lit(7))).as("source"),
         length(col("text")).cast("long").as("n_chars"))
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    docs
   }
 
   /** Write a synthetic embeddings.parquet (driver schema: vec_id,
@@ -256,6 +279,17 @@ object ScaleRehearsal {
       val (_, tSem) =
         time(runNoop(SimilarityQueries.ddSemantic(spark, dir)))
 
+      // --- composed corpus funnel (r18): the six-stage
+      // pipe_corpus_build chain, END-TO-END on its own corpus
+      // variant (see genPipeCorpus) — including the near-dup
+      // clustering and decontamination derivations it consumes, so
+      // pipe_sec is the full "build a training corpus at size n"
+      // wall, the flagship composition's growth number.
+      val pipeDir = s"${dir}_pipe"
+      genPipeCorpus(spark, n, pipeDir)
+      val (_, tPipe) =
+        time(runNoop(PipelineQueries.pipeCorpusBuild(spark, pipeDir)))
+
       // --- quantile families (VERDICT r12 task #7): both the exact
       // two-pass selection (x31/x32 — bounded memory is the 100 TB
       // claim) and the GK/approx family (x8b/x12b) get growth
@@ -312,7 +346,7 @@ object ScaleRehearsal {
         s""""edjoin_cand_sec":${f"$tEdCand%.2f"},""" +
         s""""edjoin_cand":$nEdCand,"edjoin_pairs":$nEdPairs,""" +
         s""""cont_sec":${f"$tCont%.2f"},"cont_pairs":$nContPairs,""" +
-        s""""sem_sec":${f"$tSem%.2f"},""" +
+        s""""sem_sec":${f"$tSem%.2f"},"pipe_sec":${f"$tPipe%.2f"},""" +
         s""""x31_sec":${f"$tX31%.2f"},"x32_sec":${f"$tX32%.2f"},""" +
         s""""x8b_sec":${f"$tX8b%.2f"},"x12b_sec":${f"$tX12b%.2f"}}""")
       // edjoin_cand / edjoin_pairs absolute counts are OUTPUT-bound
@@ -329,6 +363,7 @@ object ScaleRehearsal {
         "edjoin_cand_per_pair" ->
           (nEdCand.toDouble / math.max(1L, nEdPairs)),
         "cont_sec" -> tCont, "sem_sec" -> tSem,
+        "pipe_sec" -> tPipe,
         "x31_sec" -> tX31, "x32_sec" -> tX32,
         "x8b_sec" -> tX8b, "x12b_sec" -> tX12b,
         // serve-path walls (r17): the steady index read per twin
