@@ -114,8 +114,157 @@ object PipelineQueries {
       .unionByName(funnelRow(6, "quota", s6))
   }
 
+  /** Per-source admit cap for one delta-ingest batch — an ingest
+    * RATE cap (distinct from [[TextQueries.DomainQuota]]'s standing
+    * corpus cap): no source may push more than this many docs into
+    * the corpus per batch. Interpolated into the oracle. */
+  val DeltaAdmitCap = 5
+
+  /** INCREMENTAL corpus ingest — the 100 TB shape of
+    * [[pipeCorpusBuild]]: a delta batch of documents arrives
+    * (doc_id mod [[graft.sources.IndexStore.TrgmDeltaMod]] ==
+    * TrgmDeltaMod−1, the split every index family uses) and each doc
+    * gets an admit/drop DECISION against the standing corpus using
+    * the PERSISTED indexes — the base corpus text is never
+    * re-scanned:
+    *
+    *   - `lang` / `quality` — map-side gates on the delta rows (the
+    *     delta IS the new data; reading it is the job);
+    *   - `exact_dup` — the text digest probes the corpus CATALOG
+    *     ([[graft.sources.IndexStore.ensureCatalog]]), partition-
+    *     pruned to the base split; intra-batch dups collapse to the
+    *     min doc_id per digest;
+    *   - `near_dup` — delta signatures probe the persisted MinHash
+    *     BAND index against base-split rows (hot-bucket cap shared
+    *     with dd_minhash_indexed), survivors verified by exact
+    *     Jaccard over the persisted shingle fingerprints;
+    *   - `eval_split` / `contaminated` — the persisted 13-gram index
+    *     supplies both the eval gram set and the delta docs' grams;
+    *   - `quota` / `admit` — survivors enter by the portable-hash
+    *     draw, at most [[DeltaAdmitCap]] per source per batch, on
+    *     the bounded-heap TopKPerGroup path.
+    *
+    * Decisions carry FIRST-failing-stage precedence (lang > quality
+    * > exact_dup > near_dup > eval_split > contaminated > quota),
+    * so the output is one row per delta doc — deterministic, and the
+    * oracle replays every stage from the raw corpus: a hash match
+    * certifies the catalog content, the band/fingerprint index
+    * content, the gram index content, and the decision logic in one
+    * compare. */
+  def pipeDeltaIngest(s: SparkSession, dir: String): DataFrame = {
+    // read by the survivor cut AND the final assembly
+    val flagged = deltaFlagged(s, dir).localCheckpoint()
+    val survivors = flagged.filter(col("drop_reason").isNull)
+      .select(col("doc_id"), col("source"), col("h"))
+    val admits = graft.plans.TopKPerGroup(survivors, Seq("source"),
+      "h", descending = false, Seq("doc_id"), DeltaAdmitCap)
+      .select(col("doc_id"))
+      .withColumn("is_admit", lit(true))
+    flagged.join(broadcast(admits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("drop_reason"),
+          when(col("is_admit") === true, "admit").otherwise("quota"))
+          .as("decision"))
+  }
+
+  /** The per-delta-doc gate/probe stage of [[pipeDeltaIngest]],
+    * BEFORE its checkpoint — the file-reading subtree, exposed so
+    * PipelineQueriesSpec can assert the index discipline (catalog
+    * scan pruned to split=base; band/fingerprint/gram scans come
+    * from the index roots) on a plan the checkpoint would otherwise
+    * truncate away. */
+  private[graft] def deltaFlagged(s: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    graft.functions.JaccardSim.ensureRegistered(s)
+    val M = graft.sources.IndexStore.TrgmDeltaMod
+    val cat = graft.sources.IndexStore.ensureCatalog(s, dir)
+    val mh = graft.sources.IndexStore.ensureMinhash(s, dir)
+    val g13 = graft.sources.IndexStore.ensureGram13(s, dir)
+    def isDelta(c: Column) = pmod(c, lit(M.toLong)) === M - 1
+    val text = col("text")
+    val delta = Tables.documents(s, dir).filter(isDelta(col("doc_id")))
+      .select(col("doc_id"), col("source"),
+        md5(text).as("text_md5"),
+        ((length(text) - length(translate(text, " ", ""))).cast("long")
+          + 1L).as("n_tokens"),
+        (occ(text, "the") + occ(text, "and") + occ(text, "of"))
+          .as("stops"),
+        (occ(text, " the ") + occ(text, " and ")).as("en"),
+        graft.core.PortableHash.md5Hash60(col("doc_id")).as("h"))
+      .localCheckpoint() // feeds digest probe, keeper census, flags
+    val baseDigests = s.read.parquet(cat.digests)
+      .filter(col("split") === "base")
+      .select(col("text_md5")).distinct()
+      .withColumn("in_base", lit(true))
+    val keepers = delta.groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    // near-dup probe: delta bands vs base bands off the persisted
+    // index, bucket cap shared with the dd_minhash_indexed serve
+    val bands = s.read.parquet(mh.bands)
+    val small = bands.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= 50)
+      .select("band", "bhash")
+    val cand = bands.filter(isDelta(col("doc_id")))
+      .select(col("doc_id").as("d_id"), col("band"), col("bhash"))
+      .join(small, Seq("band", "bhash"))
+      .join(bands.filter(!isDelta(col("doc_id")))
+        .select(col("doc_id").as("b_id"), col("band"), col("bhash")),
+        Seq("band", "bhash"))
+      .select(col("d_id"), col("b_id")).distinct()
+    val fp = s.read.parquet(mh.shingles)
+    val nearDup = cand
+      .join(fp.select(col("doc_id").as("d_id"), col("hs").as("hs_d")),
+        "d_id")
+      .join(fp.select(col("doc_id").as("b_id"), col("hs").as("hs_b")),
+        "b_id")
+      .filter(call_function("jaccard_sim", col("hs_d"), col("hs_b"))
+        >= 0.85)
+      .select(col("d_id").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    // decontamination probe, both sides from the persisted gram index
+    val grams = s.read.parquet(g13.grams)
+    val evalGrams = grams.filter(col("doc_id") % 17 === 0)
+      .select("g").distinct()
+    val contaminated = grams
+      .filter(isDelta(col("doc_id")) && col("doc_id") % 17 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(true))
+    delta
+      .join(baseDigests, Seq("text_md5"), "left")
+      .join(keepers, Seq("text_md5"))
+      .join(broadcast(nearDup), Seq("doc_id"), "left")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(col("en") <= 0, "lang")
+          .when(!(col("n_tokens") >= 20 &&
+            col("stops").cast("double") / col("n_tokens") < 0.5),
+            "quality")
+          .when(col("in_base") === true ||
+            col("doc_id") =!= col("keeper_id"), "exact_dup")
+          .when(col("is_near") === true, "near_dup")
+          .when(col("doc_id") % 17 === 0, "eval_split")
+          .when(col("is_cont") === true, "contaminated"))
+  }
+
+  /** Catalog observability census: per-(split, source) doc counts
+    * re-summed from the persisted catalog stats page — the m11
+    * additive-census discipline. The oracle recomputes from the raw
+    * corpus, so a hash match certifies the catalog build (base and
+    * appended delta alike). */
+  def pipeCatalogCensus(s: SparkSession, dir: String): DataFrame = {
+    val cat = graft.sources.IndexStore.ensureCatalog(s, dir)
+    s.read.parquet(cat.stats)
+      .groupBy(col("split"), col("source"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "pipe_corpus_build" -> (pipeCorpusBuild _)
+    "pipe_corpus_build" -> (pipeCorpusBuild _),
+    "pipe_delta_ingest" -> (pipeDeltaIngest _),
+    "pipe_catalog_census" -> (pipeCatalogCensus _)
   )
 
   /** The full funnel in one DuckDB statement: the cluster closure
@@ -186,6 +335,77 @@ object PipelineQueries {
       |  CAST(n AS BIGINT) AS n_docs,
       |  CAST(coalesce(t, 0) AS BIGINT) AS sum_tokens,
       |  CAST(coalesce(dg, 0) AS BIGINT) AS id_digest
-      |FROM funnel""".stripMargin)
+      |FROM funnel""".stripMargin),
+    // full replay of the delta-ingest decision from the raw corpus —
+    // catalog probe, near-dup probe (exact all-pairs Jaccard where
+    // the engine runs the banded index probe; grams joined as raw
+    // strings where the engine joins 64-bit hashes — the standing
+    // caveats), gram contamination, and the quota draw, with the
+    // same first-failure precedence
+    "pipe_delta_ingest" ->
+      s"""WITH dd AS (SELECT doc_id, source, md5(text) AS text_md5,
+         |  CAST(length(text) - length(replace(text, ' ', '')) + 1
+         |    AS BIGINT) AS n_tokens,
+         |  CAST((length(text) - length(replace(text, 'the', ''))) / 3
+         |     + (length(text) - length(replace(text, 'and', ''))) / 3
+         |     + (length(text) - length(replace(text, 'of', ''))) / 2
+         |    AS BIGINT) AS stops,
+         |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+         |     + (length(text) - length(replace(text, ' and ', ''))) / 5
+         |    AS BIGINT) AS en,
+         |  ${graft.core.PortableHash.duckSql("CAST(doc_id AS VARCHAR)")}
+         |    AS h
+         |  FROM documents WHERE doc_id % 5 = 4),
+         |bset AS (SELECT DISTINCT md5(text) AS text_md5
+         |         FROM documents WHERE doc_id % 5 <> 4),
+         |keep AS (SELECT text_md5, min(doc_id) AS keeper
+         |         FROM dd GROUP BY text_md5),
+         |gw AS (SELECT doc_id, string_split(text, ' ') AS w
+         |       FROM documents),
+         |gs AS (SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(w) - 2, 1) + 1),
+         |           i -> array_to_string(w[i:i+2], ' '))) AS g
+         |       FROM gw),
+         |nd AS (SELECT DISTINCT a.doc_id FROM gs a JOIN gs b
+         |  ON a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.85),
+         |g13 AS (SELECT doc_id,
+         |          unnest(list_distinct(list_transform(
+         |            range(1, greatest(len(w) - 12, 1) + 1),
+         |            i -> array_to_string(w[i:i+12], ' ')))) AS g
+         |        FROM gw),
+         |ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 17 = 0),
+         |cont AS (SELECT DISTINCT g13.doc_id FROM g13 JOIN ev USING (g)
+         |         WHERE g13.doc_id % 17 <> 0 AND g13.doc_id % 5 = 4),
+         |dec AS (SELECT d.doc_id, d.source, d.h,
+         |    CASE WHEN en <= 0 THEN 'lang'
+         |         WHEN NOT (n_tokens >= 20
+         |                   AND CAST(stops AS DOUBLE) / n_tokens < 0.5)
+         |           THEN 'quality'
+         |         WHEN d.text_md5 IN (SELECT text_md5 FROM bset)
+         |              OR d.doc_id <> k.keeper THEN 'exact_dup'
+         |         WHEN d.doc_id IN (SELECT doc_id FROM nd)
+         |           THEN 'near_dup'
+         |         WHEN d.doc_id % 17 = 0 THEN 'eval_split'
+         |         WHEN d.doc_id IN (SELECT doc_id FROM cont)
+         |           THEN 'contaminated'
+         |         ELSE NULL END AS drop_reason
+         |  FROM dd d JOIN keep k USING (text_md5)),
+         |q AS (SELECT doc_id, row_number() OVER (PARTITION BY source
+         |        ORDER BY h, doc_id) AS rn
+         |      FROM dec WHERE drop_reason IS NULL)
+         |SELECT d.doc_id, d.source,
+         |  coalesce(d.drop_reason,
+         |    CASE WHEN q.rn <= $DeltaAdmitCap THEN 'admit'
+         |         ELSE 'quota' END) AS decision
+         |FROM dec d LEFT JOIN q ON d.doc_id = q.doc_id""".stripMargin,
+    "pipe_catalog_census" ->
+      """SELECT CASE WHEN doc_id % 5 = 4 THEN 'delta' ELSE 'base' END
+        |    AS split,
+        |  source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin
   )
 }

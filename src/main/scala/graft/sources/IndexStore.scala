@@ -696,6 +696,45 @@ object IndexStore {
       paths
     })
 
+  /** Corpus catalog (r18): the per-document ownership/digest table a
+    * lakehouse maintains as data arrives — (doc_id, source,
+    * text_md5), hive-partitioned by the base/delta SPLIT so the
+    * delta-ingest probe ([[graft.operators.PipelineQueries
+    * .pipeDeltaIngest]]) prunes to the base partition, plus a
+    * per-(split, source) census page. Base overwrite + delta append,
+    * the standing incremental discipline ([[TrgmDeltaMod]] split,
+    * same as every other index family). */
+  case class CatalogPaths(digests: String, stats: String)
+
+  private val catalogBuilt = TrieMap.empty[String, CatalogPaths]
+
+  def ensureCatalog(s: SparkSession, dir: String): CatalogPaths =
+    catalogBuilt.getOrElseUpdate(dir, {
+      val root = indexRoot(dir)
+      val paths = CatalogPaths(
+        root.resolve("catalog_digests").toString,
+        root.resolve("catalog_stats").toString)
+      val docs = Tables.documents(s, dir)
+      def write(base: Boolean): Unit = {
+        val mode = if (base) "overwrite" else "append"
+        val d = docs.filter(
+          if (base) pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+            < TrgmDeltaMod - 1
+          else pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
+            === TrgmDeltaMod - 1)
+          .select(lit(if (base) "base" else "delta").as("split"),
+            col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+          .localCheckpoint() // feeds the digest AND census writes
+        d.write.mode(mode).partitionBy("split").parquet(paths.digests)
+        d.groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .write.mode(mode).parquet(paths.stats)
+      }
+      write(base = true)
+      write(base = false)
+      paths
+    })
+
   /** Product-quantization layout (FAISS `IVF…,PQ8` family): the
     * 64-dim vectors split into [[PqM]] contiguous subspaces of
     * [[PqSubDim]] dims; each subspace gets its own [[PqK]]-centroid
