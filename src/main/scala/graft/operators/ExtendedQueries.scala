@@ -125,6 +125,38 @@ object ExtendedQueries {
           .as("p90_price"),
         count(lit(1)).as("n"))
 
+  /** Sampling modulus for [[x8cSampledQuantiles]]: keep a row iff
+    * md5-60(key) mod this == 0 (≈ 1/8 of rows). Interpolated into
+    * the oracle. */
+  val SampleMod = 8L
+
+  /** Quantiles over a PORTABLE-HASH row sample — the third member of
+    * the quantile ladder (x8 exact / x8b engine-internal sketch /
+    * x8c hash sample): at 100 TB you estimate quantiles from a
+    * uniform sample whose MEMBERSHIP is a data property
+    * (md5-60(key) mod [[SampleMod]] == 0 — identical across engines,
+    * partitionings, and reruns, and mergeable across files by
+    * construction), unlike seeded `sample()` whose draw depends on
+    * partition layout, and unlike sketch internals that no other
+    * engine can replay. The quantile of the sample is then computed
+    * RANK-EXACTLY (the x8b percentile_approx trick at accuracy 1e6),
+    * so the whole estimate — sample set AND rank selection —
+    * hash-verifies in DuckDB. Emits the sample size per group so the
+    * estimate's precision is auditable. */
+  def x8cSampledQuantiles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.orders(s, dir)
+      .filter(graft.core.PortableHash.md5Hash60(col("o_orderkey"))
+        % SampleMod === 0L)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_approx(o_totalprice, 0.5, 1000000)")
+          .as("median_est"),
+        expr("percentile_approx(o_totalprice, 0.9, 1000000)")
+          .as("p90_est"),
+        count(lit(1)).as("m_sample"))
+  }
+
   /** IN-subquery → left-semi join after Catalyst rewrite. */
   def x9InSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_in")
@@ -856,6 +888,7 @@ object ExtendedQueries {
     "x7_null_funcs" -> (x7NullFuncs _),
     "x8_percentile" -> (x8Percentile _),
     "x8b_approx_percentile" -> (x8bApproxPercentile _),
+    "x8c_sampled_quantiles" -> (x8cSampledQuantiles _),
     "x9_in_subquery" -> (x9InSubquery _),
     "x10_correlated" -> (x10Correlated _),
     "g3_string_agg" -> (g3StringAgg _),
@@ -975,6 +1008,27 @@ object ExtendedQueries {
         |      THEN o_totalprice END) AS p90_price,
         |  count(*) AS n
         |FROM r GROUP BY o_orderstatus""".stripMargin,
+    "x8c_sampled_quantiles" ->
+      s"""WITH s AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE ${graft.core.PortableHash
+                    .duckSql("CAST(o_orderkey AS VARCHAR)")}
+         |    % $SampleMod = 0),
+         |r AS (
+         |  SELECT o_orderstatus, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderstatus
+         |                       ORDER BY o_totalprice) AS rn,
+         |    count(*) OVER (PARTITION BY o_orderstatus) AS grp_n
+         |  FROM s)
+         |SELECT o_orderstatus,
+         |  max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * grp_n)
+         |                          AS BIGINT)
+         |      THEN o_totalprice END) AS median_est,
+         |  max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * grp_n)
+         |                          AS BIGINT)
+         |      THEN o_totalprice END) AS p90_est,
+         |  count(*) AS m_sample
+         |FROM r GROUP BY o_orderstatus""".stripMargin,
     "x9_in_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer

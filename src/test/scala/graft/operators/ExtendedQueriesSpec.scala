@@ -347,4 +347,44 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(expected.join(got, "doc_id")
       .filter(col("n") =!= col("n_got")).count() == 0)
   }
+
+  test("sampled quantiles select rank-exactly over the portable-hash " +
+      "sample") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sample = Tables.orders(spark, sfDir)
+      .filter(graft.core.PortableHash.md5Hash60(col("o_orderkey"))
+        % ExtendedQueries.SampleMod === 0L)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+    val ref = sample
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("o_orderstatus"))))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max(when(col("rn") ===
+          ceil(lit(0.5) * col("m")).cast("long"),
+          col("o_totalprice"))).as("med"),
+        max(when(col("rn") ===
+          ceil(lit(0.9) * col("m")).cast("long"),
+          col("o_totalprice"))).as("p90"),
+        count(lit(1)).as("m"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val got = ExtendedQueries.x8cSampledQuantiles(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == ref,
+      s"sampled quantiles diverge from the window selection: $got vs $ref")
+    // the sample must be a genuine subset (≈ 1/SampleMod of rows)
+    val n = Tables.orders(spark, sfDir).count()
+    val m = got.values.map(_._3).sum
+    assert(m > 0 && m < n / 2,
+      s"sample size $m implausible for $n rows at mod " +
+        s"${ExtendedQueries.SampleMod}")
+  }
 }
