@@ -132,7 +132,16 @@ object ExplainAudit {
         // and the batched serve (one pruned scan + broadcast probe
         // pairs + bounded-heap per-query top-k); p11b's reshaped
         // per-column plan is already audited via the r9 entry
-        "sim_ivf_adaptive", "sim_lsh_adaptive", "sim_ivf_batch")
+        "sim_ivf_adaptive", "sim_lsh_adaptive", "sim_ivf_batch",
+        // round 18: the corpus-construction funnel + delta ingest
+        // (catalog/band/gram index probes, split-pruned catalog
+        // scan), the adjacency-served triangle closure (audited via
+        // the r16 g6_triangles_indexed entry, now reading graph_adj
+        // only), the quota cap on the bounded-heap path, and the
+        // hash-sample quantiles
+        "pipe_corpus_build", "pipe_delta_ingest",
+        "pipe_catalog_census", "l13_domain_quota",
+        "dd_cluster_keepbest", "x8c_sampled_quantiles")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
