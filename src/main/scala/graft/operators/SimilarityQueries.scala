@@ -478,6 +478,77 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** MMR candidate pool (exact-cosine top-R) and final diversified
+    * set size, and the integer quantization scale for all MMR
+    * scores. Interpolated into the oracle. */
+  val MmrPool = 30
+  val MmrK = 10
+  val MmrScale = 1000000L
+
+  /** Maximal-Marginal-Relevance diversification (Carbonell &
+    * Goldstein, SIGIR'98) — the standard retrieval RE-RANK between
+    * ANN shortlist and consumer: from the exact-cosine top-
+    * [[MmrPool]] pool, greedily select [[MmrK]] results maximizing
+    * `7·sim(query, c) − 3·max_{s∈selected} sim(c, s)` (λ = 0.7 in
+    * tenths — INTEGER weights over cosines quantized to
+    * [[MmrScale]], so every comparison in the greedy argmax chain is
+    * exact 64-bit arithmetic and the full selection sequence is a
+    * data property both engines replay; ties break on vec_id).
+    *
+    * 100 TB shape: the pool cut is the serving stack's existing
+    * top-R (here the brute baseline; any `sim_ivf_*` tier yields the
+    * same contract), and everything after it is bounded by
+    * construction — the pool's pairwise sims are ≤ [[MmrPool]]²
+    * rows computed distributed, and the driver's greedy runs over
+    * that bounded pool exactly like the IVF centroid-root pick (the
+    * sanctioned driver pattern: index-root-sized metadata, never
+    * data). The oracle unrolls all [[MmrK]] greedy steps as chained
+    * CTEs — the g5b loop-unroll discipline — so pool membership,
+    * every penalty, and every argmax hash-verify in one compare. */
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val pool = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(s"cast(round(cosine_sim(e, qe) * $MmrScale) as bigint)")
+          .as("qsim"),
+        col("e"))
+      .orderBy(col("qsim").desc, col("vec_id"))
+      .limit(MmrPool)
+      .localCheckpoint() // feeds the pairwise grid + the pool collect
+    val slim = pool.select(col("vec_id"), col("e"))
+    val pairSims = slim.as("a").crossJoin(slim.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"cast(round(cosine_sim(a.e, b.e) * $MmrScale) as bigint)")
+          .as("psim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap // ≤ MmrPool² entries — bounded metadata, not data
+    val cands = pool.select(col("vec_id"), col("label"), col("qsim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    var remaining = cands.toVector
+    var picked = Vector.empty[(Int, Long, Int, Long, Long)]
+    for (rank <- 1 to math.min(MmrK, cands.length)) {
+      val selectedIds = picked.map(_._2)
+      val scored = remaining.map { case (id, label, qsim) =>
+        val penalty =
+          if (selectedIds.isEmpty) 0L
+          else selectedIds.map(sid => pairSims((id, sid))).max
+        (id, label, qsim, 7L * qsim - 3L * penalty)
+      }
+      val best = scored.minBy { case (id, _, _, score) => (-score, id) }
+      picked :+= ((rank, best._1, best._2, best._3, best._4))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    val spark = s
+    import spark.implicits._
+    picked.toDF("rank", "vec_id", "label", "qsim", "mmr_q")
+  }
+
   /** Planes used by the embedding near-dup path (and its census). */
   val NearDupPlanes: Int = 12
 
@@ -2235,8 +2306,52 @@ object SimilarityQueries {
     "dd_embed_census" -> (ddEmbedCensus _),
     "dd_gram_dupfrac" -> (ddGramDupFrac _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),
-    "sim_quantize_topk" -> (simQuantizeTopK _)
+    "sim_quantize_topk" -> (simQuantizeTopK _),
+    "sim_mmr_rerank" -> (simMmrRerank _)
   )
+
+  /** The MMR greedy unrolled as [[MmrK]] chained CTEs (the g5b
+    * loop-unroll discipline): step i's argmax excludes steps 1..i−1
+    * and subtracts 3× the max pairwise quantized cosine to them —
+    * all integer arithmetic after the shared quantization, so pool
+    * membership, penalties, and every selection hash-verify. */
+  private def mmrOracleSql: String = {
+    def selThrough(i: Int) =
+      (1 to i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    val steps = (1 to MmrK).map { i =>
+      if (i == 1)
+        s"""s1 AS MATERIALIZED (SELECT vec_id, label, qsim,
+           |    CAST(7 * qsim AS BIGINT) AS mmr_q
+           |  FROM cand ORDER BY mmr_q DESC, vec_id LIMIT 1)""".stripMargin
+      else
+        s"""s$i AS MATERIALIZED (SELECT c.vec_id, c.label, c.qsim,
+           |    CAST(7 * c.qsim - 3 * (SELECT max(p.psim) FROM pair p
+           |      WHERE p.a_id = c.vec_id
+           |        AND p.b_id IN (${selThrough(i - 1)})) AS BIGINT)
+           |      AS mmr_q
+           |  FROM cand c
+           |  WHERE c.vec_id NOT IN (${selThrough(i - 1)})
+           |  ORDER BY mmr_q DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, vec_id, " +
+        s"CAST(label AS INTEGER) AS label, qsim, mmr_q FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, label,
+       |             CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT vec_id, label,
+       |    CAST(round(list_cosine_similarity(e, qe) * $MmrScale)
+       |      AS BIGINT) AS qsim, e
+       |  FROM e CROSS JOIN q WHERE vec_id <> 0
+       |  ORDER BY qsim DESC, vec_id LIMIT $MmrPool),
+       |pair AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(round(list_cosine_similarity(a.e, b.e) * $MmrScale)
+       |      AS BIGINT) AS psim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |$steps
+       |$out""".stripMargin
+  }
 
   /** Exact all-pairs word-3gram Jaccard top-20 in DuckDB — the oracle
     * for BOTH approximate pair searches (they must and do achieve
@@ -2570,6 +2685,7 @@ object SimilarityQueries {
         |SELECT vec_id, label, list_cosine_similarity(e, qe) AS cosine
         |FROM e CROSS JOIN q WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_mmr_rerank" -> mmrOracleSql,
     "sim_exact_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings)

@@ -426,6 +426,36 @@ class SimilarityQueriesSpec extends SparkSpec {
     }
   }
 
+  test("MMR rerank displaces an exact duplicate with a diverse " +
+      "candidate, preserving relevance order otherwise") {
+    import spark.implicits._
+    val dim = 64
+    def vec(parts: (Int, Double)*): Array[Float] = {
+      val v = new Array[Float](dim)
+      parts.foreach { case (i, x) => v(i) = x.toFloat }
+      v
+    }
+    // q = e1. a1 = a2 = 0.9·e1 + 0.436·e2 (qsim 0.9, mutual sim 1.0);
+    // b = 0.85·e1 + 0.527·e3 (qsim 0.85, sim to a = 0.765). Plain
+    // cosine ranks a1, a2, b; after picking a1, MMR scores
+    // a2 = 7·0.9 − 3·1.0 = 3.3 < b = 7·0.85 − 3·0.765 ≈ 3.65 —
+    // the duplicate must drop behind the diverse candidate.
+    val a = vec(0 -> 0.9, 1 -> math.sqrt(1 - 0.81))
+    val b = vec(0 -> 0.85, 2 -> math.sqrt(1 - 0.7225))
+    val fillers = (4L to 40L).map(id =>
+      (id, vec(((id % 60) + 3).toInt -> 1.0), 0))
+    val rows = Seq((0L, vec(0 -> 1.0), 1), (1L, a, 1), (2L, a, 1),
+      (3L, b, 1)) ++ fillers
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mmr").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = SimilarityQueries.simMmrRerank(spark, tmp)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(got.take(3) == Seq(1L, 3L, 2L),
+      s"expected a1, b(diverse), a2(dup) — got $got")
+  }
+
   test("negative sampling: k per anchor, never the anchor's label, " +
       "deterministic, bounded-heap + broadcast plan") {
     val labels = graft.core.Tables.embeddings(spark, sfDir)
