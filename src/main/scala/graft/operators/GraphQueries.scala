@@ -139,8 +139,80 @@ object GraphQueries {
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint() // read by the init iterate + the node count
-    val nNodes = outdeg.count()
-    val tol = nNodes * PrbTolPerNode
+    val tol = outdeg.count() * PrbTolPerNode
+    convergedRanks(edges,
+      outdeg.select(col("src").as("node"), lit(PrScale).as("pr_0"),
+        col("outdeg")),
+      tol)
+  }
+
+  /** Incremental PageRank — the index-maintenance discipline applied
+    * to ITERATIVE analytics: when the delta orders (the standing
+    * l_orderkey mod [[graft.sources.IndexStore.GraphDeltaMod]]
+    * split) arrive, the merged graph's ranks are NOT recomputed from
+    * the uniform vector; the engine warm-starts from the PERSISTED
+    * converged ranks of the base graph
+    * ([[graft.sources.IndexStore.ensureBaseRanks]] — a serving view
+    * refreshed at base-rank build time, the graph_adj discipline),
+    * with nodes new in the delta initialized at [[PrScale]]. The
+    * power step, pair smoothing, and stop rule are IDENTICAL to
+    * [[g5bPagerankConverged]] (shared [[convergedRanks]]), so the
+    * emitted `n_iters` measures exactly what the warm start buys —
+    * the from-scratch run needs 8 steps at every tested SF; the
+    * warm start converges in the minimum checkable 2–3.
+    *
+    * The oracle replays BOTH phases data-independently (base
+    * convergence unrolled, warm-start convergence unrolled from the
+    * base selection), so one hash compare certifies the persisted
+    * rank content AND the warm-start decision chain. */
+  def g5cPagerankIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ranksPath = graft.sources.IndexStore.ensureBaseRanks(s, dir)
+    val edges = edgesFor(s, dir)
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint() // read by the init join + the node count
+    val tol = outdeg.count() * PrbTolPerNode
+    val init = outdeg.select(col("src").as("node"), col("outdeg"))
+      .join(s.read.parquet(ranksPath), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("pr"), lit(PrScale)).as("pr_0"), col("outdeg"))
+    convergedRanks(edges, init, tol)
+  }
+
+  /** Converged ranks of the BASE-split part↔supplier graph, cold
+    * start — what [[graft.sources.IndexStore.ensureBaseRanks]]
+    * persists for the warm-start serve. */
+  private[graft] def baseConvergedRanks(s: SparkSession,
+      dir: String): DataFrame = {
+    val M = graft.sources.IndexStore.GraphDeltaMod
+    val pairs = Tables.lineitem(s, dir)
+      .filter(pmod(col("l_orderkey"), lit(M.toLong)) < M - 1)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val fwd = pairs.select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint() // consumed by outdeg + every iteration
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val tol = outdeg.count() * PrbTolPerNode
+    convergedRanks(edges,
+      outdeg.select(col("src").as("node"), lit(PrScale).as("pr_0"),
+        col("outdeg")),
+      tol)
+  }
+
+  /** Shared convergence driver for the cold ([[g5bPagerankConverged]],
+    * [[baseConvergedRanks]]) and warm ([[g5cPagerankIncremental]])
+    * starts: block-fused integer power steps with the pair-smoothed
+    * L1 stop — see [[g5bPagerankConverged]]'s scaladoc for the full
+    * derivation. `init` carries (node, pr_0, outdeg) over the edge
+    * graph's out-node universe; `tol` is the summed-|Δ| bar. */
+  private def convergedRanks(edges: DataFrame, init: DataFrame,
+      tol: Long): DataFrame = {
     // smoothed iterate i of the current frame; i = 0 spans the block
     // boundary via the rebased pr_m1 column
     def avgC(i: Int) =
@@ -148,9 +220,7 @@ object GraphQueries {
       else expr(s"(pr_${i - 1} + pr_$i) div 2")
     // the iterate carries (node, pr_0, outdeg): outdeg is constant,
     // so folding it into the frame makes every rate a pure projection
-    var ckpt = outdeg
-      .select(col("src").as("node"), lit(PrScale).as("pr_0"),
-        col("outdeg"))
+    var ckpt = init
       .localCheckpoint() // the iterate whose blocks we own + may free
     var done = 0            // completed power steps
     var result: DataFrame = null
@@ -394,9 +464,76 @@ object GraphQueries {
   val queries: Map[String, Q] = Map(
     "g5_pagerank" -> (g5Pagerank _),
     "g5b_pagerank_converged" -> (g5bPagerankConverged _),
+    "g5c_pagerank_incremental" -> (g5cPagerankIncremental _),
     "g6_triangles" -> (g6Triangles _),
     "g6_triangles_indexed" -> (g6TrianglesIndexed _)
   )
+
+  /** The g5c oracle: both convergence phases unrolled. `chain(p)`
+    * emits one full smoothed-convergence replay (iterations, paired
+    * stages, deltas, first-under-tolerance selection) over CTEs
+    * ${p}edges/${p}outdeg/${p}pr0 — the g5b unroll, parameterized by
+    * prefix so the base (`b`) and warm (`w`) phases coexist; the
+    * warm init coalesces the base selection's ranks with the
+    * cold-start constant for delta-only nodes, exactly the engine's
+    * left join. */
+  private def g5cOracleSql: String = {
+    val M = graft.sources.IndexStore.GraphDeltaMod
+    def chain(p: String): String = {
+      val its = (1 to PrbMaxIters).map { i =>
+        s"""${p}it$i AS MATERIALIZED (SELECT e.dst AS node,
+           |  CAST(${PrScale * 15 / 100} + (sum(q.pr // o.outdeg) * 85) // 100 AS BIGINT) AS pr
+           |FROM ${p}edges e
+           |JOIN ${if (i == 1) s"${p}pr0" else s"${p}it${i - 1}"} q ON e.src = q.node
+           |JOIN ${p}outdeg o ON o.src = e.src
+           |GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      val avgs = (1 to PrbMaxIters).map { k =>
+        val prev = if (k == 1) s"${p}pr0" else s"${p}it${k - 1}"
+        s"""${p}av$k AS MATERIALIZED (SELECT a.node, CAST((b.pr + a.pr) // 2 AS BIGINT) AS pr
+           |FROM ${p}it$k a JOIN $prev b ON a.node = b.node)""".stripMargin
+      }.mkString(",\n")
+      val deltas = (2 to PrbMaxIters).map { k =>
+        s"""${p}d$k AS MATERIALIZED (SELECT $k AS it, CAST(sum(abs(a.pr - b.pr)) AS BIGINT) AS d
+           |FROM ${p}av$k a JOIN ${p}av${k - 1} b ON a.node = b.node)""".stripMargin
+      }.mkString(",\n")
+      val allD = (2 to PrbMaxIters)
+        .map(i => s"SELECT it, d FROM ${p}d$i").mkString("\nUNION ALL ")
+      val allS = (1 to PrbMaxIters)
+        .map(i => s"SELECT $i AS it, node, pr FROM ${p}av$i")
+        .mkString("\nUNION ALL ")
+      its + ",\n" + avgs + ",\n" + deltas + s""",
+        |${p}dd AS ($allD),
+        |${p}chosen AS (SELECT coalesce(min(it), $PrbMaxIters) AS it
+        |               FROM ${p}dd
+        |               WHERE d <= (SELECT count(*) FROM ${p}pr0)
+        |                 * $PrbTolPerNode),
+        |${p}stages AS ($allS)""".stripMargin
+    }
+    s"""WITH bpairs AS (SELECT DISTINCT l_partkey, l_suppkey
+       |               FROM lineitem WHERE l_orderkey % $M < ${M - 1}),
+       |bedges AS MATERIALIZED (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |           FROM bpairs
+       |           UNION ALL
+       |           SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM bpairs),
+       |boutdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM bedges GROUP BY src),
+       |bpr0 AS MATERIALIZED (SELECT src AS node, $PrScale::BIGINT AS pr FROM boutdeg),
+       |${chain("b")},
+       |brank AS MATERIALIZED (SELECT s.node, s.pr FROM bstages s, bchosen c
+       |          WHERE s.it = c.it),
+       |wpairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |wedges AS MATERIALIZED (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |           FROM wpairs
+       |           UNION ALL
+       |           SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM wpairs),
+       |woutdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM wedges GROUP BY src),
+       |wpr0 AS MATERIALIZED (SELECT o.src AS node,
+       |           CAST(coalesce(b.pr, $PrScale) AS BIGINT) AS pr
+       |         FROM woutdeg o LEFT JOIN brank b ON b.node = o.src),
+       |${chain("w")}
+       |SELECT s.node, s.pr, CAST(c.it AS INTEGER) AS n_iters
+       |FROM wstages s, wchosen c WHERE s.it = c.it""".stripMargin
+  }
 
   /** The oracle unrolls the [[PrIters]] iterations as CTE stages —
     * all-integer arithmetic, so every rank hash-compares. */
@@ -405,14 +542,14 @@ object GraphQueries {
     // engine derives 150000 as PrScale*15/100, so the oracle must too
     val base =
       s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        |edges AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |edges AS MATERIALIZED (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |          FROM pairs
         |          UNION ALL
         |          SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
-        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
         |pr0 AS (SELECT src AS node, $PrScale::BIGINT AS pr FROM outdeg)""".stripMargin
     def iterCtes(n: Int): String = (1 to n).map { i =>
-      s"""it$i AS (SELECT e.dst AS node,
+      s"""it$i AS MATERIALIZED (SELECT e.dst AS node,
          |  CAST(${PrScale * 15 / 100} + (sum(p.pr // o.outdeg) * 85) // 100 AS BIGINT) AS pr
          |FROM edges e
          |JOIN ${if (i == 1) "pr0" else s"it${i - 1}"} p ON e.src = p.node
@@ -428,11 +565,11 @@ object GraphQueries {
     // engine's stop-at-first loop over the smoothed sequence
     val avgs = (1 to PrbMaxIters).map { k =>
       val prev = if (k == 1) "pr0" else s"it${k - 1}"
-      s"""av$k AS (SELECT a.node, CAST((b.pr + a.pr) // 2 AS BIGINT) AS pr
+      s"""av$k AS MATERIALIZED (SELECT a.node, CAST((b.pr + a.pr) // 2 AS BIGINT) AS pr
          |FROM it$k a JOIN $prev b ON a.node = b.node)""".stripMargin
     }.mkString(",\n")
     val deltas = (2 to PrbMaxIters).map { k =>
-      s"""d$k AS (SELECT $k AS it, CAST(sum(abs(a.pr - b.pr)) AS BIGINT) AS d
+      s"""d$k AS MATERIALIZED (SELECT $k AS it, CAST(sum(abs(a.pr - b.pr)) AS BIGINT) AS d
          |FROM av$k a JOIN av${k - 1} b ON a.node = b.node)""".stripMargin
     }.mkString(",\n")
     val allDeltas = (2 to PrbMaxIters)
@@ -453,6 +590,7 @@ object GraphQueries {
     Map("g5_pagerank" ->
       (base + ",\n" + iters + s"\nSELECT node, pr FROM it$PrIters"),
       "g5b_pagerank_converged" -> convergedSql,
+      "g5c_pagerank_incremental" -> g5cOracleSql,
       // the count is orientation-invariant: the oracle's id-ordered
       // triple join and the engine's degree-ordered wedge closure
       // agree on the number while having very different hub behavior.

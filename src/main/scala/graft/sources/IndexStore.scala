@@ -696,6 +696,25 @@ object IndexStore {
       paths
     })
 
+  private val ranksBuilt = TrieMap.empty[String, String]
+
+  /** Persisted converged PageRank of the BASE-split part↔supplier
+    * graph (r18) — the serving view the incremental query
+    * (`g5c_pagerank_incremental`) warm-starts from when delta orders
+    * arrive. Like `graph_adj`, ranks are NOT additive under appends
+    * (the whole vector shifts), so this is a derived view refreshed
+    * at build time from the maintained base split; the warm-start
+    * serve then pays 2–3 power steps instead of the from-scratch 8.
+    * Once per (JVM, dir). */
+  def ensureBaseRanks(s: SparkSession, dir: String): String =
+    ranksBuilt.getOrElseUpdate(dir, {
+      val path = indexRoot(dir).resolve("graph_base_ranks").toString
+      graft.operators.GraphQueries.baseConvergedRanks(s, dir)
+        .select(col("node"), col("pr"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Corpus catalog (r18): the per-document ownership/digest table a
     * lakehouse maintains as data arrives — (doc_id, source,
     * text_md5), hive-partitioned by the base/delta SPLIT so the

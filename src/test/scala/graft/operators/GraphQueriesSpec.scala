@@ -93,6 +93,57 @@ class GraphQueriesSpec extends SparkSpec {
     })
   }
 
+  test("g5c warm start converges faster than cold and matches a " +
+      "step-at-a-time replay from the persisted base ranks") {
+    import GraphQueries.{PrScale, PrbMaxIters, PrbTolPerNode}
+    val coldIters = GraphQueries.g5bPagerankConverged(spark, sfDir)
+      .head().getInt(2)
+    val got = GraphQueries.g5cPagerankIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val warmIters = got.head._3
+    assert(got.forall(_._3 == warmIters))
+    assert(warmIters < coldIters,
+      s"warm start bought nothing: $warmIters vs cold $coldIters")
+    // replay the warm phase one power step at a time, initialized
+    // from the SAME persisted base ranks the engine reads (their
+    // content is oracle-certified; this pins the warm LOOP)
+    val baseRanks = spark.read.parquet(
+        graft.sources.IndexStore.ensureBaseRanks(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = li ++ li.map { case (p, s) => (s, p) }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tol = outdeg.size.toLong * PrbTolPerNode
+    var prRaw = outdeg.keys
+      .map(n => n -> baseRanks.getOrElse(n, PrScale)).toMap
+    var avgPrev: Map[Long, Long] = null
+    var pr: Map[Long, Long] = null
+    var it = 0
+    var converged = false
+    while (it < PrbMaxIters && !converged) {
+      val rate = prRaw.map { case (n, p) => n -> p / outdeg(n) }
+      val nxt = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> (PrScale * 15 / 100 +
+          es.map(e => rate(e._1)).sum * 85 / 100)
+      }
+      val avg = nxt.map { case (n, p) => n -> (prRaw(n) + p) / 2 }
+      if (avgPrev != null) {
+        val delta = avg.map { case (n, p) =>
+          math.abs(p - avgPrev(n)) }.sum
+        converged = delta <= tol
+      }
+      avgPrev = avg
+      pr = avg
+      prRaw = nxt
+      it += 1
+    }
+    assert(got.head._3 == it, s"n_iters ${got.head._3} vs replay $it")
+    assert(got.map(r => r._1 -> r._2).toMap == pr,
+      "warm-start ranks diverge from the replay")
+  }
+
   test("triangles: planted co-purchase graph counted exactly") {
     import spark.implicits._
     // order 1 contains parts 1,2,3 (one triangle); order 2 parts
