@@ -68,23 +68,34 @@ object DedupCluster {
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
       .localCheckpoint()
-    // Label sum as the convergence witness; coalesce makes the empty
-    // edge set (a corpus with no near-dups) a first-class case — sum
-    // over zero rows is null, and the correct answer is an empty
-    // cluster table, not an NPE.
-    def lblSum(lbls: DataFrame): Long = lbls
-      .agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     // Init fused with the first propagation step: edges carry both
     // directions, so grouping by src enumerates every labeled node
     // AND applies one round of min(self, neighbors) in the same
     // shuffle — typical near-dup components (size 2) converge here,
     // making the loop below a single confirming pass.
-    var labels = edges.groupBy(col("src"))
+    val init = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .select(col("src").as("id"), col("lbl"))
       .localCheckpoint()
-    // Min-label propagation: labels only decrease, so the label sum is
-    // a monotone convergence witness (one scalar per iteration).
+    minLabelFixpoint(edges, init)
+  }
+
+  /** Min-label propagation to fixpoint from an explicit initial
+    * labeling (shared by the cold start above and the warm-started
+    * [[ddClusterIncremental]]): labels only decrease, so the label
+    * sum is a monotone convergence witness — one scalar per
+    * iteration reaches the driver, never data. The fixpoint (each
+    * node = its component's min id) is UNIQUE, so any valid init
+    * yields the same answer; a warm init only changes how many
+    * rounds the loop needs. */
+  private def minLabelFixpoint(edges: DataFrame,
+      init: DataFrame): DataFrame = {
+    // coalesce makes the empty edge set (a corpus with no near-dups)
+    // a first-class case — sum over zero rows is null, and the
+    // correct answer is an empty cluster table, not an NPE.
+    def lblSum(lbls: DataFrame): Long = lbls
+      .agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var labels = init
     var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
@@ -107,9 +118,133 @@ object DedupCluster {
       // would return non-minimal labels; make that loud instead of
       // shipping a silently-partial clustering.
       throw new IllegalStateException(
-        s"dd_cluster_cc: label propagation did not converge within " +
+        s"dd_cluster: label propagation did not converge within " +
           s"$maxIters iterations — component diameter exceeds the cap")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Candidate pairs from a persisted (doc_id, band, bhash) banded
+    * table — [[SimilarityQueries.lshCandidatePairs]]'s policy over
+    * the index instead of an in-plan banding: all-pairs within small
+    * buckets (2..maxBucket), star edges (min-id rep ↔ member) over
+    * hot buckets. With `probe` set, small-bucket pairs are
+    * restricted to pairs whose LEFT side satisfies it (the
+    * delta-touching subset — base-base pairs come from the persisted
+    * base edge set) and stars are emitted only for probe-touched hot
+    * buckets (an untouched bucket's membership did not change, so
+    * the base edges already encode its policy). Pairs are unordered
+    * (id_a < id_b). */
+  private def bandedCandidates(cb: DataFrame, maxBucket: Int,
+      probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column])
+      : DataFrame = {
+    val stats = cb.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+    val small = cb.join(
+      stats.filter(col("n") >= 2 && col("n") <= maxBucket)
+        .select("band", "bhash"),
+      Seq("band", "bhash"))
+    val left = probe.fold(small)(p => small.filter(p(col("doc_id"))))
+    val allPairs = left
+      .select(col("doc_id").as("da"), col("band"), col("bhash"))
+      .join(small.select(col("doc_id").as("db"), col("band"),
+        col("bhash")), Seq("band", "bhash"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"))
+    val hot = stats.filter(col("n") > maxBucket)
+      .select(col("band"), col("bhash"), col("rep"))
+    val hotSel = probe.fold(hot)(p => hot.join(
+      cb.filter(p(col("doc_id"))).select("band", "bhash").distinct(),
+      Seq("band", "bhash")))
+    val star = cb.join(hotSel, Seq("band", "bhash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(least(col("rep"), col("doc_id")).as("id_a"),
+        greatest(col("rep"), col("doc_id")).as("id_b"))
+    allPairs.unionByName(star).distinct()
+  }
+
+  /** Exact-Jaccard verification of banded candidates against the
+    * persisted shingle fingerprint store. */
+  private def verifiedEdges(s: SparkSession, shinglesPath: String,
+      cand: DataFrame): DataFrame = {
+    graft.functions.JaccardSim.ensureRegistered(s)
+    val fp = s.read.parquet(shinglesPath)
+    cand
+      .join(fp.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+        "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        "id_b")
+      .filter(call_function("jaccard_sim", col("hs_a"), col("hs_b"))
+        >= 0.85)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Base-split cluster state for
+    * [[graft.sources.IndexStore.ensureBaseClusters]]: the verified
+    * near-dup edge set and the converged min labels over the BASE
+    * docs alone, both derived from the persisted MinHash index
+    * (cluster-layout bands + fingerprints). */
+  private[graft] def baseClusterState(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val M = graft.sources.IndexStore.TrgmDeltaMod
+    val mh = graft.sources.IndexStore.ensureMinhash(s, dir)
+    val cbBase = s.read.parquet(mh.cbands)
+      .filter(pmod(col("doc_id"), lit(M.toLong)) < M - 1)
+    val edges = verifiedEdges(s, mh.shingles,
+      bandedCandidates(cbBase, maxBucket = 50, probe = None))
+      .localCheckpoint() // feeds the label propagation AND the write
+    val edges2 = edges
+      .union(edges.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val init = edges2.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
+      .localCheckpoint()
+    (minLabelFixpoint(edges2, init), edges)
+  }
+
+  /** INCREMENTAL clustering — the index-maintenance discipline
+    * applied to connected components (the m11/g5c story for the
+    * dedup family): when the delta docs arrive, near-dup clusters
+    * are not re-derived from a full-corpus band self-join; the serve
+    *   1. probes the persisted cluster-layout band index for
+    *      candidate pairs TOUCHING the delta (small buckets:
+    *      delta×any pairs; delta-touched hot buckets: min-id stars
+    *      over all members — an untouched bucket's edges are already
+    *      in the base state),
+    *   2. verifies them by exact Jaccard over the persisted
+    *      fingerprints,
+    *   3. unions the persisted base edge set, and
+    *   4. WARM-STARTS min-label propagation from the persisted base
+    *      labels (delta nodes start as themselves).
+    * The min-label fixpoint is UNIQUE per edge set, and at oracle
+    * scale the probed-candidate union equals the scan twin's full
+    * candidate set, so the output is row-identical to dd_cluster_cc
+    * and shares its recursive-CTE transitive-closure oracle — one
+    * hash compare certifies the persisted bands, fingerprints, base
+    * edges, base labels, AND the warm-start propagation. */
+  def ddClusterIncremental(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.sources.IndexStore.TrgmDeltaMod
+    val st = graft.sources.IndexStore.ensureBaseClusters(s, dir)
+    val mh = graft.sources.IndexStore.ensureMinhash(s, dir)
+    def isDelta(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(M.toLong)) === M - 1
+    val cb = s.read.parquet(mh.cbands)
+    val newEdges = verifiedEdges(s, mh.shingles,
+      bandedCandidates(cb, maxBucket = 50, probe = Some(isDelta)))
+    val edges = s.read.parquet(st.edges)
+      .unionByName(newEdges).distinct()
+    val edges2 = edges
+      .union(edges.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val baseLbl = s.read.parquet(st.labels)
+    val init = edges2.select(col("src").as("id")).distinct()
+      .join(baseLbl.withColumnRenamed("doc_id", "id")
+        .withColumnRenamed("cluster_id", "base_lbl"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("base_lbl"), col("id")).as("lbl"))
+      .localCheckpoint()
+    minLabelFixpoint(edges2, init)
   }
 
   /** The end step of fuzzy dedup: drop every non-representative
@@ -173,6 +308,7 @@ object DedupCluster {
 
   val queries: Map[String, Q] = Map(
     "dd_cluster_cc" -> (ddClusterCc _),
+    "dd_cluster_incremental" -> (ddClusterIncremental _),
     "dd_cluster_dedup" -> (ddClusterDedup _),
     "dd_cluster_keepbest" -> (ddClusterKeepbest _)
   )
@@ -202,6 +338,13 @@ object DedupCluster {
 
   val oracle: Map[String, String] = Map(
     "dd_cluster_cc" ->
+      (ccCte + "\nSELECT doc_id, cluster_id FROM lbl"),
+    // the incremental serve converges to the SAME unique min-label
+    // fixpoint — sharing the exact transitive-closure oracle is the
+    // whole certification: persisted bands, fingerprints, base
+    // edges/labels, and the warm-start propagation all verify in
+    // one hash compare
+    "dd_cluster_incremental" ->
       (ccCte + "\nSELECT doc_id, cluster_id FROM lbl"),
     "dd_cluster_dedup" -> (ccCte +
       """

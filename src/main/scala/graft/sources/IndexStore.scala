@@ -347,7 +347,14 @@ object IndexStore {
   val MhHashes = 32
   val MhBands = 4
 
-  case class MinhashPaths(shingles: String, bands: String)
+  /** Cluster-layout banding (8 bands × 4 rows — the steeper recall
+    * curve DedupCluster uses at J≥0.85, vs the 4×8 search layout in
+    * `bands`), persisted since r18 for the incremental-clustering
+    * serve. Same 32-hash signature, second slicing. */
+  val MhClusterBands = 8
+
+  case class MinhashPaths(shingles: String, bands: String,
+      cbands: String)
 
   private val mhBuilt = TrieMap.empty[String, MinhashPaths]
 
@@ -369,7 +376,8 @@ object IndexStore {
       val root = indexRoot(dir)
       val paths = MinhashPaths(
         root.resolve("mh_shingles").toString,
-        root.resolve("mh_bands").toString)
+        root.resolve("mh_bands").toString,
+        root.resolve("mh_cbands").toString)
       val docs = Tables.documents(s, dir)
       val rows = MhHashes / MhBands
       def write(d: DataFrame, mode: String): Unit = {
@@ -393,6 +401,16 @@ object IndexStore {
             col("bk.bhash").as("bhash"))
           .repartition(col("band"))
           .write.mode(mode).partitionBy("band").parquet(paths.bands)
+        val crows = MhHashes / MhClusterBands
+        sh.select(col("doc_id"),
+            explode(transform(sequence(lit(0), lit(MhClusterBands - 1)),
+              b => struct(b.as("band"),
+                xxhash64(slice(col("sig"), b * crows + 1, lit(crows)))
+                  .as("bhash")))).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.bhash").as("bhash"))
+          .repartition(col("band"))
+          .write.mode(mode).partitionBy("band").parquet(paths.cbands)
       }
       write(docs.filter(
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
@@ -693,6 +711,31 @@ object IndexStore {
         .agg(count(lit(1)).as("n_nodes"))
         .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
         .write.mode("overwrite").parquet(paths.stats)
+      paths
+    })
+
+  case class BaseClusterPaths(labels: String, edges: String)
+
+  private val baseClustersBuilt = TrieMap.empty[String, BaseClusterPaths]
+
+  /** Persisted near-dup cluster state of the BASE split (r18): the
+    * verified edge set and the converged min labels over base docs,
+    * both derived from the persisted MinHash cluster bands +
+    * fingerprints — what `dd_cluster_incremental` warm-starts from
+    * when delta docs arrive. Like ranks/adjacency, labels are not
+    * additive under new edges (components merge), so this is a
+    * derived serving view refreshed from the maintained index
+    * tables. Once per (JVM, dir). */
+  def ensureBaseClusters(s: SparkSession, dir: String): BaseClusterPaths =
+    baseClustersBuilt.getOrElseUpdate(dir, {
+      val root = indexRoot(dir)
+      val paths = BaseClusterPaths(
+        root.resolve("cc_base_labels").toString,
+        root.resolve("cc_base_edges").toString)
+      val (labels, edges) =
+        graft.operators.DedupCluster.baseClusterState(s, dir)
+      labels.write.mode("overwrite").parquet(paths.labels)
+      edges.write.mode("overwrite").parquet(paths.edges)
       paths
     })
 

@@ -97,6 +97,47 @@ class DedupClusterSpec extends SparkSpec {
     assert(out.filter(col("cluster_id") > col("doc_id")).count() == 0)
   }
 
+  test("incremental clustering equals the full recompute on the " +
+      "test corpus") {
+    val full = DedupCluster.ddClusterCc(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = DedupCluster.ddClusterIncremental(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full,
+      s"incremental diverges: ${incr.size} vs ${full.size} nodes")
+    assert(full.nonEmpty, "corpus must contain near-dup clusters")
+  }
+
+  test("a delta doc merges a base cluster with a base outsider — " +
+      "the warm-started labels re-converge") {
+    // base: A(10) ~ B(11) form a cluster; C'(12) is NOT a near-dup
+    // of either (two edits from A). delta: D(14) is one edit from B
+    // AND one edit from C' — the bridge that must pull 12 into
+    // cluster 10 at serve time, against the persisted base labels
+    // that say {10, 11} and nothing for 12.
+    val a = baseWords.mkString(" ")
+    val b = baseWords.updated(59, "e59").mkString(" ")
+    val c = baseWords.updated(59, "e59").updated(55, "e55")
+      .updated(50, "e50").mkString(" ")
+    val d = baseWords.updated(59, "e59").updated(55, "e55")
+      .mkString(" ")
+    val dir = corpusDir(Seq(
+      (10L, a, "s"), (11L, b, "s"), (12L, c, "s"), (14L, d, "s")))
+    // base state must know {10, 11} and not 12 (12 is two edits from
+    // 11 — J ≈ 0.81 < 0.85) — certified indirectly: the incremental
+    // answer must still put ALL FOUR in cluster 10 via the delta
+    // bridge 14 (one edit to 11, one edit to 12)
+    val incr = DedupCluster.ddClusterIncremental(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      14L -> 10L), s"bridge merge failed: $incr")
+    val baseLabels = spark.read.parquet(
+        graft.sources.IndexStore.ensureBaseClusters(spark, dir).labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(baseLabels == Map(10L -> 10L, 11L -> 10L),
+      s"base state should hold only the {10,11} cluster: $baseLabels")
+  }
+
   test("keepbest picks the highest-stopword-density member, with " +
       "n_chars then doc_id breaking ties") {
     import spark.implicits._
