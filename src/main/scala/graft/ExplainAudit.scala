@@ -142,7 +142,8 @@ object ExplainAudit {
         "pipe_corpus_build", "pipe_delta_ingest",
         "pipe_catalog_census", "l13_domain_quota",
         "dd_cluster_keepbest", "x8c_sampled_quantiles",
-        "sim_mmr_rerank", "g5c_pagerank_incremental")
+        "sim_mmr_rerank", "g5c_pagerank_incremental",
+        "dd_cluster_incremental")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>
