@@ -135,10 +135,17 @@ object DedupCluster {
     * the base edges already encode its policy). Pairs are unordered
     * (id_a < id_b). */
   private def bandedCandidates(cb: DataFrame, maxBucket: Int,
-      probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column])
-      : DataFrame = {
-    val stats = cb.groupBy(col("band"), col("bhash"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+      probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+      statsOpt: Option[DataFrame] = None): DataFrame = {
+    // census from the additively-maintained index sidecar when the
+    // caller has one (the serve path — count and min-rep are both
+    // mergeable, so re-summing the ≤2 partial rows per bucket
+    // replaces a full banded-table groupBy); derived in-plan
+    // otherwise (the base build, whose census must cover base rows
+    // only)
+    val stats = statsOpt.getOrElse(
+      cb.groupBy(col("band"), col("bhash"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep")))
     val small = cb.join(
       stats.filter(col("n") >= 2 && col("n") <= maxBucket)
         .select("band", "bhash"),
@@ -230,8 +237,12 @@ object DedupCluster {
     def isDelta(c: org.apache.spark.sql.Column) =
       pmod(c, lit(M.toLong)) === M - 1
     val cb = s.read.parquet(mh.cbands)
+    val mergedStats = s.read.parquet(mh.cstats)
+      .groupBy(col("band"), col("bhash"))
+      .agg(sum(col("n")).cast("long").as("n"), min(col("rep")).as("rep"))
     val newEdges = verifiedEdges(s, mh.shingles,
-      bandedCandidates(cb, maxBucket = 50, probe = Some(isDelta)))
+      bandedCandidates(cb, maxBucket = 50, probe = Some(isDelta),
+        statsOpt = Some(mergedStats)))
     val edges = s.read.parquet(st.edges)
       .unionByName(newEdges).distinct()
     val edges2 = edges

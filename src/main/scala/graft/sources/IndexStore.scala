@@ -354,7 +354,7 @@ object IndexStore {
   val MhClusterBands = 8
 
   case class MinhashPaths(shingles: String, bands: String,
-      cbands: String)
+      cbands: String, cstats: String)
 
   private val mhBuilt = TrieMap.empty[String, MinhashPaths]
 
@@ -377,7 +377,8 @@ object IndexStore {
       val paths = MinhashPaths(
         root.resolve("mh_shingles").toString,
         root.resolve("mh_bands").toString,
-        root.resolve("mh_cbands").toString)
+        root.resolve("mh_cbands").toString,
+        root.resolve("mh_cstats").toString)
       val docs = Tables.documents(s, dir)
       val rows = MhHashes / MhBands
       def write(d: DataFrame, mode: String): Unit = {
@@ -402,15 +403,24 @@ object IndexStore {
           .repartition(col("band"))
           .write.mode(mode).partitionBy("band").parquet(paths.bands)
         val crows = MhHashes / MhClusterBands
-        sh.select(col("doc_id"),
+        val cband = sh.select(col("doc_id"),
             explode(transform(sequence(lit(0), lit(MhClusterBands - 1)),
               b => struct(b.as("band"),
                 xxhash64(slice(col("sig"), b * crows + 1, lit(crows)))
                   .as("bhash")))).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"),
             col("bk.bhash").as("bhash"))
+          .localCheckpoint() // feeds the banded write AND the census
+        cband
           .repartition(col("band"))
           .write.mode(mode).partitionBy("band").parquet(paths.cbands)
+        // additive bucket census of the cluster banding (count +
+        // min-id rep are both mergeable, the m11 discipline): the
+        // incremental-clustering serve re-sums these partial rows
+        // instead of re-scanning + re-grouping the full banded table
+        cband.groupBy(col("band"), col("bhash"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+          .write.mode(mode).parquet(paths.cstats)
       }
       write(docs.filter(
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
