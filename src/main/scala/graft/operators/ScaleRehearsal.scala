@@ -132,7 +132,12 @@ object ScaleRehearsal {
         // co-purchase graph grows with the corpus
         (col("id") / 5L).cast("long").as("l_orderkey"),
         pmod(xxhash64(col("id"), lit(3)),
-          greatest(lit(n / 25L), lit(100L))).as("l_partkey"))
+          greatest(lit(n / 25L), lit(100L))).as("l_partkey"),
+        // supplier universe 10× smaller than parts: the bipartite
+        // part↔supplier graph the g5 PageRank family rehearses on
+        // (r18 — the warm-start probe needs l_suppkey)
+        pmod(xxhash64(col("id"), lit(4)),
+          greatest(lit(n / 250L), lit(20L))).as("l_suppkey"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     s.range(n).toDF("id")
       .select(
