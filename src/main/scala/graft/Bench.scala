@@ -233,7 +233,7 @@ object Bench {
       }
 
     // Stream-stream join gate (r18): the watermarked CASH_OUT ⋈
-    // TRANSFER laundering probe over two lockstep MemoryStreams,
+    // PAYMENT laundering probe over two lockstep MemoryStreams,
     // verified IN the bench against the batch twin of the same fed
     // rows (mismatches must be 0, joined must be positive or the
     // gate is vacuous) and gated on a records/s floor.

@@ -274,13 +274,6 @@ object DedupCluster {
       .agg(count(lit(1)).as("n_kept"))
   }
 
-  /** #occurrences of literal `pat` in `c` (the TextQueries metric,
-    * inlined: integer-valued, engine-agnostic). */
-  private def occ(c: org.apache.spark.sql.Column, pat: String) =
-    ((length(c) - length(regexp_replace(c,
-      java.util.regex.Pattern.quote(pat), ""))) / pat.length)
-      .cast("long")
-
   /** Quality-aware canonical selection — the keeper step real corpus
     * dedup runs AFTER clustering: [[ddClusterDedup]] keeps the
     * min-id representative (the cheap convention); production
@@ -298,9 +291,9 @@ object DedupCluster {
     * the argmax itself is one map-side-combinable max(struct) — no
     * window, no sort. */
   def ddClusterKeepbest(s: SparkSession, dir: String): DataFrame = {
+    import TextQueries.{occurrences => occ, spaceCount}
     val cc = ddClusterCc(s, dir)
-    val toks = (length(col("text")) -
-      length(translate(col("text"), " ", ""))).cast("long") + 1L
+    val toks = spaceCount(col("text")) + 1L
     val stops = occ(col("text"), "the") + occ(col("text"), "and") +
       occ(col("text"), "of")
     Tables.documents(s, dir)

@@ -60,23 +60,26 @@ object PipelineQueries {
     * 2³¹, so a billion-document stage sum stays under 2⁶⁰). */
   val DigestMod = 1000000007L
 
-  private def occ(c: Column, pat: String): Column =
-    ((length(c) - length(regexp_replace(c,
-      java.util.regex.Pattern.quote(pat), ""))) / pat.length)
-      .cast("long")
+  /** The slim seven-column corpus projection every pipeline stage
+    * reads — digest, token/stop/English-evidence counts (the
+    * TextQueries arithmetic, shared so the funnel and the delta
+    * ingest can never diverge from each other or the gates'
+    * oracles), and the portable draw hash. */
+  private def gateProjection(docs: DataFrame): DataFrame = {
+    import TextQueries.{occurrences => occ, spaceCount}
+    val text = col("text")
+    docs.select(col("doc_id"), col("source"),
+      md5(text).as("text_md5"),
+      (spaceCount(text) + 1L).as("n_tokens"),
+      (occ(text, "the") + occ(text, "and") + occ(text, "of"))
+        .as("stops"),
+      (occ(text, " the ") + occ(text, " and ")).as("en"),
+      graft.core.PortableHash.md5Hash60(col("doc_id")).as("h"))
+  }
 
   def pipeCorpusBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val text = col("text")
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        md5(text).as("text_md5"),
-        ((length(text) - length(translate(text, " ", ""))).cast("long")
-          + 1L).as("n_tokens"),
-        (occ(text, "the") + occ(text, "and") + occ(text, "of"))
-          .as("stops"),
-        (occ(text, " the ") + occ(text, " and ")).as("en"),
-        graft.core.PortableHash.md5Hash60(col("doc_id")).as("h"))
+    val base = gateProjection(Tables.documents(s, dir))
       .localCheckpoint() // the staged-materialization point: all six
                          // stage chains and seven funnel aggregates
                          // re-read this slim projection, never the
@@ -182,16 +185,8 @@ object PipelineQueries {
     val mh = graft.sources.IndexStore.ensureMinhash(s, dir)
     val g13 = graft.sources.IndexStore.ensureGram13(s, dir)
     def isDelta(c: Column) = pmod(c, lit(M.toLong)) === M - 1
-    val text = col("text")
-    val delta = Tables.documents(s, dir).filter(isDelta(col("doc_id")))
-      .select(col("doc_id"), col("source"),
-        md5(text).as("text_md5"),
-        ((length(text) - length(translate(text, " ", ""))).cast("long")
-          + 1L).as("n_tokens"),
-        (occ(text, "the") + occ(text, "and") + occ(text, "of"))
-          .as("stops"),
-        (occ(text, " the ") + occ(text, " and ")).as("en"),
-        graft.core.PortableHash.md5Hash60(col("doc_id")).as("h"))
+    val delta = gateProjection(
+        Tables.documents(s, dir).filter(isDelta(col("doc_id"))))
       .localCheckpoint() // feeds digest probe, keeper census, flags
     val baseDigests = s.read.parquet(cat.digests)
       .filter(col("split") === "base")
@@ -266,6 +261,19 @@ object PipelineQueries {
     "pipe_delta_ingest" -> (pipeDeltaIngest _),
     "pipe_catalog_census" -> (pipeCatalogCensus _)
   )
+
+  /** DuckDB spellings of the engine's delta-membership predicate,
+    * interpolated from the SAME constant the engine splits on
+    * ([[graft.sources.IndexStore.TrgmDeltaMod]]) so the oracles can
+    * never silently diverge from the split. */
+  private val DeltaModSql = {
+    val m = graft.sources.IndexStore.TrgmDeltaMod
+    s"$m = ${m - 1}"
+  }
+  private val DeltaNotModSql = {
+    val m = graft.sources.IndexStore.TrgmDeltaMod
+    s"$m <> ${m - 1}"
+  }
 
   /** The full funnel in one DuckDB statement: the cluster closure
     * (DedupCluster's recursive CTE), the decontamination gram join
@@ -355,9 +363,9 @@ object PipelineQueries {
          |    AS BIGINT) AS en,
          |  ${graft.core.PortableHash.duckSql("CAST(doc_id AS VARCHAR)")}
          |    AS h
-         |  FROM documents WHERE doc_id % 5 = 4),
+         |  FROM documents WHERE doc_id % $DeltaModSql),
          |bset AS (SELECT DISTINCT md5(text) AS text_md5
-         |         FROM documents WHERE doc_id % 5 <> 4),
+         |         FROM documents WHERE doc_id % $DeltaNotModSql),
          |keep AS (SELECT text_md5, min(doc_id) AS keeper
          |         FROM dd GROUP BY text_md5),
          |gw AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -368,7 +376,7 @@ object PipelineQueries {
          |           i -> array_to_string(w[i:i+2], ' '))) AS g
          |       FROM gw),
          |nd AS (SELECT DISTINCT a.doc_id FROM gs a JOIN gs b
-         |  ON a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+         |  ON a.doc_id % $DeltaModSql AND b.doc_id % $DeltaNotModSql
          |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.85),
          |g13 AS (SELECT doc_id,
@@ -378,7 +386,7 @@ object PipelineQueries {
          |        FROM gw),
          |ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 17 = 0),
          |cont AS (SELECT DISTINCT g13.doc_id FROM g13 JOIN ev USING (g)
-         |         WHERE g13.doc_id % 17 <> 0 AND g13.doc_id % 5 = 4),
+         |         WHERE g13.doc_id % 17 <> 0 AND g13.doc_id % $DeltaModSql),
          |dec AS (SELECT d.doc_id, d.source, d.h,
          |    CASE WHEN en <= 0 THEN 'lang'
          |         WHEN NOT (n_tokens >= 20
@@ -402,7 +410,7 @@ object PipelineQueries {
          |         ELSE 'quota' END) AS decision
          |FROM dec d LEFT JOIN q ON d.doc_id = q.doc_id""".stripMargin,
     "pipe_catalog_census" ->
-      """SELECT CASE WHEN doc_id % 5 = 4 THEN 'delta' ELSE 'base' END
+      s"""SELECT CASE WHEN doc_id % $DeltaModSql THEN 'delta' ELSE 'base' END
         |    AS split,
         |  source, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents

@@ -26,10 +26,10 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** #occurrences of substring `pat` in `c` (integer, engine-agnostic). */
-  private def occurrences(c: Column, pat: String): Column =
+  private[operators] def occurrences(c: Column, pat: String): Column =
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
 
-  private def spaceCount(c: Column): Column =
+  private[operators] def spaceCount(c: Column): Column =
     (length(c) - length(translate(c, " ", ""))).cast("long")
 
   // ===================================================================

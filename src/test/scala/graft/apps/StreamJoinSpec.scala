@@ -2,7 +2,7 @@ package graft.apps
 
 import graft.SparkSpec
 
-/** Stream-stream join gate (r18): the watermarked CASH_OUT ⋈ TRANSFER
+/** Stream-stream join gate (r18): the watermarked CASH_OUT ⋈ PAYMENT
   * laundering probe is verified against the batch twin of the same
   * fed rows — every pair the bounded batch join produces must be
   * emitted by the incremental two-state-store streaming join exactly
@@ -15,7 +15,7 @@ class StreamJoinSpec extends SparkSpec {
       "harness floor") {
     val r = StreamBenchApp.runJoin(spark,
       "/root/testdata/sf0.01", nBatches = 4, batchRows = 2500)
-    assert(r.records > 0, "no CASH_OUT/TRANSFER rows fed")
+    assert(r.records > 0, "no CASH_OUT/PAYMENT rows fed")
     assert(r.joined > 0,
       "no pairs emitted — the equality gate would be vacuous")
     assert(r.mismatches == 0,
