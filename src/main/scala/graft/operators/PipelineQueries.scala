@@ -195,10 +195,15 @@ object PipelineQueries {
     val keepers = delta.groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keeper_id"))
     // near-dup probe: delta bands vs base bands off the persisted
-    // index, bucket cap shared with the dd_minhash_indexed serve
-    val bands = s.read.parquet(mh.bands)
-    val small = bands.groupBy(col("band"), col("bhash"))
-      .agg(count(lit(1)).as("n"))
+    // CLUSTER-layout banding (8×4 — the steeper recall curve at
+    // J≥0.85; an admission decision that misses a dup admits a
+    // duplicate, so it gets the clustering family's layout, not the
+    // top-k search one), census from the additively-maintained
+    // cstats sidecar; bucket cap shared with the cluster serves
+    val bands = s.read.parquet(mh.cbands)
+    val small = s.read.parquet(mh.cstats)
+      .groupBy(col("band"), col("bhash"))
+      .agg(sum(col("n")).cast("long").as("n"))
       .filter(col("n") >= 2 && col("n") <= 50)
       .select("band", "bhash")
     val cand = bands.filter(isDelta(col("doc_id")))
