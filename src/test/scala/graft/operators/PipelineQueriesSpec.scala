@@ -108,4 +108,21 @@ class PipelineQueriesSpec extends SparkSpec {
     files.foreach(f => assert(f.contains("split=base"),
       s"catalog scan not pruned to the base split: $f"))
   }
+
+  test("the ingest near-dup probe reads the cluster-layout banding, " +
+      "never the top-k search layout") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val files = PipelineQueries.deltaFlagged(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }.flatMap(_.selectedPartitions.toPartitionArray
+        .map(_.filePath.toString))
+    assert(files.exists(_.contains("mh_cbands")),
+      "cluster bands must feed the near-dup probe")
+    assert(files.exists(_.contains("mh_cstats")),
+      "the census must come from the additive sidecar")
+    assert(!files.exists(_.contains("mh_bands")),
+      "the 4x8 search banding must not appear in an ADMISSION probe " +
+        "(weaker recall at J>=0.85 would admit duplicates)")
+  }
 }
