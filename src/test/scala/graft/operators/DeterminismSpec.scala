@@ -73,4 +73,20 @@ class DeterminismSpec extends SparkSpec {
     }
     assert(run(3) == run(13))
   }
+
+  test("delta-ingest decisions are identical across shuffle " +
+      "partitionings — the warm-start serve is a data property too") {
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try PipelineQueries.pipeDeltaIngest(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(2)))
+        .sortBy(_._1).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val a = run("3")
+    val b = run("19")
+    assert(a == b, s"decisions diverge under repartitioning: " +
+      s"${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
+    assert(a.nonEmpty)
+  }
 }
