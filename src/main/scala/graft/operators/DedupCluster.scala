@@ -310,8 +310,24 @@ object DedupCluster {
         col("best.q_permille").as("q_permille"), col("n_members"))
   }
 
+  /** Cluster-size distribution — the dedup REPORT a corpus pipeline
+    * prints (how many pairs, triples, 600-member piles): per
+    * distinct component size, the number of components and the
+    * documents they hold. Two tiny map-side-combined aggregates over
+    * the memoized cluster table; components have ≥2 members by
+    * construction (labels exist only for edge endpoints). */
+  def ddClusterStats(s: SparkSession, dir: String): DataFrame =
+    ddClusterCc(s, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   val queries: Map[String, Q] = Map(
     "dd_cluster_cc" -> (ddClusterCc _),
+    "dd_cluster_stats" -> (ddClusterStats _),
     "dd_cluster_incremental" -> (ddClusterIncremental _),
     "dd_cluster_dedup" -> (ddClusterDedup _),
     "dd_cluster_keepbest" -> (ddClusterKeepbest _)
@@ -350,6 +366,12 @@ object DedupCluster {
     // one hash compare
     "dd_cluster_incremental" ->
       (ccCte + "\nSELECT doc_id, cluster_id FROM lbl"),
+    "dd_cluster_stats" -> (ccCte + """,
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size
+      |       FROM lbl GROUP BY cluster_id)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      |FROM sz GROUP BY cluster_size""".stripMargin),
     "dd_cluster_dedup" -> (ccCte +
       """
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept

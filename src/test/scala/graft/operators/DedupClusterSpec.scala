@@ -138,6 +138,17 @@ class DedupClusterSpec extends SparkSpec {
       s"base state should hold only the {10,11} cluster: $baseLabels")
   }
 
+  test("cluster stats partition the cluster table exactly") {
+    val cc = DedupCluster.ddClusterCc(spark, sfDir)
+    val stats = DedupCluster.ddClusterStats(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.forall(_._1 >= 2),
+      "components have at least two members by construction")
+    assert(stats.map(_._3).sum == cc.count(),
+      "size buckets must partition the labeled docs")
+    assert(stats.forall(r => r._3 == r._1 * r._2))
+  }
+
   test("keepbest picks the highest-stopword-density member, with " +
       "n_chars then doc_id breaking ties") {
     import spark.implicits._
