@@ -229,7 +229,20 @@ object DedupCluster {
     * candidate set, so the output is row-identical to dd_cluster_cc
     * and shares its recursive-CTE transitive-closure oracle — one
     * hash compare certifies the persisted bands, fingerprints, base
-    * edges, base labels, AND the warm-start propagation. */
+    * edges, base labels, AND the warm-start propagation.
+    *
+    * Rep-drift caveat (ADVICE r18): the base edge set anchored its
+    * hot-bucket stars at BASE-split reps; after the delta append a
+    * hot bucket's min-id rep can move to a delta doc, so this serve's
+    * star edges (anchored at the merged rep) are a strict SUPERSET of
+    * what a from-scratch dd_cluster_cc pass would emit for that
+    * bucket — both anchors stay inside the bucket, so wherever the
+    * star policy reaches full recall (every bucket member genuinely
+    * near-dups the rep, the regime the policy is designed for and the
+    * regime at oracle scale) the verified edge sets induce the same
+    * components and the shared oracle holds; under partial recall the
+    * two-anchor union can only CONNECT more true near-dups, never
+    * fewer. */
   def ddClusterIncremental(s: SparkSession, dir: String): DataFrame = {
     val M = graft.sources.IndexStore.TrgmDeltaMod
     val st = graft.sources.IndexStore.ensureBaseClusters(s, dir)

@@ -201,18 +201,42 @@ object PipelineQueries {
     // top-k search one), census from the additively-maintained
     // cstats sidecar; bucket cap shared with the cluster serves
     val bands = s.read.parquet(mh.cbands)
-    val small = s.read.parquet(mh.cstats)
+    val census = s.read.parquet(mh.cstats)
       .groupBy(col("band"), col("bhash"))
       .agg(sum(col("n")).cast("long").as("n"))
+    val small = census
       .filter(col("n") >= 2 && col("n") <= 50)
       .select("band", "bhash")
-    val cand = bands.filter(isDelta(col("doc_id")))
+    val smallCand = bands.filter(isDelta(col("doc_id")))
       .select(col("doc_id").as("d_id"), col("band"), col("bhash"))
       .join(small, Seq("band", "bhash"))
       .join(bands.filter(!isDelta(col("doc_id")))
         .select(col("doc_id").as("b_id"), col("band"), col("bhash")),
         Seq("band", "bhash"))
-      .select(col("d_id"), col("b_id")).distinct()
+      .select(col("d_id"), col("b_id"))
+    // Hot-bucket star fallback (ADVICE r18): a bucket past the cap is
+    // not silently dropped — each delta doc touching it is paired with
+    // the bucket's min-id BASE member (recoverable from the per-split
+    // cstats partials: a partial's rep inherits its split's doc_id
+    // residue), one bounded pair per (delta doc, hot bucket), the
+    // bandedCandidates star policy applied to admission. Residual
+    // recall caveat: only the rep is probed, so a base near-dup that
+    // is neither the rep nor a small-bucket co-member of the delta
+    // doc in ANY band can still slip through — the same bounded-work
+    // trade the cluster family documents; the exact-Jaccard oracle
+    // certifies it costs nothing at oracle scale.
+    val hotBaseRep = s.read.parquet(mh.cstats)
+      .filter(!isDelta(col("rep")))
+      .groupBy(col("band"), col("bhash"))
+      .agg(min(col("rep")).as("b_id"))
+      .join(census.filter(col("n") > 50).select("band", "bhash"),
+        Seq("band", "bhash"))
+    val hotCand = bands.filter(isDelta(col("doc_id")))
+      .select(col("doc_id").as("d_id"), col("band"), col("bhash"))
+      .join(hotBaseRep, Seq("band", "bhash"))
+      .select(col("d_id"), col("b_id"))
+    val cand = smallCand.unionByName(hotCand)
+      .filter(col("d_id") =!= col("b_id")).distinct()
     val fp = s.read.parquet(mh.shingles)
     val nearDup = cand
       .join(fp.select(col("doc_id").as("d_id"), col("hs").as("hs_d")),

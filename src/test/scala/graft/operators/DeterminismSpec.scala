@@ -77,11 +77,12 @@ class DeterminismSpec extends SparkSpec {
   test("delta-ingest decisions are identical across shuffle " +
       "partitionings — the warm-start serve is a data property too") {
     def run(parts: String) = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try PipelineQueries.pipeDeltaIngest(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getString(2)))
         .sortBy(_._1).toSeq
-      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     }
     val a = run("3")
     val b = run("19")
