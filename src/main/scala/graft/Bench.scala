@@ -254,6 +254,31 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
       }
 
+    // Streaming delta-ingest gate (r19, VERDICT r18 task #2): the
+    // pipe_delta_ingest decision body inside foreachBatch over a
+    // MemoryStream of delta docs — per-batch standing-index probes,
+    // cross-batch seen-digest state, per-(source, batch) admit cap —
+    // verified IN the bench against the boundary-replaying batch twin
+    // (mismatches must be 0, admits positive or the gate is vacuous)
+    // and gated on a docs/s floor. 10 batches over the sf0.1 delta
+    // split (1000 docs).
+    val ingestLine = if (args.nonEmpty) "" else
+      try {
+        val r = graft.apps.StreamBenchApp.runIngest(spark, sfDir,
+          batchRows = 100)
+        val floor = graft.apps.StreamBenchApp.IngestFloorRecSec
+        s"""{"metric":"stream_ingest","records_per_sec":${f"${r.recordsPerSec}%.1f"},""" +
+          s""""records":${r.records},"admitted":${r.admitted},""" +
+          s""""batches":${r.batches},"mismatches":${r.mismatches},""" +
+          s""""floor_rec_per_sec":${floor.toLong},""" +
+          s""""gate_ok":${r.mismatches == 0 && r.admitted > 0 &&
+            r.recordsPerSec >= floor}}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"metric":"stream_ingest","err":${jstr(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
+
     // ANN index-quality telemetry (VERDICT r7 task #4): recall@10 of
     // each approximate index vs the exact brute-force top-10, so
     // index-quality regressions are visible round-over-round the way
@@ -337,6 +362,7 @@ object Bench {
         if (sessionizeLine.nonEmpty) Some(s"""  "stream_sessionize": $sessionizeLine""") else None,
         if (dedupLine.nonEmpty) Some(s"""  "stream_dedup": $dedupLine""") else None,
         if (joinLine.nonEmpty) Some(s"""  "stream_join": $joinLine""") else None,
+        if (ingestLine.nonEmpty) Some(s"""  "stream_ingest": $ingestLine""") else None,
         if (annLine.nonEmpty) Some(s"""  "ann_recall": $annLine""") else None,
         if (annStructuredLine.nonEmpty)
           Some(s"""  "ann_recall_structured": $annStructuredLine""") else None
@@ -378,6 +404,7 @@ object Bench {
     if (sessionizeLine.nonEmpty) println(sessionizeLine)
     if (dedupLine.nonEmpty) println(dedupLine)
     if (joinLine.nonEmpty) println(joinLine)
+    if (ingestLine.nonEmpty) println(ingestLine)
     if (annLine.nonEmpty) println(annLine)
     if (annStructuredLine.nonEmpty) println(annStructuredLine)
     // Cold-total summary (sum of first runs): short, second-to-last.
