@@ -101,27 +101,45 @@ object ExtendedQueries {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
         count(lit(1)).as("n"))
 
+  /** GK sketch accuracy for the approx-quantile family (x8b / x8c /
+    * x12b). Two regimes meet here:
+    *   - ORACLE scale (sf0.01, where the hash compare runs): with
+    *     accuracy ≥ group row count the sketch never merges (the GK
+    *     merge threshold 2·n/accuracy stays < 1), so the query is
+    *     rank-exact — 1e5 keeps that property with 6× headroom over
+    *     the sf0.01 orders table (~15k rows).
+    *   - REHEARSAL/100 TB scale: past ~accuracy/2 rows per group the
+    *     sketch must COMPRESS, and the retained state must stay
+    *     O(accuracy), not O(n). r18's accuracy=1e6 defeated that —
+    *     at the 1.5M-row rehearsal point ε=1e-6 made every compress
+    *     pass a no-op (merge threshold 2εn ≈ 3 admits nothing), so
+    *     partials retained ALL values and the final merge churned
+    *     1.5M heap objects: 5.6 s and the rehearsal's worst exponent
+    *     (1.25, GC-bound). At 1e5 the same point runs 1.1 s with the
+    *     sketch actually sketching (ε = 1e-5 ⇒ ±15 ranks at 1.5M). */
+  val ApproxAccuracy = 100000
+
   /** Scale-safe percentile twin of x8: `percentile_approx`
     * (Greenwald-Khanna sketch) caps executor state at O(accuracy)
-    * retained samples per group (~a few MB at accuracy 1e6)
-    * REGARDLESS of input size — the 100 TB answer to exact
-    * Percentile's unbounded value map. Determinism for the oracle:
-    * with accuracy ≥ group row count the GK sketch never merges, so
-    * the query is rank-exact and returns the stored element at rank
-    * ceil(p·n) (1-indexed; verified empirically across n=4,5,10,11 ×
-    * p=.25,.5,.75,.9) — which the DuckDB oracle reproduces with
-    * row_number(). Both engines compute the p·n product in IEEE
-    * double (the oracle casts the literal to DOUBLE so DuckDB doesn't
-    * use DECIMAL arithmetic), so the rank agrees bit-for-bit. Beyond
-    * ~1e6 rows per group the same query degrades gracefully to
-    * ε = 1e-6 rank error instead of failing on memory. */
+    * retained samples per group REGARDLESS of input size — the
+    * 100 TB answer to exact Percentile's unbounded value map.
+    * Determinism for the oracle: with [[ApproxAccuracy]] ≥ group row
+    * count the GK sketch never merges, so the query is rank-exact
+    * and returns the stored element at rank ceil(p·n) (1-indexed;
+    * verified empirically across n=4,5,10,11 × p=.25,.5,.75,.9) —
+    * which the DuckDB oracle reproduces with row_number(). Both
+    * engines compute the p·n product in IEEE double (the oracle
+    * casts the literal to DOUBLE so DuckDB doesn't use DECIMAL
+    * arithmetic), so the rank agrees bit-for-bit. Beyond
+    * ~[[ApproxAccuracy]] rows per group the same query degrades
+    * gracefully to ε rank error instead of failing on memory. */
   def x8bApproxPercentile(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("percentile_approx(o_totalprice, 0.5, 1000000)")
+        expr(s"percentile_approx(o_totalprice, 0.5, $ApproxAccuracy)")
           .as("median_price"),
-        expr("percentile_approx(o_totalprice, 0.9, 1000000)")
+        expr(s"percentile_approx(o_totalprice, 0.9, $ApproxAccuracy)")
           .as("p90_price"),
         count(lit(1)).as("n"))
 
@@ -139,7 +157,8 @@ object ExtendedQueries {
     * construction), unlike seeded `sample()` whose draw depends on
     * partition layout, and unlike sketch internals that no other
     * engine can replay. The quantile of the sample is then computed
-    * RANK-EXACTLY (the x8b percentile_approx trick at accuracy 1e6),
+    * RANK-EXACTLY (the x8b percentile_approx trick at
+    * [[ApproxAccuracy]]),
     * so the whole estimate — sample set AND rank selection —
     * hash-verifies in DuckDB. Emits the sample size per group so the
     * estimate's precision is auditable. */
@@ -150,9 +169,9 @@ object ExtendedQueries {
         % SampleMod === 0L)
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("percentile_approx(o_totalprice, 0.5, 1000000)")
+        expr(s"percentile_approx(o_totalprice, 0.5, $ApproxAccuracy)")
           .as("median_est"),
-        expr("percentile_approx(o_totalprice, 0.9, 1000000)")
+        expr(s"percentile_approx(o_totalprice, 0.9, $ApproxAccuracy)")
           .as("p90_est"),
         count(lit(1)).as("m_sample"))
   }
@@ -237,9 +256,9 @@ object ExtendedQueries {
   def x12bApproxFence(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_af")
     s.sql(
-      """WITH q AS (
-        |  SELECT percentile_approx(o_totalprice, 0.25, 1000000) AS q1,
-        |         percentile_approx(o_totalprice, 0.75, 1000000) AS q3
+      s"""WITH q AS (
+        |  SELECT percentile_approx(o_totalprice, 0.25, $ApproxAccuracy) AS q1,
+        |         percentile_approx(o_totalprice, 0.75, $ApproxAccuracy) AS q3
         |  FROM orders_af)
         |SELECT
         |  CAST(sum(CASE WHEN o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
