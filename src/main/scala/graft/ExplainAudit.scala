@@ -143,7 +143,11 @@ object ExplainAudit {
         "pipe_catalog_census", "l13_domain_quota",
         "dd_cluster_keepbest", "x8c_sampled_quantiles",
         "sim_mmr_rerank", "g5c_pagerank_incremental",
-        "dd_cluster_incremental")
+        "dd_cluster_incremental",
+        // round 20: the q9/q4 join-rewrite shapes (flat many-join
+        // reorder; EXISTS decorrelated to a residual-carrying semi
+        // join) and the IVF-pooled MMR (index scans only)
+        "q9_product_profit", "q4_order_priority", "sim_mmr_ivf")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

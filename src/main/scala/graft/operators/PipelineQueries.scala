@@ -203,7 +203,19 @@ object PipelineQueries {
     * ascending, batch-local keeper + prior-digest membership compose
     * to exactly the whole-split min-doc_id keeper semantics, which is
     * what lets the stream's decisions be compared byte-for-byte
-    * against [[pipeDeltaIngest]]'s. */
+    * against [[pipeDeltaIngest]]'s.
+    *
+    * REPLAY-ONLY precondition (ADVICE r19): the batch docs' own
+    * MinHash bands and 13-grams are read from the standing persisted
+    * indexes (`restrict` narrows the index scans to the batch ids) —
+    * valid exactly because the gate replays the already-indexed delta
+    * split, which is also what makes the decisions comparable to the
+    * oracle-certified one-shot query. A production ingest of
+    * GENUINELY NEW doc_ids must first append the batch's signatures
+    * to the index families (the IndexStore append discipline — the
+    * same per-doc map-side computation the builds run) and then
+    * probe; probing an unindexed doc here would find no bands/grams
+    * and silently admit it. */
   private[graft] def flagBatch(s: SparkSession, dir: String,
       batchDocs: DataFrame, priorDigests: DataFrame): DataFrame = {
     val proj = gateProjection(batchDocs).localCheckpoint()
@@ -219,28 +231,47 @@ object PipelineQueries {
     * persisted indexes at startup rather than re-aggregating inside
     * every micro-batch: the distinct base digest set, the small/hot
     * bucket census of the cluster banding, the hot buckets' min-id
-    * base reps, and the eval 13-gram set. All four are index-derived
-    * (refreshed with the indexes on delta append), tiny relative to
-    * the corpus, and eagerly materialized so a batch pays only the
-    * batch-dependent joins. [[deltaFlagged]] deliberately does NOT
-    * use this cache: the one-shot query re-reads the index files raw,
-    * so its oracle hash compare certifies persisted CONTENT, and the
-    * stream-vs-twin zero-mismatch gate then ties this cache to that
-    * certified content. */
+    * base reps, and the eval 13-gram set. All four are index-derived,
+    * tiny relative to the corpus, and eagerly materialized so a batch
+    * pays only the batch-dependent joins.
+    *
+    * Staleness contract (ADVICE r19): the memo key carries the
+    * dataset's [[graft.sources.IndexStore.indexVersion]], so any
+    * index rebuild/append that goes through the ensure/refresh
+    * paths — or a [[graft.sources.Maintenance.refreshAll]] after an
+    * out-of-band append — makes the next probe recompute from the
+    * current files instead of serving the structures of a dead index
+    * generation (MaintenanceSpec plants exactly that scenario).
+    * [[deltaFlagged]] deliberately does NOT use this cache: the
+    * one-shot query re-reads the index files raw, so its oracle hash
+    * compare certifies persisted CONTENT, and the stream-vs-twin
+    * zero-mismatch gate then ties this cache to that certified
+    * content. */
   private[graft] case class ProbeCtx(baseDigests: DataFrame,
       small: DataFrame, hotBaseRep: DataFrame, evalGrams: DataFrame)
 
   private val probeCtxCache =
     scala.collection.concurrent.TrieMap.empty[String, ProbeCtx]
 
-  private[graft] def probeCtx(s: SparkSession, dir: String): ProbeCtx =
+  private[graft] def probeCtx(s: SparkSession, dir: String): ProbeCtx = {
+    // ensure the probed families BEFORE reading the version: a first
+    // build bumps it, and the cached generation must carry the
+    // post-build version or the very next call would spuriously miss
+    val cat = graft.sources.IndexStore.ensureCatalog(s, dir)
+    val mh = graft.sources.IndexStore.ensureMinhash(s, dir)
+    val g13 = graft.sources.IndexStore.ensureGram13(s, dir)
+    val prefix = s.sparkContext.applicationId + ":" + dir + ":"
+    val key = prefix + "v" + graft.sources.IndexStore.indexVersion(dir)
+    if (!probeCtxCache.contains(key))
+      // drop this (application, dir)'s dead generations — their
+      // localCheckpoints would otherwise pin executor storage until
+      // driver GC
+      probeCtxCache.keys.filter(_.startsWith(prefix))
+        .foreach(probeCtxCache.remove)
     probeCtxCache.getOrElseUpdate(
-      s.sparkContext.applicationId + ":" + dir, {
+      key, {
         val M = graft.sources.IndexStore.TrgmDeltaMod
         def isDelta(c: Column) = pmod(c, lit(M.toLong)) === M - 1
-        val cat = graft.sources.IndexStore.ensureCatalog(s, dir)
-        val mh = graft.sources.IndexStore.ensureMinhash(s, dir)
-        val g13 = graft.sources.IndexStore.ensureGram13(s, dir)
         val census = s.read.parquet(mh.cstats)
           .groupBy(col("band"), col("bhash"))
           .agg(sum(col("n")).cast("long").as("n"))
@@ -262,6 +293,7 @@ object PipelineQueries {
             .filter(col("doc_id") % 17 === 0)
             .select("g").distinct().localCheckpoint())
       })
+  }
 
   /** The shared decision core of [[deltaFlagged]] and [[flagBatch]]:
     * flags each doc of `proj` (a [[gateProjection]]-shaped frame,

@@ -563,6 +563,64 @@ object RelationalQueries {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** TPC-H Q9-shaped product profit (r20 — widens the join-planning
+    * audit beyond q1/q3/q5): a five-way join over both fact tables
+    * (lineitem, orders) and three dimensions (part, supplier,
+    * nation) with a substring predicate on part, aggregated by
+    * (nation, order year). Declared FLAT — the join order the text
+    * spells (part first) is deliberately not the best one; Catalyst's
+    * cost-based reorder + broadcast selection must recover the
+    * dims-broadcast, facts-shuffled plan (PLANS.md audits it). No
+    * partsupp table exists in the driver testdata, so profit is the
+    * revenue expression (exact cents) rather than TPC-H's
+    * revenue − supplycost·quantity — the join/reorder shape, which is
+    * what this query exists to exercise, is unchanged. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS profit_cents,
+        | count(*) AS n_items
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin)
+  }
+
+  /** TPC-H Q4-shaped order-priority check (r20): a correlated EXISTS
+    * over lineitem with a NON-equi correlated term (late shipment
+    * relative to the outer row's own order date) — the decorrelation
+    * rewrite the q-series didn't cover. Catalyst rewrites the EXISTS
+    * to a left-semi join on l_orderkey = o_orderkey carrying the
+    * l_shipdate > o_orderdate + 60d residual as the join condition:
+    * no per-row subquery execution, one shuffle pair on the order
+    * key, semi-join short-circuit on the first matching line
+    * (PLANS.md audits the shape). lineitem has no
+    * commitdate/receiptdate columns in the driver testdata, so the
+    * "late line" predicate is shipdate-vs-orderdate — same
+    * correlation structure as the TPC-H original. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** Event-time tumbling window (1 h) over the events stream table —
     * the batch analogue of a windowed streaming aggregation. Bucket
     * key by exact integer division of the nano timestamp (the nanos
@@ -750,6 +808,8 @@ object RelationalQueries {
     "d2_approx_distinct" -> (d2ApproxDistinct _),
     "q3_sql_shipping" -> (q3SqlShipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q4_order_priority" -> (q4OrderPriority _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
     "e4_session_window" -> (e4SessionWindow _),
@@ -1007,6 +1067,28 @@ object RelationalQueries {
         |GROUP BY l_orderkey, year(o_orderdate)
         |ORDER BY revenue_cents DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS profit_cents,
+        | count(*) AS n_items
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
     "e1_event_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
         | count(*) AS n_events,

@@ -496,8 +496,9 @@ object SimilarityQueries {
     * data property both engines replay; ties break on vec_id).
     *
     * 100 TB shape: the pool cut is the serving stack's existing
-    * top-R (here the brute baseline; any `sim_ivf_*` tier yields the
-    * same contract), and everything after it is bounded by
+    * top-R (here the brute baseline — the oracle anchor; [[simMmrIvf]]
+    * serves the same contract off the IVF tier's probe-cell cut),
+    * and everything after it is bounded by
     * construction — the pool's pairwise sims are ≤ [[MmrPool]]²
     * rows computed distributed, and the driver's greedy runs over
     * that bounded pool exactly like the IVF centroid-root pick (the
@@ -520,6 +521,70 @@ object SimilarityQueries {
       .orderBy(col("qsim").desc, col("vec_id"))
       .limit(MmrPool)
       .localCheckpoint() // feeds the pairwise grid + the pool collect
+    mmrGreedy(s, pool)
+  }
+
+  /** MMR served off the IVF TIER (r20 — discharges the documented
+    * "any `sim_ivf_*` tier yields the same contract" claim of
+    * [[simMmrRerank]]): the candidate pool is the exact-cosine top-
+    * [[MmrPool]] cut of the vectors in the query's
+    * [[graft.sources.IndexStore.IvfNprobe]] probed cells, read from
+    * the PERSISTED assignments table with the cell prune as partition
+    * pruning — the plan touches only index files ([[mmrIvfPool]] is
+    * the poolable subtree; SimilarityQueriesSpec asserts the base
+    * embeddings table is absent). Greedy selection and quantization
+    * are shared with the brute-pooled query ([[mmrGreedy]]), so the
+    * two rerankers can only differ through their pools. Hash-oracled
+    * end-to-end by a dynamic read_parquet twin that replays the
+    * probe-cell cut (cells interpolated as literals — index-root
+    * metadata, the sim_ivf_ann transport) and then unrolls the same
+    * greedy CTE chain. */
+  def simMmrIvf(s: SparkSession, dir: String): DataFrame = {
+    val paths = graft.sources.IndexStore.ensureIvf(s, dir)
+    val (_, probes, _) = ivfTopology(s, dir)
+    dynamicOracle(("sim_mmr_ivf", dir)) = mmrOracleSqlFrom(
+      s"""e AS (SELECT vec_id, label, e, CAST(cell AS INTEGER) AS cell
+         | FROM read_parquet('${paths.assignments}/*/*.parquet',
+         |                   hive_partitioning=1)),
+         |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+         |cand AS MATERIALIZED (SELECT vec_id, label,
+         |    CAST(round(list_cosine_similarity(e, qe) * $MmrScale)
+         |      AS BIGINT) AS qsim, e
+         |  FROM e CROSS JOIN q
+         |  WHERE vec_id <> 0 AND cell IN (${probes.mkString(", ")})
+         |  ORDER BY qsim DESC, vec_id LIMIT $MmrPool)""".stripMargin)
+    mmrGreedy(s, mmrIvfPool(s, dir).localCheckpoint())
+  }
+
+  /** The IVF-tier MMR candidate pool as a plan (pre-checkpoint), so
+    * the spec can assert its scan set: persisted assignments pruned
+    * to the probed cells, the query vector a 1-row broadcast fetched
+    * from the index — the base embeddings table absent. */
+  private[graft] def mmrIvfPool(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val (assigned, probes, query) = ivfTopology(s, dir)
+    val spark = s
+    import spark.implicits._
+    val qe = Seq(Tuple1(query.toSeq)).toDF("qe")
+    assigned
+      .filter(col("cell")
+        .isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), col("label"),
+        expr(s"cast(round(cosine_sim(e, qe) * $MmrScale) as bigint)")
+          .as("qsim"),
+        col("e"))
+      .orderBy(col("qsim").desc, col("vec_id"))
+      .limit(MmrPool)
+  }
+
+  /** The shared MMR greedy over a quantized candidate `pool`
+    * (vec_id, label, qsim, e — already cut to ≤ [[MmrPool]] rows and
+    * checkpointed): the ≤ pool² pairwise sims computed distributed,
+    * then the driver replays the bounded argmax chain — index-root-
+    * sized metadata, never data (the sanctioned driver pattern). */
+  private def mmrGreedy(s: SparkSession, pool: DataFrame): DataFrame = {
     val slim = pool.select(col("vec_id"), col("e"))
     val pairSims = slim.as("a").crossJoin(slim.as("b"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
@@ -2307,7 +2372,8 @@ object SimilarityQueries {
     "dd_gram_dupfrac" -> (ddGramDupFrac _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_quantize_topk" -> (simQuantizeTopK _),
-    "sim_mmr_rerank" -> (simMmrRerank _)
+    "sim_mmr_rerank" -> (simMmrRerank _),
+    "sim_mmr_ivf" -> (simMmrIvf _)
   )
 
   /** The MMR greedy unrolled as [[MmrK]] chained CTEs (the g5b
@@ -2315,7 +2381,22 @@ object SimilarityQueries {
     * and subtracts 3× the max pairwise quantized cosine to them —
     * all integer arithmetic after the shared quantization, so pool
     * membership, penalties, and every selection hash-verify. */
-  private def mmrOracleSql: String = {
+  private def mmrOracleSql: String = mmrOracleSqlFrom(
+    s"""e AS (SELECT vec_id, label,
+       |             CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT vec_id, label,
+       |    CAST(round(list_cosine_similarity(e, qe) * $MmrScale)
+       |      AS BIGINT) AS qsim, e
+       |  FROM e CROSS JOIN q WHERE vec_id <> 0
+       |  ORDER BY qsim DESC, vec_id LIMIT $MmrPool)""".stripMargin)
+
+  /** The shared greedy/pairwise CTE tail parameterized over the
+    * pool-defining prefix (`candPrefix` must define a `cand(vec_id,
+    * label, qsim, e)` CTE) — one spelling of the argmax chain serves
+    * both the brute-pooled and the IVF-pooled oracle, exactly as
+    * [[mmrGreedy]] serves both engines' pools. */
+  private def mmrOracleSqlFrom(candPrefix: String): String = {
     def selThrough(i: Int) =
       (1 to i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
     val steps = (1 to MmrK).map { i =>
@@ -2337,14 +2418,7 @@ object SimilarityQueries {
       s"SELECT CAST($i AS INTEGER) AS rank, vec_id, " +
         s"CAST(label AS INTEGER) AS label, qsim, mmr_q FROM s$i")
       .mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT vec_id, label,
-       |             CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
-       |cand AS MATERIALIZED (SELECT vec_id, label,
-       |    CAST(round(list_cosine_similarity(e, qe) * $MmrScale)
-       |      AS BIGINT) AS qsim, e
-       |  FROM e CROSS JOIN q WHERE vec_id <> 0
-       |  ORDER BY qsim DESC, vec_id LIMIT $MmrPool),
+    s"""WITH $candPrefix,
        |pair AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |    CAST(round(list_cosine_similarity(a.e, b.e) * $MmrScale)
        |      AS BIGINT) AS psim

@@ -110,6 +110,30 @@ object IndexStore {
   private val ivfBuilt = TrieMap.empty[String, IvfPaths]
   private val wordBuilt = TrieMap.empty[String, WordIndexPaths]
 
+  /** Monotonic per-dataset index VERSION (r20, ADVICE r19): bumped by
+    * every index build / serving-view refresh for `dir` in this JVM.
+    * Caches that memoize index-DERIVED structures (e.g. [[graft
+    * .operators.PipelineQueries]]' probe context) key on this
+    * version, so a rebuild or append within one long-lived
+    * application invalidates them instead of silently serving stale
+    * digests/census/reps. A process that mutates index files outside
+    * the ensure/refresh paths must call [[bumpVersion]] itself
+    * (Maintenance.refreshAll does). */
+  private val indexVersions = TrieMap.empty[String, Long]
+
+  def indexVersion(dir: String): Long = indexVersions.getOrElse(dir, 0L)
+
+  def bumpVersion(dir: String): Unit =
+    indexVersions.updateWith(dir)(v => Some(v.getOrElse(0L) + 1L))
+
+  /** Memoized build wrapper every ensure* body runs through: build
+    * once per (JVM, dir), and bump the dataset's index version when a
+    * build actually ran — the single choke point that keeps
+    * version-keyed derived caches honest. */
+  private def built[A](cache: TrieMap[String, A], dir: String)(
+      build: => A): A =
+    cache.getOrElseUpdate(dir, { val a = build; bumpVersion(dir); a })
+
   /** Per-(process, dataset) index root under the system temp dir.
     * Process-unique so no other JVM can overwrite it (ADVICE r13);
     * durable past process exit, because the dumped oracle SQL
@@ -210,7 +234,7 @@ object IndexStore {
     * postings for `dir`'s documents; returns the table path. Once
     * per (JVM, dir). */
   def ensureTrgmPostings(s: SparkSession, dir: String): String =
-    trgmBuilt.getOrElseUpdate(dir, {
+    built(trgmBuilt, dir) {
       val path = indexRoot(dir).resolve("trgm_postings").toString
       val docs = Tables.documents(s, dir)
       def write(d: DataFrame, mode: String): Unit =
@@ -231,7 +255,7 @@ object IndexStore {
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           === TrgmDeltaMod - 1), "append")
       path
-    })
+    }
 
   /** (doc_id, w, tf, bucket) — term frequency of every distinct word
     * of every doc, bucket = portable-md5-60(w) mod [[WordBuckets]].
@@ -257,7 +281,7 @@ object IndexStore {
     * ONLY these tables — the corpus text is never re-tokenized at
     * query time. Once per (JVM, dir). */
   def ensureWordPostings(s: SparkSession, dir: String): WordIndexPaths =
-    wordBuilt.getOrElseUpdate(dir, {
+    built(wordBuilt, dir) {
       val root = indexRoot(dir)
       val paths = WordIndexPaths(
         root.resolve("word_postings").toString,
@@ -292,7 +316,7 @@ object IndexStore {
       writeStats(docsSplit(base = true), "overwrite")
       writeStats(docsSplit(base = false), "append")
       paths
-    })
+    }
 
   /** Fit the IVF coarse quantizer (KMeans k=[[IvfK]], seed 42, the
     * same hyperparameters the in-memory path used) on the BASE split
@@ -304,7 +328,7 @@ object IndexStore {
     * it end-to-end (the trigram-postings discipline). Once per
     * (JVM, dir). */
   def ensureIvf(s: SparkSession, dir: String): IvfPaths =
-    ivfBuilt.getOrElseUpdate(dir, {
+    built(ivfBuilt, dir) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val root = indexRoot(dir)
@@ -339,7 +363,7 @@ object IndexStore {
       appendIvf(s, paths, emb.filter(
         pmod(col("vec_id"), lit(IvfDeltaMod.toLong)) === IvfDeltaMod - 1))
       paths
-    })
+    }
 
   /** MinHash dedup index parameters — the SAME (nHashes, bands)
     * the scan-side dd_minhash_lsh uses, so the indexed serve is a
@@ -371,7 +395,7 @@ object IndexStore {
     * scan twin certifies the persisted content end-to-end). Once per
     * (JVM, dir). */
   def ensureMinhash(s: SparkSession, dir: String): MinhashPaths =
-    mhBuilt.getOrElseUpdate(dir, {
+    built(mhBuilt, dir) {
       graft.functions.MinhashSig.ensureRegistered(s)
       val root = indexRoot(dir)
       val paths = MinhashPaths(
@@ -429,7 +453,7 @@ object IndexStore {
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           === TrgmDeltaMod - 1), "append")
       paths
-    })
+    }
 
   case class SimhashPaths(sigs: String)
 
@@ -453,7 +477,7 @@ object IndexStore {
     * SimhashIndexSpec; the serve twin's hash-equality to the scan
     * twin certifies the content end-to-end). Once per (JVM, dir). */
   def ensureSimhash(s: SparkSession, dir: String): SimhashPaths =
-    shBuilt.getOrElseUpdate(dir, {
+    built(shBuilt, dir) {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val paths = SimhashPaths(
         indexRoot(dir).resolve("simhash_sigs").toString)
@@ -478,7 +502,7 @@ object IndexStore {
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           === TrgmDeltaMod - 1), "append")
       paths
-    })
+    }
 
   case class Gram13Paths(grams: String)
 
@@ -492,7 +516,7 @@ object IndexStore {
     * maintained gram index with each new eval list rather than
     * re-shingling the corpus per release. Once per (JVM, dir). */
   def ensureGram13(s: SparkSession, dir: String): Gram13Paths =
-    gram13Built.getOrElseUpdate(dir, {
+    built(gram13Built, dir) {
       val paths = Gram13Paths(
         indexRoot(dir).resolve("decon_grams").toString)
       val docs = Tables.documents(s, dir)
@@ -510,7 +534,7 @@ object IndexStore {
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           === TrgmDeltaMod - 1), "append")
       paths
-    })
+    }
 
   case class WinnowPaths(fps: String)
 
@@ -525,7 +549,7 @@ object IndexStore {
     * pair-search serve into joins over a slim long-pair table. Once
     * per (JVM, dir). */
   def ensureWinnow(s: SparkSession, dir: String): WinnowPaths =
-    winnowBuilt.getOrElseUpdate(dir, {
+    built(winnowBuilt, dir) {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val paths = WinnowPaths(indexRoot(dir).resolve("winnow_fps").toString)
       val docs = Tables.documents(s, dir)
@@ -542,7 +566,7 @@ object IndexStore {
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           === TrgmDeltaMod - 1), "append")
       paths
-    })
+    }
 
   case class CdcPaths(chunks: String, census: String)
 
@@ -559,7 +583,7 @@ object IndexStore {
     * chunk-construction pipeline runs once, on ingest. Once per
     * (JVM, dir). */
   def ensureCdcChunks(s: SparkSession, dir: String): CdcPaths =
-    cdcBuilt.getOrElseUpdate(dir, {
+    built(cdcBuilt, dir) {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val root = indexRoot(dir)
       val paths = CdcPaths(
@@ -580,7 +604,7 @@ object IndexStore {
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           === TrgmDeltaMod - 1), "append")
       paths
-    })
+    }
 
   case class ContainmentPaths(docs: String, freq: String)
 
@@ -600,7 +624,7 @@ object IndexStore {
     * hashing, per-doc sorts, and the corpus-wide frequency
     * aggregate. Once per (JVM, dir). */
   def ensureContainment(s: SparkSession, dir: String): ContainmentPaths =
-    contBuilt.getOrElseUpdate(dir, {
+    built(contBuilt, dir) {
       val root = indexRoot(dir)
       val paths = ContainmentPaths(
         root.resolve("cont_docs").toString,
@@ -627,7 +651,7 @@ object IndexStore {
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           === TrgmDeltaMod - 1), "append")
       paths
-    })
+    }
 
   /** Co-purchase graph index layout buckets: `pairs` rows are
     * hive-partitioned by `bucket` = u mod [[GraphBuckets]], so a
@@ -666,7 +690,7 @@ object IndexStore {
     * hash-equality to the scan twins certifies the persisted content
     * end-to-end. Once per (JVM, dir). */
   def ensureGraphEdges(s: SparkSession, dir: String): GraphPaths =
-    graphBuilt.getOrElseUpdate(dir, {
+    built(graphBuilt, dir) {
       val root = indexRoot(dir)
       val paths = GraphPaths(
         root.resolve("graph_pairs").toString,
@@ -699,30 +723,48 @@ object IndexStore {
       }
       write(split(base = true), "overwrite")
       write(split(base = false), "append")
-      // Serving views, refreshed from the merged pairs table after
-      // every append batch (r18): the degree-oriented sorted
-      // adjacency `graph_adj` and the one-row `graph_stats` page
-      // (n_nodes, n_edges). The pairs table stays the
-      // incrementally-maintained TRUTH (additive partial counts);
-      // adjacency is not additive under appends — degrees shift, so
-      // orientations can flip — which is exactly the materialized-
-      // view discipline PQ codebooks already follow: derive the
-      // serving artifact from the maintained table each refresh,
-      // never from the base corpus. The g6 serve then pays only the
-      // closure join; the per-serve degree census + orientation +
-      // collect_list rebuild (the r17 profile's residual on
-      // g6_triangles_indexed) moves into the build.
-      val edges = s.read.parquet(paths.pairs)
-        .select(col("u"), col("v")).distinct()
-        .localCheckpoint() // feeds adjacency + both stats aggregates
-      graft.operators.GraphQueries.orientedAdjacency(edges)
-        .write.mode("overwrite").parquet(paths.adj)
-      graft.operators.GraphQueries.nodeDegrees(edges)
-        .agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-        .write.mode("overwrite").parquet(paths.stats)
+      writeGraphViews(s, paths)
       paths
-    })
+    }
+
+  /** Serving views of the graph index, re-derived from the merged
+    * pairs table (r18, extracted r20 for [[graft.sources
+    * .Maintenance]]): the degree-oriented sorted adjacency
+    * `graph_adj` and the one-row `graph_stats` page (n_nodes,
+    * n_edges). The pairs table stays the incrementally-maintained
+    * TRUTH (additive partial counts); adjacency is not additive under
+    * appends — degrees shift, so orientations can flip — which is
+    * exactly the materialized-view discipline PQ codebooks already
+    * follow: derive the serving artifact from the maintained table
+    * each refresh, never from the base corpus. The g6 serve then pays
+    * only the closure join; the per-serve degree census + orientation
+    * + collect_list rebuild (the r17 profile's residual on
+    * g6_triangles_indexed) moves into the build. */
+  private def writeGraphViews(s: SparkSession, paths: GraphPaths): Unit = {
+    val edges = s.read.parquet(paths.pairs)
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint() // feeds adjacency + both stats aggregates
+    graft.operators.GraphQueries.orientedAdjacency(edges)
+      .write.mode("overwrite").parquet(paths.adj)
+    graft.operators.GraphQueries.nodeDegrees(edges)
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .write.mode("overwrite").parquet(paths.stats)
+  }
+
+  /** Refresh path for the graph serving views after a delta append to
+    * the pairs table: re-derive adjacency + stats from the maintained
+    * truth and bump the dataset's index version. NOT safe to run
+    * concurrently with serves of the same dir (overwrite deletes
+    * files mid-read) — maintenance windows, like any materialized-
+    * view refresh. */
+  private[graft] def refreshGraphViews(s: SparkSession,
+      dir: String): GraphPaths = {
+    val paths = ensureGraphEdges(s, dir)
+    writeGraphViews(s, paths)
+    bumpVersion(dir)
+    paths
+  }
 
   case class BaseClusterPaths(labels: String, edges: String)
 
@@ -737,17 +779,32 @@ object IndexStore {
     * derived serving view refreshed from the maintained index
     * tables. Once per (JVM, dir). */
   def ensureBaseClusters(s: SparkSession, dir: String): BaseClusterPaths =
-    baseClustersBuilt.getOrElseUpdate(dir, {
-      val root = indexRoot(dir)
-      val paths = BaseClusterPaths(
-        root.resolve("cc_base_labels").toString,
-        root.resolve("cc_base_edges").toString)
-      val (labels, edges) =
-        graft.operators.DedupCluster.baseClusterState(s, dir)
-      labels.write.mode("overwrite").parquet(paths.labels)
-      edges.write.mode("overwrite").parquet(paths.edges)
-      paths
-    })
+    built(baseClustersBuilt, dir)(writeBaseClusters(s, dir))
+
+  private def writeBaseClusters(s: SparkSession,
+      dir: String): BaseClusterPaths = {
+    val root = indexRoot(dir)
+    val paths = BaseClusterPaths(
+      root.resolve("cc_base_labels").toString,
+      root.resolve("cc_base_edges").toString)
+    val (labels, edges) =
+      graft.operators.DedupCluster.baseClusterState(s, dir)
+    labels.write.mode("overwrite").parquet(paths.labels)
+    edges.write.mode("overwrite").parquet(paths.edges)
+    paths
+  }
+
+  /** Refresh path for the base cluster state (labels are not additive
+    * under new edges — components merge), re-derived from the
+    * maintained MinHash index tables; bumps the index version. Same
+    * maintenance-window caveat as [[refreshGraphViews]]. */
+  private[graft] def refreshBaseClusters(s: SparkSession,
+      dir: String): BaseClusterPaths = {
+    val paths = writeBaseClusters(s, dir)
+    baseClustersBuilt.put(dir, paths)
+    bumpVersion(dir)
+    paths
+  }
 
   private val ranksBuilt = TrieMap.empty[String, String]
 
@@ -760,13 +817,27 @@ object IndexStore {
     * serve then pays 2–3 power steps instead of the from-scratch 8.
     * Once per (JVM, dir). */
   def ensureBaseRanks(s: SparkSession, dir: String): String =
-    ranksBuilt.getOrElseUpdate(dir, {
-      val path = indexRoot(dir).resolve("graph_base_ranks").toString
-      graft.operators.GraphQueries.baseConvergedRanks(s, dir)
-        .select(col("node"), col("pr"))
-        .write.mode("overwrite").parquet(path)
-      path
-    })
+    built(ranksBuilt, dir)(writeBaseRanks(s, dir))
+
+  private def writeBaseRanks(s: SparkSession, dir: String): String = {
+    val path = indexRoot(dir).resolve("graph_base_ranks").toString
+    graft.operators.GraphQueries.baseConvergedRanks(s, dir)
+      .select(col("node"), col("pr"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Refresh path for the converged base ranks (a rank vector shifts
+    * wholesale under appends — not additive), re-derived from the
+    * maintained base split; bumps the index version. Same
+    * maintenance-window caveat as [[refreshGraphViews]]. */
+  private[graft] def refreshBaseRanks(s: SparkSession,
+      dir: String): String = {
+    val path = writeBaseRanks(s, dir)
+    ranksBuilt.put(dir, path)
+    bumpVersion(dir)
+    path
+  }
 
   /** Corpus catalog (r18): the per-document ownership/digest table a
     * lakehouse maintains as data arrives — (doc_id, source,
@@ -781,7 +852,7 @@ object IndexStore {
   private val catalogBuilt = TrieMap.empty[String, CatalogPaths]
 
   def ensureCatalog(s: SparkSession, dir: String): CatalogPaths =
-    catalogBuilt.getOrElseUpdate(dir, {
+    built(catalogBuilt, dir) {
       val root = indexRoot(dir)
       val paths = CatalogPaths(
         root.resolve("catalog_digests").toString,
@@ -805,7 +876,7 @@ object IndexStore {
       write(base = true)
       write(base = false)
       paths
-    })
+    }
 
   /** Product-quantization layout (FAISS `IVF…,PQ8` family): the
     * 64-dim vectors split into [[PqM]] contiguous subspaces of
@@ -835,7 +906,7 @@ object IndexStore {
     * incremental-maintenance path and the serve oracle certifies it
     * end-to-end. Once per (JVM, dir). */
   def ensurePq(s: SparkSession, dir: String): PqPaths =
-    pqBuilt.getOrElseUpdate(dir, {
+    built(pqBuilt, dir) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val ivf = ensureIvf(s, dir)
@@ -882,7 +953,7 @@ object IndexStore {
       appendPq(s, paths, base, "overwrite")
       appendPq(s, paths, split(base = false), "append")
       paths
-    })
+    }
 
   /** Encode vectors against the PERSISTED codebooks and append to
     * the cell-partitioned codes table — the steady-state write path

@@ -17,6 +17,22 @@ import graft.operators.PipelineQueries
   * the r18 StreamJoinSpec lesson. */
 class StreamIngestSpec extends SparkSpec {
 
+  // ADVICE r19: the planted fixture tree is deleted in afterAll —
+  // tracked via this flag so a skipped suite never materializes it
+  // just to delete it.
+  private var plantedCreated: Option[java.nio.file.Path] = None
+
+  override def afterAll(): Unit = {
+    try plantedCreated.foreach { root =>
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(root)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () })
+    } finally super.afterAll()
+  }
+
   private lazy val plantedDir: String = {
     import spark.implicits._
     val w = (1 to 117).map(i => s"q$i")
@@ -38,8 +54,9 @@ class StreamIngestSpec extends SparkSpec {
       (44L, clean("c44")), (49L, clean("c49")), (54L, clean("c54")),
       (59L, clean("c59")), (64L, clean("c64")), (69L, clean("c69")),
       (74L, clean("c74")), (79L, clean("c79")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_singest")
-      .toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_singest")
+    plantedCreated = Some(dirPath)
+    val dir = dirPath.toString
     rows.toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
         "CAST(length(text) AS LONG) AS n_chars")

@@ -138,6 +138,44 @@ class DedupClusterSpec extends SparkSpec {
       s"base state should hold only the {10,11} cluster: $baseLabels")
   }
 
+  test("hot-bucket rep drift: the merged min-id rep moves to a delta " +
+      "doc and incremental still equals the full recompute") {
+    // The planted drift ADVICE r18/r19 asked for: a 55-member pile of
+    // IDENTICAL docs whose overall minimum doc_id (4) is a DELTA doc
+    // (4 % TrgmDeltaMod == TrgmDeltaMod-1), while every other member
+    // is base-split. Every cluster-band bucket the pile shares holds
+    // 55 members (> maxBucket 50), so the persisted base edge set
+    // anchors its stars at the BASE rep (min base id 100) — and the
+    // incremental serve's merged census anchors at 4. The union of
+    // the two star sets must still converge to the same components
+    // as the from-scratch recompute, with the DRIFTED rep as the min
+    // label.
+    val M = graft.sources.IndexStore.TrgmDeltaMod
+    assert(4L % M == M - 1, "doc 4 must be a delta doc under the split")
+    val text = baseWords.mkString(" ")
+    val baseIds = (100L until 168L).filter(_ % M != M - 1) // 54 base ids
+    val pile = 4L +: baseIds
+    val rows = pile.map(i => (i, text, "s")) :+
+      (999L, (0 until 60).map(i => s"lone$i").mkString(" "), "s")
+    val dir = corpusDir(rows)
+    // the drift precondition, certified directly: base labels anchor
+    // at 100 and know nothing of doc 4
+    val baseLabels = spark.read.parquet(
+        graft.sources.IndexStore.ensureBaseClusters(spark, dir).labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(baseLabels.keySet == baseIds.toSet &&
+      baseLabels.values.toSet == Set(100L),
+      s"base state must be the 54-member cluster at rep 100: $baseLabels")
+    val full = DedupCluster.ddClusterCc(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = DedupCluster.ddClusterIncremental(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full,
+      s"rep drift diverged the serves: ${incr.size} vs ${full.size}")
+    assert(full.keySet == pile.toSet && full.values.toSet == Set(4L),
+      s"all 55 members must fold into the drifted delta rep 4: $full")
+  }
+
   test("cluster stats partition the cluster table exactly") {
     val cc = DedupCluster.ddClusterCc(spark, sfDir)
     val stats = DedupCluster.ddClusterStats(spark, sfDir)

@@ -142,4 +142,58 @@ class RelationalQueriesSpec extends SparkSpec {
       exact.getLong(0)
     assert(err < 0.05, s"HLL error $err")
   }
+
+  test("q9 many-join profit agrees with the DataFrame join chain and " +
+      "plans without a cartesian product") {
+    val got = RelationalQueries.q9ProductProfit(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"flat five-way join must reorder, not cross:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the filtered dims must broadcast:\n$plan")
+    val ref = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("widget"))
+      .join(Tables.lineitem(spark, sfDir),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(spark, sfDir),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1.0 - l_discount) " +
+        "* 100) as bigint)")).cast("long").as("profit_cents"),
+        count(lit(1)).as("n_items"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val gotMap = got.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(gotMap == ref, "SQL and DataFrame formulations diverge")
+    assert(gotMap.nonEmpty, "the widget filter must keep rows")
+  }
+
+  test("q4 EXISTS decorrelates to a semi join and agrees with the " +
+      "explicit semi-join formulation") {
+    val got = RelationalQueries.q4OrderPriority(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"the EXISTS must decorrelate to a left-semi join:\n$plan")
+    val ref = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotMap = got.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotMap == ref, s"$gotMap vs $ref")
+    assert(gotMap.nonEmpty, "the date window must keep orders")
+  }
 }

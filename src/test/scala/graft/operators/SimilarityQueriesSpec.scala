@@ -456,6 +456,50 @@ class SimilarityQueriesSpec extends SparkSpec {
       s"expected a1, b(diverse), a2(dup) — got $got")
   }
 
+  test("IVF-pooled MMR: the pool plan reads only index files, and the " +
+      "greedy output honors the pool and score structure") {
+    val pool = SimilarityQueries.mmrIvfPool(spark, sfDir)
+    val plan = pool.queryExecution.executedPlan.toString
+    // the location string is elided in toString, so assert on the
+    // index root + the cell partition prune instead of the table name
+    assert(plan.contains("graft_index") &&
+      plan.contains("PartitionFilters: [cell"),
+      s"pool must scan the persisted assignments cell-pruned:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"base embeddings table must be absent from the pool plan:\n$plan")
+    val poolRows = pool.collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (vec_id, qsim)
+    assert(poolRows.length == SimilarityQueries.MmrPool)
+    val got = SimilarityQueries.simMmrIvf(spark, sfDir)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.length == SimilarityQueries.MmrK)
+    assert(got.map(_._2).distinct.length == got.length,
+      "picked ids must be distinct")
+    val poolIds = poolRows.map(_._1).toSet
+    assert(got.forall(g => poolIds.contains(g._2)),
+      "every pick must come from the IVF pool")
+    // rank 1 is the pool's relevance top (no penalty yet), scored 7·qsim
+    val top = poolRows.maxBy { case (id, q) => (q, -id) }
+    assert(got.head._2 == top._1 && got.head._4 == 7L * got.head._3,
+      s"rank 1 must be the unpenalized argmax: ${got.head} vs $top")
+    // later picks carry a diversity penalty of 3·max-pairwise-cosine,
+    // bounded by the quantization scale (cosines live in [−1, 1])
+    val bound = 3L * SimilarityQueries.MmrScale
+    assert(got.tail.forall(g => math.abs(g._4 - 7L * g._3) <= bound),
+      "mmr_q must stay within 3·scale of 7·qsim")
+    // every pool member sits in a probed cell (the partition prune is
+    // the candidate cut, not a post-filter)
+    val paths = graft.sources.IndexStore.ensureIvf(spark, sfDir)
+    val (_, probes, _) = SimilarityQueries.ivfTopology(spark, sfDir)
+    val cells = spark.read.parquet(paths.assignments)
+      .filter(col("vec_id").isin(poolIds.toSeq.map(java.lang.Long.valueOf): _*))
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(probes.toSet),
+      s"pool cells $cells must be within the probed set ${probes.toSet}")
+  }
+
   test("negative sampling: k per anchor, never the anchor's label, " +
       "deterministic, bounded-heap + broadcast plan") {
     val labels = graft.core.Tables.embeddings(spark, sfDir)
