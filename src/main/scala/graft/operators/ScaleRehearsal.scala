@@ -149,10 +149,22 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
   }
 
-  private def time[A](f: => A): (A, Double) = {
+  /** Cumulative stop-the-world GC milliseconds of this JVM — sampled
+    * around every probe (r20, VERDICT r19 task #1): the r17/r18 notes
+    * attribute the 150k walls' ±2-3× variance to GC pressure; the
+    * per-probe gc_ms delta substantiates or refutes that per
+    * measurement instead of by assertion. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  private def time[A](f: => A): (A, Double, Long) = {
+    val g0 = gcMillis()
     val t0 = System.nanoTime()
     val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
+    (a, (System.nanoTime() - t0) / 1e9, gcMillis() - g0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -183,7 +195,7 @@ object ScaleRehearsal {
       val cand = SimilarityQueries.lshCandidatePairs(spark, docs,
         nHashes = 32, bands = 4, maxBucket = 50,
         starHotBuckets = false)
-      val (nCand, _) = time(cand.count())
+      val (nCand, _, _) = time(cand.count())
       // recompute the band/bucket census the pair generator prunes
       // on, to report what the cap DROPPED (pairs an uncapped join
       // would have expanded)
@@ -210,20 +222,20 @@ object ScaleRehearsal {
       val hot = Option(census.get(1)).fold(0L)(_ => census.getLong(1))
 
       // --- the three registered ops, end-to-end wall time
-      val (_, tLsh) = time(runNoop(SimilarityQueries.ddMinhashLsh(spark, dir)))
-      val ((nClusters, tCc)) = {
-        val (df, t) = time {
+      val (_, tLsh, gLsh) = time(runNoop(SimilarityQueries.ddMinhashLsh(spark, dir)))
+      val (nClusters, tCc, gCc) = {
+        val (df, t, g) = time {
           val cc = DedupCluster.ddClusterCc(spark, dir)
           runNoop(cc); cc
         }
-        (df.count(), t)
+        (df.count(), t, g)
       }
-      val (nDecon, tDecon) = {
-        val (df, t) = time {
+      val (nDecon, tDecon, gDecon) = {
+        val (df, t, g) = time {
           val d = TextQueries.tDecontaminate(spark, dir)
           runNoop(d); d
         }
-        (df.count(), t)
+        (df.count(), t, g)
       }
 
       // --- ANN + winnow paths (VERDICT r10 task #5): the LSH probe
@@ -232,16 +244,16 @@ object ScaleRehearsal {
       // the winnow fingerprint pair search (census prune must keep
       // the 200-member duplicate pile from going quadratic).
       genEmbeddings(spark, n, dir)
-      val (_, tLshAnn) =
+      val (_, tLshAnn, gLshAnn) =
         time(runNoop(SimilarityQueries.simLshAnn(spark, dir)))
-      val (_, tIvf) =
+      val (_, tIvf, gIvf) =
         time(runNoop(SimilarityQueries.simIvfAnn(spark, dir)))
-      val (nWinnowPairs, tWinnow) = {
-        val (df, t) = time {
+      val (nWinnowPairs, tWinnow, gWinnow) = {
+        val (df, t, g) = time {
           val d = TextQueries.ddWinnowPairs(spark, dir)
           runNoop(d); d
         }
-        (df.count(), t)
+        (df.count(), t, g)
       }
 
       // --- edit-distance join (r12): the prefix filter is uncapped
@@ -254,34 +266,34 @@ object ScaleRehearsal {
       // representatives — the relation the operator actually joins
       // after its class collapse (the planted pile is 1 rep, not c
       // identical prefix row sets)
-      val (nEdCand, tEdCand) = time(
+      val (nEdCand, tEdCand, gEdCand) = time(
         SimilarityQueries.edJoinCandidates(
           SimilarityQueries.edJoinRepKeys(spark, dir)).count())
-      val (nEdPairs, tEdJoin) = {
-        val (df, t) = time {
+      val (nEdPairs, tEdJoin, gEdJoin) = {
+        val (df, t, g) = time {
           val d = SimilarityQueries.ddEdJoin(spark, dir)
           runNoop(d); d
         }
-        (df.count(), t)
+        (df.count(), t, g)
       }
       // --- containment join (r12): rare-prefix probes vs the capped
       // inverted index; the dup piles make the true relation large
       // (every exact copy contains its base both ways), so like the
       // edjoin the gate is WALL growth, with the pair count reported
       // for context.
-      val (nContPairs, tCont) = {
-        val (df, t) = time {
+      val (nContPairs, tCont, gCont) = {
+        val (df, t, g) = time {
           val d = SimilarityQueries.ddContainment(spark, dir)
           runNoop(d); d
         }
-        (df.count(), t)
+        (df.count(), t, g)
       }
 
       // --- semantic dedup (r13): bucket census + centroid moments
       // are linear shuffles; the risk is the bucket-bounded prune
       // self-join (cluster sizes bound the pair fan-out, like the
       // LSH band joins) — gate its wall growth.
-      val (_, tSem) =
+      val (_, tSem, gSem) =
         time(runNoop(SimilarityQueries.ddSemantic(spark, dir)))
 
       // --- composed corpus funnel (r18): the six-stage
@@ -292,8 +304,22 @@ object ScaleRehearsal {
       // wall, the flagship composition's growth number.
       val pipeDir = s"${dir}_pipe"
       genPipeCorpus(spark, n, pipeDir)
-      val (_, tPipe) =
+      val (_, tPipe, gPipe) =
         time(runNoop(PipelineQueries.pipeCorpusBuild(spark, pipeDir)))
+
+      // --- streaming-shape delta ingest (r20, VERDICT r19 task #1 —
+      // the r18 addendum measured this only to 50k as a post-sweep
+      // probe; now a first-class per-size measure through 150k): the
+      // pipe_delta_ingest decision query on the pipe corpus, build +
+      // first serve (catalog + MinHash + 13-gram index builds billed
+      // once) then the steady probe serve, whose admit count must
+      // show the per-(source, batch) cap still BINDING (7 sources ×
+      // DeltaAdmitCap = 35 admits at every size).
+      val (_, tIngBs, gIngBs) =
+        time(runNoop(PipelineQueries.pipeDeltaIngest(spark, pipeDir)))
+      val (ingAdmits, tIngSv, gIngSv) =
+        time(PipelineQueries.pipeDeltaIngest(spark, pipeDir)
+          .filter(col("decision") === "admit").count())
 
       // --- quantile families (VERDICT r12 task #7): both the exact
       // two-pass selection (x31/x32 — bounded memory is the 100 TB
@@ -302,10 +328,10 @@ object ScaleRehearsal {
       // Numeric tables are 10× the doc count so per-size wall times
       // are measurable.
       genNumeric(spark, n * 10, dir)
-      val (_, tX31) = time(runNoop(OlapQueries.x31ExactMedian2pass(spark, dir)))
-      val (_, tX32) = time(runNoop(OlapQueries.x32QuantileBands(spark, dir)))
-      val (_, tX8b) = time(runNoop(ExtendedQueries.x8bApproxPercentile(spark, dir)))
-      val (_, tX12b) = time(runNoop(ExtendedQueries.x12bApproxFence(spark, dir)))
+      val (_, tX31, gX31) = time(runNoop(OlapQueries.x31ExactMedian2pass(spark, dir)))
+      val (_, tX32, gX32) = time(runNoop(OlapQueries.x32QuantileBands(spark, dir)))
+      val (_, tX8b, gX8b) = time(runNoop(ExtendedQueries.x8bApproxPercentile(spark, dir)))
+      val (_, tX12b, gX12b) = time(runNoop(ExtendedQueries.x12bApproxFence(spark, dir)))
 
       // --- persisted-index serve paths (VERDICT r16 task #6): each
       // build→serve twin measured TWICE per size — the first call
@@ -315,19 +341,19 @@ object ScaleRehearsal {
       // read, not with corpus re-derivation (every ensure* is
       // per-(JVM, dir)-memoized and the index roots are
       // process-unique, so each rehearsal run builds fresh).
-      def twice(f: => DataFrame): (Double, Double) = {
-        val (_, t1) = time(runNoop(f))
-        val (_, t2) = time(runNoop(f))
-        (t1, t2)
+      def twice(f: => DataFrame): (Double, Double, Long, Long) = {
+        val (_, t1, g1) = time(runNoop(f))
+        val (_, t2, g2) = time(runNoop(f))
+        (t1, t2, g1, g2)
       }
-      val (mhBs, mhSv) = twice(SimilarityQueries.ddMinhashIndexed(spark, dir))
-      val (shBs, shSv) = twice(SimilarityQueries.ddSimhashIndexed(spark, dir))
-      val (ctBs, ctSv) = twice(SimilarityQueries.ddContainmentIndexed(spark, dir))
-      val (cdBs, cdSv) = twice(RetrievalQueries.tCdcChunksIndexed(spark, dir))
-      val (wnBs, wnSv) = twice(TextQueries.ddWinnowIndexed(spark, dir))
-      val (dcBs, dcSv) = twice(TextQueries.tDecontaminateIndexed(spark, dir))
-      val (g6Bs, g6Sv) = twice(GraphQueries.g6TrianglesIndexed(spark, dir))
-      val (x27Bs, x27Sv) = twice(OlapQueries.x27CopurchaseIndexed(spark, dir))
+      val (mhBs, mhSv, mhGb, mhGs) = twice(SimilarityQueries.ddMinhashIndexed(spark, dir))
+      val (shBs, shSv, shGb, shGs) = twice(SimilarityQueries.ddSimhashIndexed(spark, dir))
+      val (ctBs, ctSv, ctGb, ctGs) = twice(SimilarityQueries.ddContainmentIndexed(spark, dir))
+      val (cdBs, cdSv, cdGb, cdGs) = twice(RetrievalQueries.tCdcChunksIndexed(spark, dir))
+      val (wnBs, wnSv, wnGb, wnGs) = twice(TextQueries.ddWinnowIndexed(spark, dir))
+      val (dcBs, dcSv, dcGb, dcGs) = twice(TextQueries.tDecontaminateIndexed(spark, dir))
+      val (g6Bs, g6Sv, g6Gb, g6Gs) = twice(GraphQueries.g6TrianglesIndexed(spark, dir))
+      val (x27Bs, x27Sv, x27Gb, x27Gs) = twice(OlapQueries.x27CopurchaseIndexed(spark, dir))
 
       println(s"""{"metric":"scale_rehearsal","n_docs":$n,""" +
         s""""mh_bs":${f"$mhBs%.2f"},"mh_serve_sec":${f"$mhSv%.2f"},""" +
@@ -352,8 +378,25 @@ object ScaleRehearsal {
         s""""edjoin_cand":$nEdCand,"edjoin_pairs":$nEdPairs,""" +
         s""""cont_sec":${f"$tCont%.2f"},"cont_pairs":$nContPairs,""" +
         s""""sem_sec":${f"$tSem%.2f"},"pipe_sec":${f"$tPipe%.2f"},""" +
+        s""""ing_bs":${f"$tIngBs%.2f"},"ing_serve_sec":${f"$tIngSv%.2f"},""" +
+        s""""ing_admits":$ingAdmits,""" +
         s""""x31_sec":${f"$tX31%.2f"},"x32_sec":${f"$tX32%.2f"},""" +
-        s""""x8b_sec":${f"$tX8b%.2f"},"x12b_sec":${f"$tX12b%.2f"}}""")
+        s""""x8b_sec":${f"$tX8b%.2f"},"x12b_sec":${f"$tX12b%.2f"},""" +
+        // per-probe GC deltas (r20): the attribution data for the
+        // 150k wall variance — compare gc_ms against the wall to see
+        // whether a slow point is collector pressure or plan work
+        s""""gc_ms":{"lsh":$gLsh,"cc":$gCc,"decon":$gDecon,""" +
+        s""""lshann":$gLshAnn,"ivf":$gIvf,"winnow":$gWinnow,""" +
+        s""""edjoin":$gEdJoin,"edjoin_cand":$gEdCand,"cont":$gCont,""" +
+        s""""sem":$gSem,"pipe":$gPipe,"ing_bs":$gIngBs,""" +
+        s""""ing_serve":$gIngSv,""" +
+        s""""x31":$gX31,"x32":$gX32,"x8b":$gX8b,"x12b":$gX12b,""" +
+        s""""mh_bs":$mhGb,"mh_serve":$mhGs,"sh_bs":$shGb,""" +
+        s""""sh_serve":$shGs,"cont_bs":$ctGb,"cont_serve":$ctGs,""" +
+        s""""cdc_bs":$cdGb,"cdc_serve":$cdGs,"winnow_bs":$wnGb,""" +
+        s""""winnow_serve":$wnGs,"decon_bs":$dcGb,"decon_serve":$dcGs,""" +
+        s""""g6_bs":$g6Gb,"g6_serve":$g6Gs,"x27_bs":$x27Gb,""" +
+        s""""x27_serve":$x27Gs}}""")
       // edjoin_cand / edjoin_pairs absolute counts are OUTPUT-bound
       // (the planted pile's true pairs are quadratic in pile size by
       // construction) — the gated quantities are the filter's
@@ -368,7 +411,7 @@ object ScaleRehearsal {
         "edjoin_cand_per_pair" ->
           (nEdCand.toDouble / math.max(1L, nEdPairs)),
         "cont_sec" -> tCont, "sem_sec" -> tSem,
-        "pipe_sec" -> tPipe,
+        "pipe_sec" -> tPipe, "ing_serve_sec" -> tIngSv,
         "x31_sec" -> tX31, "x32_sec" -> tX32,
         "x8b_sec" -> tX8b, "x12b_sec" -> tX12b,
         // serve-path walls (r17): the steady index read per twin
