@@ -147,7 +147,8 @@ object ExplainAudit {
         // round 20: the q9/q4 join-rewrite shapes (flat many-join
         // reorder; EXISTS decorrelated to a residual-carrying semi
         // join) and the IVF-pooled MMR (index scans only)
-        "q9_product_profit", "q4_order_priority", "sim_mmr_ivf")
+        "q9_product_profit", "q4_order_priority", "sim_mmr_ivf",
+        "q13_cust_distribution", "q18_large_orders")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

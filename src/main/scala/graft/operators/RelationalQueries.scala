@@ -621,6 +621,61 @@ object RelationalQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** TPC-H Q13-shaped customer order-count distribution (r20): the
+    * outer-join-with-ON-filter subtlety — the priority predicate
+    * lives in the LEFT OUTER JOIN's ON clause, so customers whose
+    * only orders fail it still appear with c_count = 0 (a WHERE would
+    * silently drop them); then a second aggregation over the first's
+    * output. Catalyst plans the outer join shuffled on the customer
+    * key and both aggregates map-side-combined; the distribution
+    * re-aggregation is a ≤|distinct counts| shuffle. The driver
+    * testdata has no o_comment column, so the ON-filter is the
+    * priority predicate — same join/filter placement semantics as the
+    * TPC-H original's not-like. */
+  def q13CustDistribution(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |       AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin)
+  }
+
+  /** Threshold for [[q18LargeOrders]]' HAVING cut, interpolated into
+    * the oracle (sum of integral quantities — exact in both
+    * engines). */
+  val Q18QtyThreshold = 150L
+
+  /** TPC-H Q18-shaped large-volume customers (r20): the
+    * aggregate-subquery-join rewrite — the HAVING-filtered per-order
+    * quantity sum joins back to orders/customer, so Catalyst must
+    * place the aggregation BELOW the join (pre-aggregation on the
+    * fact table, then a join against the ~1% surviving keys) rather
+    * than join-then-aggregate. Top-20 by (o_totalprice desc,
+    * o_orderkey) — TakeOrderedAndProject, no global sort. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      s"""SELECT c_custkey, o_orderkey,
+         | CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+         | sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT)
+         |        AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey
+         |      HAVING sum(l_quantity) > $Q18QtyThreshold) big
+         |  ON o_orderkey = big.l_orderkey
+         |ORDER BY totalprice_cents DESC, o_orderkey
+         |LIMIT 20""".stripMargin)
+  }
+
   /** Event-time tumbling window (1 h) over the events stream table —
     * the batch analogue of a windowed streaming aggregation. Bucket
     * key by exact integer division of the nano timestamp (the nanos
@@ -810,6 +865,8 @@ object RelationalQueries {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q4_order_priority" -> (q4OrderPriority _),
+    "q13_cust_distribution" -> (q13CustDistribution _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
     "e4_session_window" -> (e4SessionWindow _),
@@ -1089,6 +1146,27 @@ object RelationalQueries {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |       AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      s"""SELECT c_custkey, o_orderkey,
+         | CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+         | sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT)
+         |        AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey
+         |      HAVING sum(l_quantity) > $Q18QtyThreshold) big
+         |  ON o_orderkey = big.l_orderkey
+         |ORDER BY totalprice_cents DESC, o_orderkey
+         |LIMIT 20""".stripMargin,
     "e1_event_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
         | count(*) AS n_events,

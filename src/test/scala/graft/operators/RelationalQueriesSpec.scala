@@ -175,6 +175,53 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(gotMap.nonEmpty, "the widget filter must keep rows")
   }
 
+  test("q13 outer-join distribution covers every customer exactly " +
+      "once and keeps ON-filtered customers at zero") {
+    val rows = RelationalQueries.q13CustDistribution(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(rows.values.sum == nCust,
+      "the distribution must partition the customer set")
+    // the ON-clause placement semantics: a WHERE would drop
+    // no-qualifying-order customers; the ON keeps them at c_count=0
+    val ref = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == ref, s"$rows vs $ref")
+  }
+
+  test("q18 pre-aggregates lineitem below the join and takes the " +
+      "top-20 without a global sort") {
+    val got = RelationalQueries.q18LargeOrders(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrderedAndProject:\n$plan")
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gotRows.length == 20)
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > RelationalQueries.Q18QtyThreshold)
+    val ref = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)")
+          .as("totalprice_cents"), col("sum_qty"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gotRows.toSeq == ref.toSeq,
+      "SQL and DataFrame formulations diverge")
+  }
+
   test("q4 EXISTS decorrelates to a semi join and agrees with the " +
       "explicit semi-join formulation") {
     val got = RelationalQueries.q4OrderPriority(spark, sfDir)
