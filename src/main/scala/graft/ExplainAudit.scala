@@ -161,6 +161,14 @@ object ExplainAudit {
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // the MMR queries return the driver greedy's LOCAL result; the
+      // plan that matters is the file-reading pool subtree
+      if (name == "sim_mmr_ivf") {
+        println("\n---------- sim_mmr_ivf POOL subtree " +
+          "(the file-reading plan behind the local greedy) ----------")
+        graft.operators.SimilarityQueries.mmrIvfPool(spark, sfDir)
+          .explain("formatted")
+      }
     }
     spark.stop()
   }
