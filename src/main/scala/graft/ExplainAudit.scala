@@ -148,7 +148,9 @@ object ExplainAudit {
         // reorder; EXISTS decorrelated to a residual-carrying semi
         // join) and the IVF-pooled MMR (index scans only)
         "q9_product_profit", "q4_order_priority", "sim_mmr_ivf",
-        "q13_cust_distribution", "q18_large_orders")
+        "q13_cust_distribution", "q18_large_orders",
+        "q15_top_supplier", "q20_excess_suppliers",
+        "q21_waiting_suppliers")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -676,6 +676,95 @@ object RelationalQueries {
          |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q15-shaped top supplier (r20): a scalar subquery OVER an
+    * aggregate of the same derived relation the outer query joins —
+    * the revenue CTE is referenced twice (join side + max side), and
+    * the `= (SELECT max …)` equality is rewritten to a join against
+    * the 1-row aggregate (broadcast at any scale). Ties all surface
+    * (no LIMIT), ordered by the unique supplier key — deterministic
+    * in both engines. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_cents =
+        |  (SELECT max(total_revenue_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** Quantity threshold for [[q20ExcessSuppliers]], interpolated into
+    * the oracle (splits the supplier set at every test SF). */
+  val Q20QtyThreshold = 2000L
+
+  /** TPC-H Q20-shaped supplier selection (r20): NESTED IN subqueries
+    * — the outer IN over a grouped-HAVING aggregate whose input is
+    * itself filtered by an inner IN over part. Catalyst rewrites both
+    * INs to semi joins and keeps the aggregate+HAVING below the outer
+    * semi join (the q18 placement discipline, one level deeper). The
+    * driver testdata has no partsupp, so the "excess stock" relation
+    * is the shipped-quantity census per supplier over the widget
+    * parts — the same nested-subquery structure as the TPC-H
+    * original. */
+  def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(
+      s"""SELECT s_name, s_suppkey
+         |FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_name LIKE '%widget%')
+         |  GROUP BY l_suppkey
+         |  HAVING sum(l_quantity) > $Q20QtyThreshold)
+         |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q21-shaped waiting-orders census (r20): the hardest
+    * decorrelation in the q-series — an EXISTS and a NOT EXISTS over
+    * the SAME fact table, both correlated on the outer line's order
+    * key, the NOT EXISTS additionally carrying a non-equi predicate
+    * on a SECOND outer table's column (o_orderdate). Catalyst
+    * rewrites them to a left-semi and a left-anti join stacked on the
+    * fact join tree; a per-row subquery execution would be quadratic
+    * at any scale. "Late" is shipdate > orderdate + 60d (the q4
+    * convention — no commit/receipt dates in the driver testdata);
+    * the census counts, per supplier, the multi-supplier 'F' orders
+    * where ONLY that supplier shipped late. */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >
+        |                        o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin)
+  }
+
   /** Event-time tumbling window (1 h) over the events stream table —
     * the batch analogue of a windowed streaming aggregation. Bucket
     * key by exact integer division of the nano timestamp (the nanos
@@ -867,6 +956,9 @@ object RelationalQueries {
     "q4_order_priority" -> (q4OrderPriority _),
     "q13_cust_distribution" -> (q13CustDistribution _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
     "e4_session_window" -> (e4SessionWindow _),
@@ -1167,6 +1259,47 @@ object RelationalQueries {
          |  ON o_orderkey = big.l_orderkey
          |ORDER BY totalprice_cents DESC, o_orderkey
          |LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_cents =
+        |  (SELECT max(total_revenue_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q20_excess_suppliers" ->
+      s"""SELECT s_name, s_suppkey
+         |FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_name LIKE '%widget%')
+         |  GROUP BY l_suppkey
+         |  HAVING sum(l_quantity) > $Q20QtyThreshold)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >
+        |                        o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
     "e1_event_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
         | count(*) AS n_events,

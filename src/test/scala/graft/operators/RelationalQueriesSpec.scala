@@ -222,6 +222,85 @@ class RelationalQueriesSpec extends SparkSpec {
       "SQL and DataFrame formulations diverge")
   }
 
+  test("q15 scalar-subquery max selects exactly the argmax suppliers " +
+      "of the revenue relation") {
+    val got = RelationalQueries.q15TopSupplier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1.0 - l_discount) " +
+        "* 100) as bigint)")).cast("long").as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = rev.values.max
+    val expect = rev.filter(_._2 == mx).keySet
+    assert(got.map(_._1).toSet == expect,
+      s"argmax set ${got.map(_._1).toSet} vs $expect")
+    assert(got.forall(_._3 == mx))
+  }
+
+  test("q20 nested INs plan as stacked semi joins and agree with the " +
+      "explicit formulation") {
+    val got = RelationalQueries.q20ExcessSuppliers(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.split("LeftSemi").length >= 3,
+      s"both INs must decorrelate to semi joins:\n$plan")
+    val widgets = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val qualifying = Tables.lineitem(spark, sfDir)
+      .join(widgets, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .filter(col("q") > RelationalQueries.Q20QtyThreshold)
+      .select(col("l_suppkey"))
+    val ref = Tables.supplier(spark, sfDir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val gotSet = got.collect().map(_.getLong(1)).toSet
+    assert(gotSet == ref, s"$gotSet vs $ref")
+    assert(gotSet.nonEmpty &&
+      gotSet.size < Tables.supplier(spark, sfDir).count(),
+      "the threshold must split the supplier set")
+  }
+
+  test("q21 EXISTS + NOT EXISTS decorrelate to a semi and an anti " +
+      "join and agree with the explicit formulation") {
+    val got = RelationalQueries.q21WaitingSuppliers(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"the two correlated subqueries must become semi + anti:\n$plan")
+    val late = Tables.lineitem(spark, sfDir).as("l1")
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderstatus") === "F"),
+        col("l1.l_orderkey") === col("o_orderkey"))
+      .filter(col("l1.l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAY"))
+    val li = Tables.lineitem(spark, sfDir)
+    val withOther = late.join(
+      li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+      col("l1.l_orderkey") === col("k2") &&
+        col("l1.l_suppkey") =!= col("s2"), "left_semi")
+    val onlyLate = withOther.join(
+      li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3")),
+      col("l1.l_orderkey") === col("k3") &&
+        col("l1.l_suppkey") =!= col("s3") &&
+        col("d3") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+      "left_anti")
+    val ref = onlyLate
+      .join(Tables.supplier(spark, sfDir),
+        col("l1.l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val gotRows = got.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(gotRows == ref, s"$gotRows vs $ref")
+    assert(gotRows.nonEmpty)
+  }
+
   test("q4 EXISTS decorrelates to a semi join and agrees with the " +
       "explicit semi-join formulation") {
     val got = RelationalQueries.q4OrderPriority(spark, sfDir)
