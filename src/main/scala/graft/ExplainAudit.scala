@@ -150,7 +150,8 @@ object ExplainAudit {
         "q9_product_profit", "q4_order_priority", "sim_mmr_ivf",
         "q13_cust_distribution", "q18_large_orders",
         "q15_top_supplier", "q20_excess_suppliers",
-        "q21_waiting_suppliers")
+        "q21_waiting_suppliers", "q7_volume_shipping",
+        "q8_market_share", "q10_returned_items")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -765,6 +765,108 @@ object RelationalQueries {
         |LIMIT 10""".stripMargin)
   }
 
+  /** The two trading nations of [[q7VolumeShipping]] and the market
+    * nation of [[q8MarketShare]] — interpolated into engine SQL and
+    * oracles (supplier coverage of both verified at every test SF;
+    * the driver testdata names nations NATION_k). */
+  val Q7NationA = "NATION_18"
+  val Q7NationB = "NATION_19"
+
+  /** TPC-H Q7-shaped volume shipping (r20): the DISJUNCTIVE join
+    * predicate — two nation-pair directions OR-ed inside a six-way
+    * join. The OR prevents pushing either nation equality into its
+    * dimension scan as a simple filter; Catalyst keeps the
+    * disjunction as a join residual over the doubly-joined nation
+    * dims (n1 ⋈ supplier, n2 ⋈ customer) — the rewrite this query
+    * exists to watch. Revenue as exact cents per (supp_nation,
+    * cust_nation, ship year). */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+         |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |        year(l_shipdate) AS l_year, l_extendedprice, l_discount
+         |      FROM supplier, lineitem, orders, customer,
+         |           nation n1, nation n2
+         |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |        AND c_custkey = o_custkey
+         |        AND s_nationkey = n1.n_nationkey
+         |        AND c_nationkey = n2.n_nationkey
+         |        AND ((n1.n_name = '$Q7NationA'
+         |              AND n2.n_name = '$Q7NationB')
+         |          OR (n1.n_name = '$Q7NationB'
+         |              AND n2.n_name = '$Q7NationA'))) shipping
+         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** TPC-H Q8-shaped market share (r20): a CASE-conditional aggregate
+    * over an eight-way join (part, supplier, lineitem, orders,
+    * customer, nation×2, region) — the supplier-nation volume and the
+    * total volume in ONE pass (the a2/a4 single-pass discipline on a
+    * big join tree). Emits exact integer cents for both numerator and
+    * denominator instead of the double ratio — hash-stable, and the
+    * consumer divides. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    s.sql(
+      s"""SELECT o_year,
+         |  CAST(sum(CASE WHEN nation = '$Q7NationB' THEN volume_cents
+         |                ELSE 0 END) AS BIGINT) AS nation_cents,
+         |  CAST(sum(volume_cents) AS BIGINT) AS total_cents
+         |FROM (SELECT year(o_orderdate) AS o_year,
+         |        CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |          AS BIGINT) AS volume_cents,
+         |        n2.n_name AS nation
+         |      FROM part, supplier, lineitem, orders, customer,
+         |           nation n1, nation n2, region
+         |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |        AND c_nationkey = n1.n_nationkey
+         |        AND n1.n_regionkey = r_regionkey
+         |        AND r_name = 'EUROPE'
+         |        AND s_nationkey = n2.n_nationkey
+         |        AND p_type = 'ECONOMY') all_nations
+         |GROUP BY o_year""".stripMargin)
+  }
+
+  /** TPC-H Q10-shaped returned-item report (r20): the classic
+    * "top-k customers by lost revenue" — date-windowed orders joined
+    * to R-flagged lineitems and the customer/nation dims, grouped on
+    * the (wide) customer attributes, top-20 by exact-cents revenue
+    * with the unique customer key as tie-break
+    * (TakeOrderedAndProject). */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
   /** Event-time tumbling window (1 h) over the events stream table —
     * the batch analogue of a windowed streaming aggregation. Bucket
     * key by exact integer division of the nano timestamp (the nanos
@@ -959,6 +1061,9 @@ object RelationalQueries {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
     "e4_session_window" -> (e4SessionWindow _),
@@ -1300,6 +1405,56 @@ object RelationalQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 10""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation,
+         |  CAST(l_year AS INTEGER) AS l_year,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+         |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |        year(l_shipdate) AS l_year, l_extendedprice, l_discount
+         |      FROM supplier, lineitem, orders, customer,
+         |           nation n1, nation n2
+         |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |        AND c_custkey = o_custkey
+         |        AND s_nationkey = n1.n_nationkey
+         |        AND c_nationkey = n2.n_nationkey
+         |        AND ((n1.n_name = '$Q7NationA'
+         |              AND n2.n_name = '$Q7NationB')
+         |          OR (n1.n_name = '$Q7NationB'
+         |              AND n2.n_name = '$Q7NationA'))) shipping
+         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT CAST(o_year AS INTEGER) AS o_year,
+         |  CAST(sum(CASE WHEN nation = '$Q7NationB' THEN volume_cents
+         |                ELSE 0 END) AS BIGINT) AS nation_cents,
+         |  CAST(sum(volume_cents) AS BIGINT) AS total_cents
+         |FROM (SELECT year(o_orderdate) AS o_year,
+         |        CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |          AS BIGINT) AS volume_cents,
+         |        n2.n_name AS nation
+         |      FROM part, supplier, lineitem, orders, customer,
+         |           nation n1, nation n2, region
+         |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |        AND c_nationkey = n1.n_nationkey
+         |        AND n1.n_regionkey = r_regionkey
+         |        AND r_name = 'EUROPE'
+         |        AND s_nationkey = n2.n_nationkey
+         |        AND p_type = 'ECONOMY') all_nations
+         |GROUP BY o_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "e1_event_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
         | count(*) AS n_events,

