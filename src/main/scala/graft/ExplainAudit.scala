@@ -151,7 +151,18 @@ object ExplainAudit {
         "q13_cust_distribution", "q18_large_orders",
         "q15_top_supplier", "q20_excess_suppliers",
         "q21_waiting_suppliers", "q7_volume_shipping",
-        "q8_market_share", "q10_returned_items")
+        "q8_market_share", "q10_returned_items",
+        // round 20 close: the remaining nine TPC-H shapes — scan-only
+        // pushdown (q6), disjunctive per-side constraint extraction
+        // (q19), NOT IN anti join + partial-distinct census (q16),
+        // correlated aggregate decorrelations (q17, q2), the
+        // self-referential threshold census (q11), and the
+        // anti-join cohort (q22)
+        "q6_forecast_revenue", "q14_promo_effect",
+        "q19_discounted_revenue", "q12_ship_priority",
+        "q16_supplier_census", "q17_small_qty_revenue",
+        "q2_min_cost_supplier", "q11_important_parts",
+        "q22_sales_opportunity")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -867,6 +867,285 @@ object RelationalQueries {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q6-shaped forecast revenue change (r20): the pure
+    * scan-side query of the series — three conjunctive predicates
+    * (date window, discount band, quantity cap) and a one-row
+    * aggregate, NO join. Every predicate reaches the parquet scan as
+    * a pushed filter (PLANS.md audits PushedFilters); at 100 TB this
+    * is a single map-side-combined pass whose only exchange is the
+    * partial-aggregate gather. The discount band compares stored
+    * doubles against the same double literals in both engines —
+    * bit-identical decimals (0.04/0.06 round-trip exactly through
+    * the parquet doubles the driver wrote). */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** TPC-H Q14-shaped promotion effect (r20): numerator and
+    * denominator of the promo share in ONE conditional-aggregate
+    * pass over a month-windowed lineitem ⋈ part join (the a2/a4
+    * single-pass discipline; q8's CASE trick on a two-table join).
+    * The date window pushes to the fact scan; part broadcasts. The
+    * driver testdata's p_type is a single word, so the promo test is
+    * equality with 'PROMO' rather than LIKE 'PROMO%' — same
+    * conditional-aggregation semantics as the TPC-H original. Exact
+    * integer cents for both sums; the consumer divides. */
+  def q14PromoEffect(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume_cents
+        |                ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(volume_cents) AS BIGINT) AS total_cents
+        |FROM (SELECT p_type,
+        |        CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |          AS BIGINT) AS volume_cents
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00') promo""".stripMargin)
+  }
+
+  /** TPC-H Q19-shaped discounted revenue (r20): the
+    * disjunction-of-conjunctions join predicate — three OR-ed arms,
+    * each constraining BOTH sides of the lineitem ⋈ part join
+    * (brand + size on part, quantity on lineitem). Catalyst keeps
+    * the full disjunction as the join residual but ALSO extracts the
+    * per-side implications (brand ∈ {three brands} onto the part
+    * scan, quantity ∈ [1,30] onto the fact scan) as pushed filters —
+    * the constraint-propagation rewrite this query exists to watch
+    * (PLANS.md). The common discount band is a plain pushed conjunct.
+    * No p_container/shipmode columns in the driver testdata, so the
+    * arms vary (brand, size, quantity) only — same disjunctive
+    * structure as the TPC-H original. */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 20 AND 30))
+        |  AND l_discount BETWEEN 0.02 AND 0.08""".stripMargin)
+  }
+
+  /** TPC-H Q12-shaped shipping-priority census (r20): a fact-fact
+    * join (orders ⋈ lineitem, both too big to broadcast at scale)
+    * feeding two complementary CASE-conditional counts per group —
+    * the late-line census split by whether the order was
+    * high-priority. One shuffle pair on the order key, one
+    * map-side-combined aggregate. The driver testdata has no
+    * l_shipmode/commitdate/receiptdate, so the group key is
+    * l_linestatus and "late" is the q4 60-day shipdate convention —
+    * same join + dual-conditional-count structure as the TPC-H
+    * original. */
+  def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL '60' DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
+  /** Supplier-exclusion account-balance cut for [[q16SupplierCensus]]
+    * — excludes a real, SF-stable slice (3 of 10 suppliers at
+    * sf0.001, ~10 % at every larger SF). */
+  val Q16ExclAcctbal = 2500.0
+
+  /** TPC-H Q16-shaped supplier census (r20): a COUNT(DISTINCT) over
+    * a three-way-keyed group fed by a NOT IN subquery — Catalyst
+    * rewrites the NOT IN to a (broadcast) left-anti join against the
+    * excluded-supplier list, and plans the distinct count as the
+    * two-phase partial-distinct aggregate (dedup on
+    * (group, suppkey) map-side, then count — no naive
+    * collect-and-dedup). The driver testdata has no partsupp, so the
+    * supplier-part catalog is the distinct (part, supplier) pairs
+    * observed in lineitem, and the exclusion predicate is an account
+    * -balance cut (no s_comment) — same NOT-IN + distinct-count
+    * structure as the TPC-H original. */
+  def q16SupplierCensus(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql(
+      s"""SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |                        WHERE s_acctbal < $Q16ExclAcctbal)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** Brand under test in [[q17SmallQtyRevenue]]. */
+  val Q17Brand = "Brand#12"
+
+  /** TPC-H Q17-shaped small-quantity revenue (r20): the correlated
+    * scalar AGGREGATE subquery over the fact table itself — each
+    * line compares its quantity against 20 % of the mean quantity of
+    * ALL lines of the same part. Catalyst decorrelates to a global
+    * per-part average aggregate joined back to the filtered fact
+    * rows (one extra shuffle on l_partkey, never a per-row subquery).
+    * The threshold compare is exact despite the doubles: quantities
+    * are whole numbers, so the per-part double sum is exact
+    * (< 2^53), and avg = sum/count and ×0.2 are the same two IEEE
+    * roundings in both engines. */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         |    AS BIGINT) AS small_qty_revenue_cents,
+         |  count(*) AS n_lines
+         |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = '$Q17Brand'
+         |  AND l_quantity < 0.2 * (SELECT avg(l_quantity)
+         |                          FROM lineitem l2
+         |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
+  /** Part filter for [[q2MinCostSupplier]] — nonempty at every test
+    * SF (≥1 qualifying EUROPE-supplied part at sf0.001). */
+  val Q2SizeMin = 40
+
+  /** TPC-H Q2-shaped minimum-cost supplier (r20): the correlated
+    * scalar subquery with its OWN join tree — the outer five-way
+    * join keeps only (part, supplier) pairs whose cost equals the
+    * per-part minimum over the region-restricted supply relation,
+    * and the subquery re-joins supply ⋈ supplier ⋈ nation ⋈ region
+    * under the correlation on p_partkey. Catalyst decorrelates to a
+    * per-part min aggregate over the region-filtered supply joined
+    * back on (partkey, cost) — no per-row execution. The driver
+    * testdata has no partsupp/ps_supplycost, so "cost" is the
+    * minimum observed line price per (part, supplier) in lineitem
+    * (exact cents; ties all surface) — same
+    * correlated-aggregate-over-a-join structure as the TPC-H
+    * original. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    s.sql(
+      s"""WITH supply AS (SELECT l_partkey, l_suppkey,
+         |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+         |      AS BIGINT) AS cost_cents
+         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+         |SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |  s_name, n_name, p_partkey, p_brand, cost_cents
+         |FROM part, supply, supplier, nation, region
+         |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |  AND p_size >= $Q2SizeMin AND p_type = 'LARGE'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND cost_cents = (SELECT min(s2.cost_cents)
+         |                    FROM supply s2, supplier sp, nation n2,
+         |                         region r2
+         |                    WHERE s2.l_partkey = p_partkey
+         |                      AND sp.s_suppkey = s2.l_suppkey
+         |                      AND sp.s_nationkey = n2.n_nationkey
+         |                      AND n2.n_regionkey = r2.r_regionkey
+         |                      AND r2.r_name = 'EUROPE')
+         |ORDER BY acctbal_cents DESC, s_name, p_partkey""".stripMargin)
+  }
+
+  /** Multiplier over the mean part value for [[q11ImportantParts]]'
+    * cut. TPC-H's Q11 hard-codes a fraction that must shrink as SF
+    * grows (0.0001/SF); anchoring on the MEAN instead keeps one
+    * query a proper-subset filter at every SF — same
+    * HAVING-vs-scalar-subquery structure. */
+  val Q11MeanMult = 1.5
+
+  /** TPC-H Q11-shaped important parts (r20): a grouped value census
+    * filtered by a scalar subquery that AGGREGATES THE SAME derived
+    * relation — the v CTE is referenced by both the outer scan and
+    * the threshold subquery, and the filter compares each group
+    * against 1.5× the mean group value (one 1-row broadcast against
+    * the census). The driver testdata has no partsupp, so the
+    * "stock value" is the region-restricted revenue census per part
+    * from lineitem ⋈ supplier — same
+    * census + self-referential-threshold structure as the TPC-H
+    * original. */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    s.sql(
+      s"""WITH v AS (SELECT l_partkey,
+         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         |      AS BIGINT) AS value_cents
+         |  FROM lineitem, supplier, nation, region
+         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey, value_cents
+         |FROM v
+         |WHERE value_cents > (SELECT $Q11MeanMult * avg(value_cents)
+         |                     FROM v)
+         |ORDER BY value_cents DESC, l_partkey""".stripMargin)
+  }
+
+  /** TPC-H Q22-shaped sales opportunity (r20): the
+    * scalar-subquery + NOT EXISTS combination — prospective
+    * customers above the cohort's mean balance (1-row broadcast
+    * threshold) who have NOT placed a recent urgent order (left-anti
+    * join against the date/priority-filtered orders — never a
+    * per-customer probe). The balance threshold averages exact
+    * integer cents, so the cut is deterministic in both engines.
+    * The driver testdata has no c_phone, so the country code is the
+    * trailing digit of the customer name, and "inactive" is
+    * no-recent-urgent-order rather than no-order (every synthetic
+    * customer has orders) — same anti-join + threshold structure as
+    * the TPC-H original. */
+  def q22SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """WITH potential AS (SELECT right(c_name, 1) AS cntrycode,
+        |    c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM customer
+        |  WHERE right(c_name, 1) IN ('1', '3', '5', '7')
+        |    AND c_acctbal > 0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM potential
+        |WHERE acctbal_cents > (SELECT avg(acctbal_cents) FROM potential)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT'
+        |                    AND o_orderdate >=
+        |                        TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   /** Event-time tumbling window (1 h) over the events stream table —
     * the batch analogue of a windowed streaming aggregation. Bucket
     * key by exact integer division of the nano timestamp (the nanos
@@ -1064,6 +1343,15 @@ object RelationalQueries {
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q14_promo_effect" -> (q14PromoEffect _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q12_ship_priority" -> (q12ShipPriority _),
+    "q16_supplier_census" -> (q16SupplierCensus _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
     "e4_session_window" -> (e4SessionWindow _),
@@ -1442,6 +1730,123 @@ object RelationalQueries {
          |        AND s_nationkey = n2.n_nationkey
          |        AND p_type = 'ECONOMY') all_nations
          |GROUP BY o_year""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume_cents
+        |                ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(volume_cents) AS BIGINT) AS total_cents
+        |FROM (SELECT p_type,
+        |        CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |          AS BIGINT) AS volume_cents
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00') promo""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 20 AND 30))
+        |  AND l_discount BETWEEN 0.02 AND 0.08""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q16_supplier_census" ->
+      s"""SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |                        WHERE s_acctbal < $Q16ExclAcctbal)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         |    AS BIGINT) AS small_qty_revenue_cents,
+         |  count(*) AS n_lines
+         |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = '$Q17Brand'
+         |  AND l_quantity < 0.2 * (SELECT avg(l_quantity)
+         |                          FROM lineitem l2
+         |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    // supply is referenced from both the outer join tree and the
+    // correlated min subquery — MATERIALIZED, or DuckDB re-expands
+    // the census at every reference (see graft-oracle-discipline).
+    "q2_min_cost_supplier" ->
+      s"""WITH supply AS MATERIALIZED (SELECT l_partkey, l_suppkey,
+         |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+         |      AS BIGINT) AS cost_cents
+         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+         |SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |  s_name, n_name, p_partkey, p_brand, cost_cents
+         |FROM part, supply, supplier, nation, region
+         |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |  AND p_size >= $Q2SizeMin AND p_type = 'LARGE'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND cost_cents = (SELECT min(s2.cost_cents)
+         |                    FROM supply s2, supplier sp, nation n2,
+         |                         region r2
+         |                    WHERE s2.l_partkey = p_partkey
+         |                      AND sp.s_suppkey = s2.l_suppkey
+         |                      AND sp.s_nationkey = n2.n_nationkey
+         |                      AND n2.n_regionkey = r2.r_regionkey
+         |                      AND r2.r_name = 'EUROPE')
+         |ORDER BY acctbal_cents DESC, s_name, p_partkey""".stripMargin,
+    "q11_important_parts" ->
+      s"""WITH v AS MATERIALIZED (SELECT l_partkey,
+         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         |      AS BIGINT) AS value_cents
+         |  FROM lineitem, supplier, nation, region
+         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey, value_cents
+         |FROM v
+         |WHERE value_cents > (SELECT $Q11MeanMult * avg(value_cents)
+         |                     FROM v)
+         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH potential AS MATERIALIZED (SELECT right(c_name, 1)
+        |      AS cntrycode,
+        |    c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM customer
+        |  WHERE right(c_name, 1) IN ('1', '3', '5', '7')
+        |    AND c_acctbal > 0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM potential
+        |WHERE acctbal_cents > (SELECT avg(acctbal_cents) FROM potential)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT'
+        |                    AND o_orderdate >=
+        |                        TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)

@@ -397,4 +397,222 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(gotMap == ref, s"$gotMap vs $ref")
     assert(gotMap.nonEmpty, "the date window must keep orders")
   }
+
+  test("q6 is join-free with every predicate pushed to the scan, and " +
+      "agrees with the DataFrame recompute") {
+    val got = RelationalQueries.q6ForecastRevenue(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q6 must not join:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"predicates must reach the parquet scan:\n$plan")
+    val r = got.head()
+    val ref = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(sum(expr("cast(round(l_extendedprice * l_discount * 100) " +
+        "as bigint)")).cast("long"), count(lit(1))).head()
+    assert((r.getLong(0), r.getLong(1)) ==
+      ((ref.getLong(0), ref.getLong(1))))
+    assert(r.getLong(1) > 0, "the window must keep lines")
+  }
+
+  test("q14 computes promo and total volume in one pass and matches " +
+      "two separate filtered sums") {
+    val r = RelationalQueries.q14PromoEffect(spark, sfDir).head()
+    val base = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("vc", expr("cast(round(l_extendedprice * " +
+        "(1.0 - l_discount) * 100) as bigint)"))
+    val promo = base.filter(col("p_type") === "PROMO")
+      .agg(sum(col("vc")).cast("long")).head().getLong(0)
+    val total = base.agg(sum(col("vc")).cast("long")).head().getLong(0)
+    assert((r.getLong(0), r.getLong(1)) == ((promo, total)))
+    assert(promo > 0 && promo < total,
+      "the PROMO slice must be a proper subset")
+  }
+
+  test("q19 disjunctive arms never plan a cartesian product, are " +
+      "disjoint, and sum to the total") {
+    val got = RelationalQueries.q19DiscountedRevenue(spark, sfDir)
+    assert(!got.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val r = got.head()
+    val base = Tables.lineitem(spark, sfDir)
+      .filter(col("l_discount").between(0.02, 0.08))
+      .join(Tables.part(spark, sfDir),
+        col("p_partkey") === col("l_partkey"))
+    def arm(brand: String, szHi: Int, qLo: Int, qHi: Int) = base
+      .filter(col("p_brand") === brand &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi))
+      .agg(coalesce(sum(expr("cast(round(l_extendedprice * " +
+        "(1.0 - l_discount) * 100) as bigint)")), lit(0L)).cast("long"),
+        count(lit(1))).head()
+    val arms = Seq(arm("Brand#12", 15, 1, 11), arm("Brand#23", 20, 10, 20),
+      arm("Brand#3", 25, 20, 30))
+    assert(r.getLong(0) == arms.map(_.getLong(0)).sum,
+      "revenue must equal the sum of the three disjoint arms")
+    assert(r.getLong(1) == arms.map(_.getLong(1)).sum &&
+      r.getLong(1) > 0)
+  }
+
+  test("q12 high and low priority counts partition the late lines " +
+      "per linestatus") {
+    val got = RelationalQueries.q12ShipPriority(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val late = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAY"))
+    val totals = late.groupBy(col("l_linestatus"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val high = late.filter(col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("l_linestatus")).agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == totals.keySet)
+    got.foreach { case (st, (h, l)) =>
+      assert(h == high.getOrElse(st, 0L), s"high($st)")
+      assert(h + l == totals(st), s"high+low must partition $st")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q16 NOT IN plans as an anti join, and the census matches the " +
+      "explicit exclusion recompute") {
+    val got = RelationalQueries.q16SupplierCensus(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must become a left-anti join:\n$plan")
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < RelationalQueries.Q16ExclAcctbal)
+      .select(col("s_suppkey"))
+    val ref = Tables.lineitem(spark, sfDir)
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(spark, sfDir)
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    val gotMap = got.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    assert(gotMap == ref, s"$gotMap vs $ref")
+    assert(gotMap.nonEmpty)
+  }
+
+  test("q17 correlated average decorrelates to a per-part aggregate " +
+      "join and agrees with the explicit recompute") {
+    val got = RelationalQueries.q17SmallQtyRevenue(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val avgQty = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    val ref = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir)
+          .filter(col("p_brand") === RelationalQueries.Q17Brand),
+        col("p_partkey") === col("l_partkey"))
+      .join(avgQty, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .cast("long"), count(lit(1))).head()
+    val r = got.head()
+    assert((r.getLong(0), r.getLong(1)) ==
+      ((ref.getLong(0), ref.getLong(1))))
+    assert(r.getLong(1) > 0, "some lines must be below 20% of the mean")
+  }
+
+  test("q2 every emitted supplier carries the per-part minimum " +
+      "EUROPE cost") {
+    val got = RelationalQueries.q2MinCostSupplier(spark, sfDir).collect()
+    assert(got.nonEmpty, "at least one qualifying part at smoke SF")
+    val supply = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .cast("long").as("cost_cents"))
+    val eur = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir)
+          .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+    val minPerPart = supply
+      .join(eur.select(col("s_suppkey").as("es")),
+        col("l_suppkey") === col("es"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(min(col("cost_cents")).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (pk, cost) = (r.getLong(3), r.getLong(5))
+      assert(cost == minPerPart(pk),
+        s"part $pk: emitted $cost vs min ${minPerPart(pk)}")
+    }
+  }
+
+  test("q11 mean-anchored threshold keeps a nonempty proper subset " +
+      "that matches the recompute") {
+    val got = RelationalQueries.q11ImportantParts(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val census = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir)
+          .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .cast("long").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut = RelationalQueries.Q11MeanMult *
+      (census.values.map(BigInt(_)).sum.toDouble / census.size)
+    val expect = census.filter(_._2 > cut)
+    assert(got == expect, s"${got.size} kept vs ${expect.size}")
+    assert(got.nonEmpty && got.size < census.size,
+      "the threshold must keep a proper subset")
+  }
+
+  test("q22 NOT EXISTS plans as an anti join and the cohort matches " +
+      "the explicit recompute") {
+    val got = RelationalQueries.q22SalesOpportunity(spark, sfDir)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must become a left-anti join:\n$plan")
+    val potential = Tables.customer(spark, sfDir)
+      .filter(expr("right(c_name, 1)").isin("1", "3", "5", "7") &&
+        col("c_acctbal") > 0)
+      .select(expr("right(c_name, 1)").as("cntrycode"), col("c_custkey"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("ac"))
+    val rows = potential.collect()
+    val avgC = rows.map(r => BigInt(r.getLong(2))).sum.toDouble /
+      rows.length
+    val recentUrgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val ref = potential.filter(col("ac") > avgC)
+      .join(recentUrgent, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(col("ac")).cast("long"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gotMap = got.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotMap == ref, s"$gotMap vs $ref")
+    assert(gotMap.nonEmpty)
+  }
 }
