@@ -90,4 +90,29 @@ class DeterminismSpec extends SparkSpec {
       s"${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
     assert(a.nonEmpty)
   }
+
+  test("avg-derived threshold cuts (q17/q11/q22) are row-identical " +
+      "across shuffle partitionings — exact integer partials make " +
+      "the double avg deterministic") {
+    // The three closing TPC-H shapes filter on a double computed
+    // from an aggregate (0.2·avg(qty), 1.5·avg(cents), avg(cents)).
+    // Whole-number/integer inputs keep every partial sum exact, so
+    // the threshold — and therefore the kept SET, not just the
+    // totals — must be invariant under aggregation partitioning.
+    def run(parts: String)(q: => DataFrame) = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try canon(q)
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+    for ((name, q) <- Seq[(String, () => DataFrame)](
+        "q17" -> (() => RelationalQueries.q17SmallQtyRevenue(spark, sfDir)),
+        "q11" -> (() => RelationalQueries.q11ImportantParts(spark, sfDir)),
+        "q22" -> (() => RelationalQueries.q22SalesOpportunity(spark, sfDir)))) {
+      val a = run("3")(q())
+      val b = run("19")(q())
+      assert(a == b, s"$name diverges under repartitioning")
+      assert(a.nonEmpty, s"$name must keep rows at smoke SF")
+    }
+  }
 }
