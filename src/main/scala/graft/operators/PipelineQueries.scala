@@ -205,26 +205,46 @@ object PipelineQueries {
     * what lets the stream's decisions be compared byte-for-byte
     * against [[pipeDeltaIngest]]'s.
     *
-    * REPLAY-ONLY precondition (ADVICE r19): the batch docs' own
-    * MinHash bands and 13-grams are read from the standing persisted
-    * indexes (`restrict` narrows the index scans to the batch ids) —
-    * valid exactly because the gate replays the already-indexed delta
-    * split, which is also what makes the decisions comparable to the
-    * oracle-certified one-shot query. A production ingest of
-    * GENUINELY NEW doc_ids must first append the batch's signatures
-    * to the index families (the IndexStore append discipline — the
-    * same per-doc map-side computation the builds run) and then
-    * probe; probing an unindexed doc here would find no bands/grams
-    * and silently admit it. */
+    * NEW-DOC SAFE (r20, closing the ADVICE r19 finding): the batch
+    * docs' MinHash shingles/bands and 13-grams are computed FROM THE
+    * ARRIVING TEXT with the exact projections the index builds run
+    * ([[graft.sources.IndexStore.minhashShingles]] /
+    * `clusterBandsOf` / `gram13Of` — one spelling, so probe and
+    * index can never diverge), never read back from the standing
+    * indexes. A replayed already-indexed doc therefore probes with
+    * byte-identical signatures to its indexed rows (what keeps the
+    * decisions comparable to the oracle-certified one-shot query —
+    * StreamIngestSpec pins the equality), and a GENUINELY NEW doc_id
+    * gets real near-dup/contamination screening against the standing
+    * base instead of sailing through (StreamIngestSpec plants
+    * exactly that). The standing indexes provide only the BASE side
+    * of every probe; the gate's base-split digest restriction stays
+    * (a production ingest would widen it to all standing splits +
+    * the catalog's appended deltas). */
   private[graft] def flagBatch(s: SparkSession, dir: String,
       batchDocs: DataFrame, priorDigests: DataFrame): DataFrame = {
     val proj = gateProjection(batchDocs).localCheckpoint()
+    val sh = graft.sources.IndexStore.minhashShingles(s, batchDocs)
+      .localCheckpoint() // feeds bands AND the fingerprint verify
+    val batch = BatchSignatures(
+      bands = graft.sources.IndexStore.clusterBandsOf(sh),
+      fps = sh.select(col("doc_id"), col("hs")),
+      grams = graft.sources.IndexStore.gram13Of(batchDocs)
+        .localCheckpoint())
     val ids = proj.select(col("doc_id"))
     flaggedCore(s, dir, proj,
       df => df.join(broadcast(ids), Seq("doc_id")),
       priorDigests = Some(priorDigests),
-      ctx = Some(probeCtx(s, dir)))
+      ctx = Some(probeCtx(s, dir)),
+      batchSide = Some(batch))
   }
+
+  /** A micro-batch's text-computed probe signatures (see
+    * [[flagBatch]]): the batch side of the near-dup candidate join
+    * (`bands`), the exact-Jaccard verify (`fps`), and the
+    * contamination join (`grams`). */
+  private[graft] case class BatchSignatures(bands: DataFrame,
+      fps: DataFrame, grams: DataFrame)
 
   /** Batch-invariant standing probe structures, prepared ONCE per
     * (application, corpus) — what an ingest service derives from the
@@ -280,7 +300,9 @@ object PipelineQueries {
           baseDigests = s.read.parquet(cat.digests)
             .filter(col("split") === "base")
             .select(col("text_md5")).distinct().localCheckpoint(),
-          small = census.filter(col("n") >= 2 && col("n") <= 50)
+          // no n ≥ 2 lower bound — singleton-BASE buckets are live
+          // probe targets for text-probed NEW docs (see flaggedCore)
+          small = census.filter(col("n") <= 50)
             .select("band", "bhash").localCheckpoint(),
           hotBaseRep = s.read.parquet(mh.cstats)
             .filter(!isDelta(col("rep")))
@@ -302,11 +324,17 @@ object PipelineQueries {
     * doc_id-bearing index scan to the target docs — a pushed residue
     * predicate for the whole split, a broadcast id join for a
     * micro-batch — so the probe discipline is spelled ONCE and the
-    * batch and split paths can never diverge. */
+    * batch and split paths can never diverge. `batchSide` (set by
+    * the streaming path) replaces the d-side of the band /
+    * fingerprint / gram probes with the batch's TEXT-computed
+    * signatures — identical values for already-indexed docs (the
+    * projections are shared with the index builds), real signatures
+    * for genuinely new ones. */
   private def flaggedCore(s: SparkSession, dir: String,
       proj: DataFrame, restrict: DataFrame => DataFrame,
       priorDigests: Option[DataFrame],
-      ctx: Option[ProbeCtx]): DataFrame = {
+      ctx: Option[ProbeCtx],
+      batchSide: Option[BatchSignatures] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     graft.functions.JaccardSim.ensureRegistered(s)
     val M = graft.sources.IndexStore.TrgmDeltaMod
@@ -335,10 +363,23 @@ object PipelineQueries {
     lazy val census = s.read.parquet(mh.cstats)
       .groupBy(col("band"), col("bhash"))
       .agg(sum(col("n")).cast("long").as("n"))
+    // The small-bucket cut keeps n ≤ 50 with NO lower bound (r20):
+    // for an INDEXED target doc, n ≥ 2 and n ≥ 1 generate identical
+    // pairs — the doc's own membership contributes 1, and a pair
+    // additionally requires a BASE co-member in the bucket join — so
+    // the old n ≥ 2 was only a singleton-skip optimization; for a
+    // text-probed NEW doc (absent from the census) a singleton-BASE
+    // bucket (n = 1) is exactly where its nearest neighbor may live,
+    // and n ≥ 2 silently dropped it.
     val small = ctx.fold(
-      census.filter(col("n") >= 2 && col("n") <= 50)
+      census.filter(col("n") <= 50)
         .select("band", "bhash"))(_.small)
-    val smallCand = restrict(bands)
+    // d-side candidate bands: the restricted index scan for the
+    // whole-split path, the batch's text-computed bands for the
+    // streaming path (identical values for indexed docs — shared
+    // projection — and the only correct source for new ones)
+    val dBands = batchSide.fold(restrict(bands))(_.bands)
+    val smallCand = dBands
       .select(col("doc_id").as("d_id"), col("band"), col("bhash"))
       .join(small, Seq("band", "bhash"))
       .join(bands.filter(!isDelta(col("doc_id")))
@@ -363,15 +404,19 @@ object PipelineQueries {
         .agg(min(col("rep")).as("b_id"))
         .join(census.filter(col("n") > 50).select("band", "bhash"),
           Seq("band", "bhash")))(_.hotBaseRep)
-    val hotCand = restrict(bands)
+    val hotCand = dBands
       .select(col("doc_id").as("d_id"), col("band"), col("bhash"))
       .join(hotBaseRep, Seq("band", "bhash"))
       .select(col("d_id"), col("b_id"))
     val cand = smallCand.unionByName(hotCand)
       .filter(col("d_id") =!= col("b_id")).distinct()
     val fp = s.read.parquet(mh.shingles)
+    // d-side fingerprints for the exact-Jaccard verify: index rows
+    // for the split path, the batch's text-computed shingle sets for
+    // the streaming path
+    val dFp = batchSide.fold(fp)(_.fps)
     val nearDup = cand
-      .join(fp.select(col("doc_id").as("d_id"), col("hs").as("hs_d")),
+      .join(dFp.select(col("doc_id").as("d_id"), col("hs").as("hs_d")),
         "d_id")
       .join(fp.select(col("doc_id").as("b_id"), col("hs").as("hs_b")),
         "b_id")
@@ -384,7 +429,7 @@ object PipelineQueries {
     val evalGrams = ctx.fold(
       grams.filter(col("doc_id") % 17 === 0)
         .select("g").distinct())(_.evalGrams)
-    val contaminated = restrict(grams)
+    val contaminated = batchSide.fold(restrict(grams))(_.grams)
       .filter(col("doc_id") % 17 =!= 0)
       .join(broadcast(evalGrams), "g")
       .select(col("doc_id")).distinct()

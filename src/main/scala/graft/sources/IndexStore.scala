@@ -394,9 +394,49 @@ object IndexStore {
     * MinhashIndexSpec, and the serve twin's hash-equality to the
     * scan twin certifies the persisted content end-to-end). Once per
     * (JVM, dir). */
+  /** Per-doc MinHash signature projection — doc_id, hs (the 3-gram
+    * shingle hashes, the exact-verify fingerprint), sig (the 32-hash
+    * MinHash signature). ONE spelling shared by the index build and
+    * the ingest batch probe (PipelineQueries.flagBatch), so a
+    * signature computed from ARRIVING text can never diverge from
+    * the persisted index content (ADVICE r19: the batch probe used
+    * to read the batch docs' own signatures back from the standing
+    * index, which silently admitted genuinely new doc_ids). */
+  def minhashShingles(s: SparkSession, d: DataFrame): DataFrame = {
+    graft.functions.MinhashSig.ensureRegistered(s)
+    d.withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        transform(
+          graft.operators.SimilarityQueries.wordGramExpr("words", 3),
+          g => xxhash64(g)).as("hs"))
+      .withColumn("sig",
+        call_function("minhash_sig", col("hs"), lit(MhHashes)))
+  }
+
+  /** Cluster-layout (8×4) banding of a [[minhashShingles]] frame —
+    * doc_id, band, bhash. Shared build/probe spelling, as above. */
+  def clusterBandsOf(sh: DataFrame): DataFrame = {
+    val crows = MhHashes / MhClusterBands
+    sh.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(MhClusterBands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * crows + 1, lit(crows)))
+              .as("bhash")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bhash").as("bhash"))
+  }
+
+  /** Per-doc distinct-free 13-gram hash projection — doc_id, g.
+    * Shared build/probe spelling, as above. */
+  def gram13Of(d: DataFrame): DataFrame =
+    d.withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(transform(
+          graft.operators.SimilarityQueries.wordGramExpr("words", 13),
+          g => xxhash64(g))).as("g"))
+
   def ensureMinhash(s: SparkSession, dir: String): MinhashPaths =
     built(mhBuilt, dir) {
-      graft.functions.MinhashSig.ensureRegistered(s)
       val root = indexRoot(dir)
       val paths = MinhashPaths(
         root.resolve("mh_shingles").toString,
@@ -406,14 +446,7 @@ object IndexStore {
       val docs = Tables.documents(s, dir)
       val rows = MhHashes / MhBands
       def write(d: DataFrame, mode: String): Unit = {
-        val sh = d
-          .withColumn("words", split(col("text"), " "))
-          .select(col("doc_id"),
-            transform(
-              graft.operators.SimilarityQueries.wordGramExpr("words", 3),
-              g => xxhash64(g)).as("hs"))
-          .withColumn("sig",
-            call_function("minhash_sig", col("hs"), lit(MhHashes)))
+        val sh = minhashShingles(s, d)
           .localCheckpoint() // feeds BOTH table writes below
         sh.select(col("doc_id"), col("hs"))
           .write.mode(mode).parquet(paths.shingles)
@@ -426,14 +459,7 @@ object IndexStore {
             col("bk.bhash").as("bhash"))
           .repartition(col("band"))
           .write.mode(mode).partitionBy("band").parquet(paths.bands)
-        val crows = MhHashes / MhClusterBands
-        val cband = sh.select(col("doc_id"),
-            explode(transform(sequence(lit(0), lit(MhClusterBands - 1)),
-              b => struct(b.as("band"),
-                xxhash64(slice(col("sig"), b * crows + 1, lit(crows)))
-                  .as("bhash")))).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"),
-            col("bk.bhash").as("bhash"))
+        val cband = clusterBandsOf(sh)
           .localCheckpoint() // feeds the banded write AND the census
         cband
           .repartition(col("band"))
@@ -521,12 +547,7 @@ object IndexStore {
         indexRoot(dir).resolve("decon_grams").toString)
       val docs = Tables.documents(s, dir)
       def write(d: DataFrame, mode: String): Unit =
-        d.withColumn("words", split(col("text"), " "))
-          .select(col("doc_id"),
-            explode(transform(
-              graft.operators.SimilarityQueries.wordGramExpr("words", 13),
-              g => xxhash64(g))).as("g"))
-          .write.mode(mode).parquet(paths.grams)
+        gram13Of(d).write.mode(mode).parquet(paths.grams)
       write(docs.filter(
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           < TrgmDeltaMod - 1), "overwrite")

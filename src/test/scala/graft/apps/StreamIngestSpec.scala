@@ -95,4 +95,45 @@ class StreamIngestSpec extends SparkSpec {
     assert(r.decisions.sortBy(_._1) == oneShot,
       "single-batch streamed decisions must equal the one-shot query")
   }
+
+  test("genuinely NEW doc_ids are screened from their text — the " +
+      "near-dup and contamination probes no longer require the doc " +
+      "to be pre-indexed (ADVICE r19)") {
+    import spark.implicits._
+    val dir = plantedDir // standing indexes built over the fixture
+    val w = (1 to 117).map(i => s"q$i")
+    val t0 = "the and of " + w.mkString(" ")
+    def clean(tag: String) = s"a the b and c " +
+      (1 to 30).map(i => s"$tag$i").mkString(" ")
+    // none of these ids exist in the corpus or any index; none are
+    // ≡ 0 (mod 17), so the eval-split gate never masks the probes
+    val batch = Seq(
+      (1001L, t0),                                   // exact of base 0
+      (1002L, "the and of " +                        // near-dup of 0
+        w.updated(30, "EDITX").mkString(" ")),
+      (1005L, ("a the b and c " +                    // near-dup of the
+        (1 to 29).map(i => s"base1$i").mkString(" ") // SINGLETON-
+        + " ZED")),                                  // bucket base 1
+      (1006L, "a the b and c " +                     // 13-gram overlap
+        w.slice(40, 53).mkString(" ") + " " +        // with eval doc 0
+        (1 to 10).map(i => s"n$i").mkString(" ")),
+      (1007L, clean("nw"))                           // novel — admit
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val prior = Seq.empty[String].toDF("text_md5")
+    val got = PipelineQueries.flagBatch(spark, dir, batch, prior)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[String]("drop_reason")).getOrElse("admit"))
+      .toMap
+    assert(got(1001L) == "exact_dup",
+      s"new exact copy of a base doc must be caught: $got")
+    assert(got(1002L) == "near_dup",
+      s"new near-dup of a base doc must be caught: $got")
+    assert(got(1005L) == "near_dup",
+      s"singleton-base-bucket near-dup must be caught (the n >= 2 " +
+        s"census cut would have skipped it): $got")
+    assert(got(1006L) == "contaminated",
+      s"new doc sharing an eval 13-gram must be caught: $got")
+    assert(got(1007L) == "admit",
+      s"a clean novel doc must pass every probe: $got")
+  }
 }
