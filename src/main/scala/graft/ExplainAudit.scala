@@ -162,7 +162,12 @@ object ExplainAudit {
         "q19_discounted_revenue", "q12_ship_priority",
         "q16_supplier_census", "q17_small_qty_revenue",
         "q2_min_cost_supplier", "q11_important_parts",
-        "q22_sales_opportunity")
+        "q22_sales_opportunity",
+        // round 20 final: the single-fact-scan twins of the two
+        // double-scan anchors — q2's census aggregated once under a
+        // window min (part filter below the aggregate), q21's
+        // EXISTS/NOT EXISTS pair as a two-level re-aggregation
+        "q2_min_cost_win", "q21_waiting_agg")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

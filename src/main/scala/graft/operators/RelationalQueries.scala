@@ -765,6 +765,52 @@ object RelationalQueries {
         |LIMIT 10""".stripMargin)
   }
 
+  /** Scale-path twin of [[q21WaitingSuppliers]] (r20 final): the same
+    * census from ONE pass over the fact. The anchor's decorrelated
+    * semi + anti stack scans lineitem THREE times (once as l1, once
+    * per rewritten subquery) — honest rewrite coverage, but at 100 TB
+    * three fact scans is the wrong physical shape. The subquery pair
+    * is per-order logic: a late line qualifies iff its order has ≥2
+    * distinct suppliers and EXACTLY ONE distinct late supplier (then
+    * every late line in the order belongs to that supplier). So: one
+    * lineitem ⋈ orders['F'] scan, a (orderkey, suppkey) partial
+    * aggregate, a per-order re-aggregate (supplier census + the lone
+    * late supplier), filter, per-supplier rollup. Deliberately NO
+    * countDistinct — the two-level re-aggregation stays fully
+    * partial-aggregatable with no Expand, so shuffle volume is the
+    * reduced (order, supplier) census, never 3× fact rows.
+    * Plan-asserted single fact scan; oracle = the anchor's
+    * EXISTS / NOT EXISTS SQL verbatim — different plan, identical
+    * answer. */
+  def q21WaitingAgg(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAY")
+    val perSupp = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("supp_late_lines"))
+    val lateSupp = when(col("supp_late_lines") > 0, col("l_suppkey"))
+    val qualifying = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        count(lateSupp).as("n_late_supp"),
+        sum(col("supp_late_lines")).as("late_lines"),
+        max(lateSupp).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    qualifying
+      .groupBy(col("late_supp"))
+      .agg(sum(col("late_lines")).as("nw"))
+      .join(Tables.supplier(s, dir),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("nw")).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
   /** The two trading nations of [[q7VolumeShipping]] and the market
     * nation of [[q8MarketShare]] — interpolated into engine SQL and
     * oracles (supplier coverage of both verified at every test SF;
@@ -1074,6 +1120,55 @@ object RelationalQueries {
          |ORDER BY acctbal_cents DESC, s_name, p_partkey""".stripMargin)
   }
 
+  /** Scale-path twin of [[q2MinCostSupplier]] (r20 final): the same
+    * answer from ONE derivation of the supply census. Spark inlines a
+    * CTE referenced twice (no CTE materialization by default), so the
+    * anchor's decorrelated plan aggregates lineitem TWICE — at 100 TB
+    * that doubles the dominant scan. Here the per-part minimum is a
+    * window min over the region-restricted supply with the part
+    * filter pushed BELOW the window — legal because the minimum is
+    * per-partkey and unaffected by part attributes, so restricting to
+    * qualifying parts first shrinks the census without changing any
+    * surviving per-part min — and the part broadcast-join sits BELOW
+    * the aggregate too, so the census only ever materializes state
+    * for qualifying parts' lines. One restricted lineitem aggregate,
+    * one shuffle on l_partkey for the window.
+    * Supplier⋈nation⋈region joins the (already tiny) census as an
+    * unhinted equi-join (supplier grows with SF — not assumed
+    * broadcast-able at 100 TB; AQE picks broadcast at test scale).
+    * Plan-asserted single lineitem scan; oracle = the anchor's
+    * correlated-subquery SQL verbatim — different plan, bit-identical
+    * answer. */
+  def q2MinCostWin(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_size") >= Q2SizeMin && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_brand"))
+    val supply = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("p_brand"))
+      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val w = Window.partitionBy(col("l_partkey"))
+    supply
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("cost_cents")).over(w))
+      .filter(col("cost_cents") === col("min_cost"))
+      .select(cents(col("s_acctbal")).as("acctbal_cents"),
+        col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"),
+        col("p_brand"), col("cost_cents"))
+      .orderBy(col("acctbal_cents").desc, col("s_name"),
+        col("p_partkey"))
+  }
+
   /** Multiplier over the mean part value for [[q11ImportantParts]]'
     * cut. TPC-H's Q11 hard-codes a fraction that must shrink as SF
     * grows (0.0001/SF); anchoring on the MEAN instead keeps one
@@ -1340,6 +1435,7 @@ object RelationalQueries {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q21_waiting_agg" -> (q21WaitingAgg _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -1350,6 +1446,7 @@ object RelationalQueries {
     "q16_supplier_census" -> (q16SupplierCensus _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q2_min_cost_win" -> (q2MinCostWin _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "e1_event_window" -> (e1EventWindow _),
@@ -1360,9 +1457,60 @@ object RelationalQueries {
     "d3_kmv_distinct" -> (d3KmvDistinct _)
   )
 
+  /** The q21 declarative spec — shared verbatim by the rewrite-
+    * coverage anchor and its single-scan twin [[q21WaitingAgg]]: one
+    * question, two plans, one oracle. */
+  private val Q21OracleSql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate >
+      |                        o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin
+
+  /** The q2 declarative spec — shared verbatim by the anchor and its
+    * window-min twin [[q2MinCostWin]]. supply is referenced from both
+    * the outer join tree and the correlated min subquery —
+    * MATERIALIZED, or DuckDB re-expands the census at every reference
+    * (see graft-oracle-discipline). */
+  private val Q2OracleSql =
+    s"""WITH supply AS MATERIALIZED (SELECT l_partkey, l_suppkey,
+       |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS cost_cents
+       |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+       |SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       |  s_name, n_name, p_partkey, p_brand, cost_cents
+       |FROM part, supply, supplier, nation, region
+       |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |  AND p_size >= $Q2SizeMin AND p_type = 'LARGE'
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND cost_cents = (SELECT min(s2.cost_cents)
+       |                    FROM supply s2, supplier sp, nation n2,
+       |                         region r2
+       |                    WHERE s2.l_partkey = p_partkey
+       |                      AND sp.s_suppkey = s2.l_suppkey
+       |                      AND sp.s_nationkey = n2.n_nationkey
+       |                      AND n2.n_regionkey = r2.r_regionkey
+       |                      AND r2.r_name = 'EUROPE')
+       |ORDER BY acctbal_cents DESC, s_name, p_partkey""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same column names and types —
     * the driver sorts columns by name and hashes values). */
   val oracle: Map[String, String] = Map(
+    "q21_waiting_agg" -> Q21OracleSql,
+    "q2_min_cost_win" -> Q2OracleSql,
     "e3_gap_fill" ->
       """WITH ev AS (SELECT event_type,
         |        epoch_ns(ts) // 3600000000000 AS hour FROM events),
@@ -1675,24 +1823,7 @@ object RelationalQueries {
          |  GROUP BY l_suppkey
          |  HAVING sum(l_quantity) > $Q20QtyThreshold)
          |ORDER BY s_suppkey""".stripMargin,
-    "q21_waiting_suppliers" ->
-      """SELECT s_name, count(*) AS numwait
-        |FROM supplier, lineitem l1, orders
-        |WHERE s_suppkey = l1.l_suppkey
-        |  AND o_orderkey = l1.l_orderkey
-        |  AND o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_shipdate >
-        |                        o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name
-        |LIMIT 10""".stripMargin,
+    "q21_waiting_suppliers" -> Q21OracleSql,
     "q7_volume_shipping" ->
       s"""SELECT supp_nation, cust_nation,
          |  CAST(l_year AS INTEGER) AS l_year,
@@ -1791,30 +1922,7 @@ object RelationalQueries {
          |  AND l_quantity < 0.2 * (SELECT avg(l_quantity)
          |                          FROM lineitem l2
          |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
-    // supply is referenced from both the outer join tree and the
-    // correlated min subquery — MATERIALIZED, or DuckDB re-expands
-    // the census at every reference (see graft-oracle-discipline).
-    "q2_min_cost_supplier" ->
-      s"""WITH supply AS MATERIALIZED (SELECT l_partkey, l_suppkey,
-         |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
-         |      AS BIGINT) AS cost_cents
-         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
-         |SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
-         |  s_name, n_name, p_partkey, p_brand, cost_cents
-         |FROM part, supply, supplier, nation, region
-         |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-         |  AND p_size >= $Q2SizeMin AND p_type = 'LARGE'
-         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-         |  AND r_name = 'EUROPE'
-         |  AND cost_cents = (SELECT min(s2.cost_cents)
-         |                    FROM supply s2, supplier sp, nation n2,
-         |                         region r2
-         |                    WHERE s2.l_partkey = p_partkey
-         |                      AND sp.s_suppkey = s2.l_suppkey
-         |                      AND sp.s_nationkey = n2.n_nationkey
-         |                      AND n2.n_regionkey = r2.r_regionkey
-         |                      AND r2.r_name = 'EUROPE')
-         |ORDER BY acctbal_cents DESC, s_name, p_partkey""".stripMargin,
+    "q2_min_cost_supplier" -> Q2OracleSql,
     "q11_important_parts" ->
       s"""WITH v AS MATERIALIZED (SELECT l_partkey,
          |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))

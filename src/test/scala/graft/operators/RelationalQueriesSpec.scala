@@ -376,6 +376,25 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(gotRows.nonEmpty)
   }
 
+  test("q21 single-scan twin reads the fact ONCE (no semi/anti " +
+      "re-scans) and is row-identical to the anchor") {
+    val twin = RelationalQueries.q21WaitingAgg(spark, sfDir)
+    val plan = twin.queryExecution.executedPlan.toString
+    val factScans = plan.split("lineitem").length - 1
+    assert(factScans == 1,
+      s"the twin must scan lineitem exactly once, saw $factScans:\n$plan")
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      s"the twin replaces the subquery stack with aggregation:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"two-level re-aggregation must avoid the distinct Expand:\n$plan")
+    val anchor = RelationalQueries.q21WaitingSuppliers(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = twin.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == anchor, s"$got vs $anchor")
+    assert(got.nonEmpty)
+  }
+
   test("q4 EXISTS decorrelates to a semi join and agrees with the " +
       "explicit semi-join formulation") {
     val got = RelationalQueries.q4OrderPriority(spark, sfDir)
@@ -559,6 +578,24 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(cost == minPerPart(pk),
         s"part $pk: emitted $cost vs min ${minPerPart(pk)}")
     }
+  }
+
+  test("q2 window-min twin aggregates lineitem ONCE and is " +
+      "row-identical to the anchor") {
+    val twin = RelationalQueries.q2MinCostWin(spark, sfDir)
+    val plan = twin.queryExecution.executedPlan.toString
+    val factScans = plan.split("lineitem").length - 1
+    assert(factScans == 1,
+      s"the twin must scan lineitem exactly once, saw $factScans " +
+        s"(the anchor's inlined CTE scans it twice):\n$plan")
+    assert(plan.contains("Window"),
+      s"the per-part minimum must be a window min:\n$plan")
+    val anchor = RelationalQueries.q2MinCostSupplier(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val got = twin.collect().map(_.toSeq).toSeq
+    assert(got == anchor,
+      s"${got.size} rows vs anchor ${anchor.size}")
+    assert(got.nonEmpty)
   }
 
   test("q11 mean-anchored threshold keeps a nonempty proper subset " +
