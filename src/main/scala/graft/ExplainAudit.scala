@@ -163,11 +163,15 @@ object ExplainAudit {
         "q16_supplier_census", "q17_small_qty_revenue",
         "q2_min_cost_supplier", "q11_important_parts",
         "q22_sales_opportunity",
-        // round 20 final: the single-fact-scan twins of the two
+        // round 20 final: the single-fact-scan twins of the four
         // double-scan anchors — q2's census aggregated once under a
         // window min (part filter below the aggregate), q21's
-        // EXISTS/NOT EXISTS pair as a two-level re-aggregation
-        "q2_min_cost_win", "q21_waiting_agg")
+        // EXISTS/NOT EXISTS pair as a two-level re-aggregation,
+        // q17's correlated avg as a window avg over the
+        // brand-restricted fact, q11's census checkpointed once with
+        // a 1-row broadcast cut
+        "q2_min_cost_win", "q21_waiting_agg",
+        "q17_small_qty_win", "q11_important_ckpt")
     val names = only match {
       case Some(n) => Seq(n)
       case None =>

@@ -1074,6 +1074,34 @@ object RelationalQueries {
          |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
   }
 
+  /** Scale-path twin of [[q17SmallQtyRevenue]] (r20 final): the same
+    * answer from ONE fact scan. The anchor's decorrelated plan scans
+    * lineitem twice (the outer filtered rows AND the per-part
+    * average aggregate — no exchange reuse, see PLANS.md). The
+    * correlated average is per-partkey, and every line of a
+    * surviving part survives the brand join — so the brand
+    * restriction pushes below BOTH the average and the filter, and
+    * the per-part mean becomes a window avg over the brand-restricted
+    * fact: one scan, one broadcast part cut, one l_partkey exchange.
+    * Threshold exactness is the anchor's own argument (whole-number
+    * quantities ⇒ exact per-part double sum ⇒ avg and ×0.2 are the
+    * same two IEEE roundings). Plan-asserted single fact scan;
+    * oracle = the anchor's correlated-subquery SQL verbatim. */
+  def q17SmallQtyWin(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") === Q17Brand).select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(sum(cents(col("l_extendedprice"))).cast("long")
+          .as("small_qty_revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Part filter for [[q2MinCostSupplier]] — nonempty at every test
     * SF (≥1 qualifying EUROPE-supplied part at sf0.001). */
   val Q2SizeMin = 40
@@ -1204,6 +1232,41 @@ object RelationalQueries {
          |WHERE value_cents > (SELECT $Q11MeanMult * avg(value_cents)
          |                     FROM v)
          |ORDER BY value_cents DESC, l_partkey""".stripMargin)
+  }
+
+  /** Scale-path twin of [[q11ImportantParts]] (r20 final): the same
+    * answer with the census derived ONCE. The anchor's
+    * self-referential scalar subquery re-expands the four-way-join
+    * census under Spark's CTE inlining (no exchange reuse — see
+    * PLANS.md), so the dominant lineitem ⋈ supplier work runs twice.
+    * Here the census is computed once and slim-checkpointed (the
+    * [[PipelineQueries]] corpus-funnel discipline — a (partkey,
+    * cents) frame, tiny relative to the fact), the 1.5×-mean cut is
+    * one 1-row aggregate OVER THE CHECKPOINT broadcast back against
+    * it (the engine's 1-row scalar-combine pattern), and the
+    * threshold expression is spelled identically to the anchor's
+    * (`mult * avg(value_cents)` over the same exact-cents longs), so
+    * the cut is bit-identical. Plan reads the fact once; oracle =
+    * the anchor's MATERIALIZED-CTE SQL verbatim. */
+  def q11ImportantCkpt(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).cast("long")
+        .as("value_cents"))
+      .localCheckpoint()
+    val cut = v.agg(
+      (lit(Q11MeanMult) * avg(col("value_cents"))).as("cut"))
+    v.crossJoin(broadcast(cut))
+      .filter(col("value_cents") > col("cut"))
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
   }
 
   /** TPC-H Q22-shaped sales opportunity (r20): the
@@ -1445,9 +1508,11 @@ object RelationalQueries {
     "q12_ship_priority" -> (q12ShipPriority _),
     "q16_supplier_census" -> (q16SupplierCensus _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q17_small_qty_win" -> (q17SmallQtyWin _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q2_min_cost_win" -> (q2MinCostWin _),
     "q11_important_parts" -> (q11ImportantParts _),
+    "q11_important_ckpt" -> (q11ImportantCkpt _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "e1_event_window" -> (e1EventWindow _),
     "e2_sessionize" -> (e2Sessionize _),
@@ -1506,11 +1571,42 @@ object RelationalQueries {
        |                      AND r2.r_name = 'EUROPE')
        |ORDER BY acctbal_cents DESC, s_name, p_partkey""".stripMargin
 
+  /** The q17 declarative spec — shared verbatim by the anchor and
+    * its window-avg twin [[q17SmallQtyWin]]. */
+  private val Q17OracleSql =
+    s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |    AS BIGINT) AS small_qty_revenue_cents,
+       |  count(*) AS n_lines
+       |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = '$Q17Brand'
+       |  AND l_quantity < 0.2 * (SELECT avg(l_quantity)
+       |                          FROM lineitem l2
+       |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  /** The q11 declarative spec — shared verbatim by the anchor and
+    * its checkpointed-census twin [[q11ImportantCkpt]]. The v CTE is
+    * referenced twice — MATERIALIZED (see graft-oracle-discipline). */
+  private val Q11OracleSql =
+    s"""WITH v AS MATERIALIZED (SELECT l_partkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS value_cents
+       |  FROM lineitem, supplier, nation, region
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey, value_cents
+       |FROM v
+       |WHERE value_cents > (SELECT $Q11MeanMult * avg(value_cents)
+       |                     FROM v)
+       |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same column names and types —
     * the driver sorts columns by name and hashes values). */
   val oracle: Map[String, String] = Map(
     "q21_waiting_agg" -> Q21OracleSql,
     "q2_min_cost_win" -> Q2OracleSql,
+    "q17_small_qty_win" -> Q17OracleSql,
+    "q11_important_ckpt" -> Q11OracleSql,
     "e3_gap_fill" ->
       """WITH ev AS (SELECT event_type,
         |        epoch_ns(ts) // 3600000000000 AS hour FROM events),
@@ -1913,29 +2009,9 @@ object RelationalQueries {
          |                        WHERE s_acctbal < $Q16ExclAcctbal)
          |GROUP BY p_brand, p_type, p_size
          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
-    "q17_small_qty_revenue" ->
-      s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-         |    AS BIGINT) AS small_qty_revenue_cents,
-         |  count(*) AS n_lines
-         |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
-         |WHERE p_brand = '$Q17Brand'
-         |  AND l_quantity < 0.2 * (SELECT avg(l_quantity)
-         |                          FROM lineitem l2
-         |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q17_small_qty_revenue" -> Q17OracleSql,
     "q2_min_cost_supplier" -> Q2OracleSql,
-    "q11_important_parts" ->
-      s"""WITH v AS MATERIALIZED (SELECT l_partkey,
-         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-         |      AS BIGINT) AS value_cents
-         |  FROM lineitem, supplier, nation, region
-         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-         |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
-         |  GROUP BY l_partkey)
-         |SELECT l_partkey, value_cents
-         |FROM v
-         |WHERE value_cents > (SELECT $Q11MeanMult * avg(value_cents)
-         |                     FROM v)
-         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    "q11_important_parts" -> Q11OracleSql,
     "q22_sales_opportunity" ->
       """WITH potential AS MATERIALIZED (SELECT right(c_name, 1)
         |      AS cntrycode,

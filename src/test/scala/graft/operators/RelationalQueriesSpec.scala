@@ -580,6 +580,37 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q17 window-avg twin scans the fact ONCE and matches the " +
+      "anchor's single row exactly") {
+    val twin = RelationalQueries.q17SmallQtyWin(spark, sfDir)
+    val plan = twin.queryExecution.executedPlan.toString
+    val factScans = plan.split("lineitem").length - 1
+    assert(factScans == 1,
+      s"the twin must scan lineitem exactly once, saw $factScans " +
+        s"(the anchor's decorrelated avg re-scans it):\n$plan")
+    assert(plan.contains("Window"),
+      s"the per-part average must be a window avg:\n$plan")
+    val a = RelationalQueries.q17SmallQtyRevenue(spark, sfDir).head()
+    val t = twin.head()
+    assert((t.getLong(0), t.getLong(1)) == ((a.getLong(0), a.getLong(1))))
+    assert(t.getLong(1) > 0)
+  }
+
+  test("q11 checkpointed-census twin derives the census once and is " +
+      "row-identical to the anchor") {
+    val twin = RelationalQueries.q11ImportantCkpt(spark, sfDir)
+    val plan = twin.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem"),
+      s"the serving plan must read the checkpointed census, never " +
+        s"re-derive from the fact:\n$plan")
+    val anchor = RelationalQueries.q11ImportantParts(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = twin.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == anchor, s"${got.size} rows vs anchor ${anchor.size}")
+    assert(got.nonEmpty)
+  }
+
   test("q2 window-min twin aggregates lineitem ONCE and is " +
       "row-identical to the anchor") {
     val twin = RelationalQueries.q2MinCostWin(spark, sfDir)
