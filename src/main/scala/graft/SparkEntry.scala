@@ -39,7 +39,8 @@ object SparkEntry {
       TemporalQueries.queries ++
       OlapQueries.queries ++
       LayoutQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      graft.operators.Calibration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -70,5 +71,6 @@ object SparkEntry {
       TemporalQueries.oracle ++
       OlapQueries.oracle ++
       LayoutQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++
+      graft.operators.Calibration.oracle
 }

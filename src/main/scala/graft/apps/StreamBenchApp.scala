@@ -539,8 +539,14 @@ object StreamBenchApp {
         .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame,
             _: Long) =>
           if (!batchDf.isEmpty) {
-            val flagged = PipelineQueries.flagBatch(spark, sfDir,
-              batchDf, seenDigests).localCheckpoint()
+            // slot-keyed: batch N's flags are dead once batch N+1's
+            // materialize (decisions collected, digests folded) —
+            // free the previous generation instead of leaking one
+            // checkpoint per batch
+            val flagged = graft.core.CkptSlots.checkpoint(
+              spark.sparkContext.applicationId + ":ingest_flagged")(
+              PipelineQueries.flagBatch(spark, sfDir,
+                batchDf, seenDigests))
             val survivors = flagged
               .filter(col("drop_reason").isNull)
               .select(col("doc_id"), col("source"), col("h"))
@@ -559,9 +565,11 @@ object StreamBenchApp {
             // the alert topic for drops) would receive
             decisions ++= dec.collect().map(r =>
               (r.getLong(0), r.getString(1), r.getString(2)))
-            seenDigests = seenDigests
-              .unionByName(flagged.select(col("text_md5")))
-              .distinct().localCheckpoint()
+            seenDigests = graft.core.CkptSlots.checkpoint(
+              spark.sparkContext.applicationId + ":ingest_seen")(
+              seenDigests
+                .unionByName(flagged.select(col("text_md5")))
+                .distinct())
           }
         }
         .start()
@@ -576,9 +584,10 @@ object StreamBenchApp {
     // flags + window-rank quota per (source, batch)
     import org.apache.spark.sql.expressions.Window
     val bidDf = bidRows.toDF("doc_id", "bid")
-    val flaggedAll = PipelineQueries.deltaFlagged(spark, sfDir)
-      .join(bidDf, Seq("doc_id")) // fed docs only
-      .localCheckpoint()
+    val flaggedAll = graft.core.CkptSlots.checkpoint(
+      spark.sparkContext.applicationId + ":ingest_twin")(
+      PipelineQueries.deltaFlagged(spark, sfDir)
+        .join(bidDf, Seq("doc_id"))) // fed docs only
     val w = Window.partitionBy(col("source"), col("bid"))
       .orderBy(col("h"), col("doc_id"))
     val twinAdmits = flaggedAll.filter(col("drop_reason").isNull)

@@ -52,6 +52,32 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")
 
+  /** Spread a narrow heavy-per-row compute chain (gram hashing,
+    * shingling, codec decode) across the session's cores when the
+    * upstream scan cannot parallelize it itself.
+    *
+    * Why (guide §2.5 "input skew" / §1.2 step 1): the local testdata
+    * ships each table as ONE parquet file with ONE row group, so
+    * every scan is effectively a single task — and WholeStageCodegen
+    * fuses the per-row compute into that task, serializing minutes of
+    * hashing behind one core while 31 idle. One hash exchange on a
+    * stable key (deterministic row→partition assignment, unlike
+    * round-robin) costs a few hundred KB here and buys cores× on the
+    * fused compute.
+    *
+    * Scale posture: guarded on the scan's actual partition count, so
+    * on a real multi-row-group / multi-file table (≥ cores splits)
+    * this is a NO-OP — at 100 TB the scan already parallelizes and
+    * the extra exchange would be pure waste. Results are unaffected:
+    * partitioning is not observable by any value these chains
+    * compute (each is oracle-checked against single-process DuckDB).
+    */
+  def fanOut(df: DataFrame, key: String): DataFrame = {
+    val cores = Sessions.cpus
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores, df(key))
+  }
+
   /** The reverse guard of [[events]]: `orders`/`lineitem` date
     * columns are consumed as timestamps (range joins, date_trunc,
     * SCD2 validity windows), so if a future testdata regen ships

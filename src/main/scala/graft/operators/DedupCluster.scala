@@ -103,11 +103,18 @@ object DedupCluster {
       val nbrMin = edges
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val prev = labels
       labels = labels
         .join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"), least(col("lbl"),
           coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
+      // the superseded iterate's checkpoint blocks are dead the
+      // moment the new one is materialized — free them eagerly
+      // (storage otherwise holds every iterate until driver GC, the
+      // g5b convergedRanks discipline; this takes ownership of the
+      // caller-built init checkpoint too)
+      org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(prev)
       val sumNow = lblSum(labels)
       converged = sumNow == prevSum
       prevSum = sumNow
@@ -120,6 +127,10 @@ object DedupCluster {
       throw new IllegalStateException(
         s"dd_cluster: label propagation did not converge within " +
           s"$maxIters iterations — component diameter exceeds the cap")
+    // every caller builds the bidirectional edge checkpoint solely
+    // for this loop; the converged labels read only their own final
+    // checkpoint, so the edge blocks are dead — free them eagerly
+    org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(edges)
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -140,10 +140,15 @@ object GraphQueries {
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint() // read by the init iterate + the node count
     val tol = outdeg.count() * PrbTolPerNode
-    convergedRanks(edges,
+    val ranks = convergedRanks(edges,
       outdeg.select(col("src").as("node"), lit(PrScale).as("pr_0"),
         col("outdeg")),
       tol)
+    // convergedRanks has materialized every iterate it returns rows
+    // from; outdeg's checkpoint blocks are dead — free them eagerly
+    // instead of leaking one per invocation into storage memory
+    org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(outdeg)
+    ranks
   }
 
   /** Incremental PageRank — the index-maintenance discipline applied
@@ -176,7 +181,11 @@ object GraphQueries {
       .join(s.read.parquet(ranksPath), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("pr"), lit(PrScale)).as("pr_0"), col("outdeg"))
-    convergedRanks(edges, init, tol)
+    val ranks = convergedRanks(edges, init, tol)
+    // same eager free as g5b: the warm-start init is materialized
+    // inside convergedRanks, so outdeg's blocks are dead on return
+    org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(outdeg)
+    ranks
   }
 
   /** Converged ranks of the BASE-split part↔supplier graph, cold
@@ -199,10 +208,16 @@ object GraphQueries {
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val tol = outdeg.count() * PrbTolPerNode
-    convergedRanks(edges,
+    val ranks = convergedRanks(edges,
       outdeg.select(col("src").as("node"), lit(PrScale).as("pr_0"),
         col("outdeg")),
       tol)
+    // base build is one-shot per index refresh: free its private
+    // edge/outdeg checkpoints eagerly (the ranks rows themselves
+    // read only convergedRanks' own materialized blocks)
+    org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(outdeg)
+    org.apache.spark.sql.GraftSqlShims.unpersistLocalCheckpoint(edges)
+    ranks
   }
 
   /** Shared convergence driver for the cold ([[g5bPagerankConverged]],
@@ -454,7 +469,9 @@ object GraphQueries {
   private def triangleClosure(s: SparkSession,
       edges: DataFrame): DataFrame = {
     // consumed twice (explode side + dst side of the closure join)
-    val adj = orientedAdjacency(edges).localCheckpoint()
+    val adj = graft.core.CkptSlots.checkpoint(
+      s.sparkContext.applicationId + ":g6_adj")(
+      orientedAdjacency(edges))
     val tri = closureFromAdjacency(s, adj)
     val nn = nodeDegrees(edges).agg(count(lit(1)).as("n_nodes"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))

@@ -38,7 +38,9 @@ object OlapQueries {
     * (4 separate scans unioned) reads the data 4 times; this reads
     * it once. */
   def x26Cube(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // fanOut: the Expand×4 + partial aggregate would otherwise run
+    // inside the single-row-group scan task
+    Tables.fanOut(Tables.lineitem(s, dir), "l_orderkey")
       .select(col("l_returnflag"), col("l_linestatus"),
         col("l_quantity"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")))

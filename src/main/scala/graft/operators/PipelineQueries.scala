@@ -79,8 +79,11 @@ object PipelineQueries {
 
   def pipeCorpusBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val base = gateProjection(Tables.documents(s, dir))
-      .localCheckpoint() // the staged-materialization point: all six
+    val base = gateProjection(
+        Tables.fanOut(Tables.documents(s, dir), "doc_id"))
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":pipe_base:" + dir))
+      // the staged-materialization point: all six
                          // stage chains and seven funnel aggregates
                          // re-read this slim projection, never the
                          // corpus
@@ -156,7 +159,9 @@ object PipelineQueries {
     * compare. */
   def pipeDeltaIngest(s: SparkSession, dir: String): DataFrame = {
     // read by the survivor cut AND the final assembly
-    val flagged = deltaFlagged(s, dir).localCheckpoint()
+    val flagged = graft.core.CkptSlots.checkpoint(
+      s.sparkContext.applicationId + ":pipe_flagged:" + dir)(
+      deltaFlagged(s, dir))
     val survivors = flagged.filter(col("drop_reason").isNull)
       .select(col("doc_id"), col("source"), col("h"))
     val admits = graft.plans.TopKPerGroup(survivors, Seq("source"),
@@ -184,7 +189,9 @@ object PipelineQueries {
     def isDelta(c: Column) = pmod(c, lit(M.toLong)) === M - 1
     val delta = gateProjection(
         Tables.documents(s, dir).filter(isDelta(col("doc_id"))))
-      .localCheckpoint() // feeds digest probe, keeper census, flags
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":pipe_delta:" + dir))
+      // feeds digest probe, keeper census, flags
     flaggedCore(s, dir, delta,
       df => df.filter(isDelta(col("doc_id"))), priorDigests = None,
       ctx = None)
@@ -223,14 +230,21 @@ object PipelineQueries {
     * the catalog's appended deltas). */
   private[graft] def flagBatch(s: SparkSession, dir: String,
       batchDocs: DataFrame, priorDigests: DataFrame): DataFrame = {
-    val proj = gateProjection(batchDocs).localCheckpoint()
-    val sh = graft.sources.IndexStore.minhashShingles(s, batchDocs)
-      .localCheckpoint() // feeds bands AND the fingerprint verify
+    // slot-keyed checkpoints: one ingest batch's probe state is dead
+    // the moment the next batch's is materialized (batches are
+    // strictly sequential), so each generation frees the previous —
+    // a 10-batch gate run used to leak 30 checkpoints
+    def slot(tag: String) = graft.core.CkptSlots.checkpoint(
+      s.sparkContext.applicationId + ":" + tag) _
+    val proj = slot("flagbatch_proj")(gateProjection(batchDocs))
+    val sh = slot("flagbatch_sh")(
+      graft.sources.IndexStore.minhashShingles(s, batchDocs))
+      // feeds bands AND the fingerprint verify
     val batch = BatchSignatures(
       bands = graft.sources.IndexStore.clusterBandsOf(sh),
       fps = sh.select(col("doc_id"), col("hs")),
-      grams = graft.sources.IndexStore.gram13Of(batchDocs)
-        .localCheckpoint())
+      grams = slot("flagbatch_grams")(
+        graft.sources.IndexStore.gram13Of(batchDocs)))
     val ids = proj.select(col("doc_id"))
     flaggedCore(s, dir, proj,
       df => df.join(broadcast(ids), Seq("doc_id")),

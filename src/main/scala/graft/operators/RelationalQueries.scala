@@ -447,7 +447,9 @@ object RelationalQueries {
 
   /** Exact COUNT(DISTINCT) — expands to two-phase hash aggregate. */
   def d1CountDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).agg(
+    // fanOut: the partial distinct aggregates would otherwise run
+    // inside the single-row-group scan task
+    Tables.fanOut(Tables.lineitem(s, dir), "l_orderkey").agg(
       countDistinct(col("l_partkey")).as("n_parts"),
       countDistinct(col("l_suppkey")).as("n_supps"),
       countDistinct(col("l_orderkey")).as("n_orders"))
@@ -474,7 +476,9 @@ object RelationalQueries {
     // approx half a plain codegen'd HashAggregate. Same trade at
     // 100 TB: two column-pruned scans beat one scan that triples its
     // row volume through Expand.
-    val li = Tables.lineitem(s, dir)
+    // fanOut (same reason as d1): both halves' partial aggregates
+    // would otherwise serialize inside the single-row-group scan task
+    val li = Tables.fanOut(Tables.lineitem(s, dir), "l_orderkey")
     val exact = li.agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
@@ -1260,7 +1264,8 @@ object RelationalQueries {
       .groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice"))).cast("long")
         .as("value_cents"))
-      .localCheckpoint()
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":q11_census:" + dir))
     val cut = v.agg(
       (lit(Q11MeanMult) * avg(col("value_cents"))).as("cut"))
     v.crossJoin(broadcast(cut))

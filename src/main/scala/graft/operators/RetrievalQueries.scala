@@ -295,7 +295,9 @@ object RetrievalQueries {
     * reassembly groups on doc_id (sort_array over ≤ chunks-per-doc
     * structs, bounded by document length). */
   def ddChunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val chunks = Tables.documents(s, dir)
+    // fanOut: the chunk construction (split/slice/md5 per doc) would
+    // otherwise run inside the single-row-group scan task
+    val chunks = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast((size(ws) + ${ChunkWords - 1}) " +
@@ -346,7 +348,11 @@ object RetrievalQueries {
     * rollup reuses the doc_id key. */
   def tCdcChunks(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val chunks = cdcChunkHashes(Tables.documents(s, dir))
+    // fanOut on doc_id: parallelizes the word explode AND pre-
+    // establishes the hash partitioning the per-doc lag/cumsum window
+    // needs, so the word-level rows never cross an exchange
+    val chunks = cdcChunkHashes(
+      Tables.fanOut(Tables.documents(s, dir), "doc_id"))
     cdcRollup(chunks,
       chunks.groupBy(col("h")).agg(count(lit(1)).as("occ")))
   }
@@ -430,7 +436,10 @@ object RetrievalQueries {
     val q = LikePattern
     val patGrams = (0 to q.length - 3).map(i => q.substring(i, i + 3))
       .distinct
-    val docs = Tables.documents(s, dir)
+    // fanOut: the per-doc trigram generation (length(text) substrings
+    // + distinct + intersect) is the dominant cost and would
+    // otherwise serialize inside the single-row-group scan task
+    val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
     // intersect with the literal pattern-gram array BEFORE exploding:
     // <= |pattern grams| rows leave each doc, not its whole gram set
     val patLit = patGrams.map(g => s"'${g.replace("'", "''")}'")

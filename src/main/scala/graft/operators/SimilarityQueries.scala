@@ -91,7 +91,9 @@ object SimilarityQueries {
       dir: String): DataFrame =
     shingleCache.getOrElseUpdate(
       s.sparkContext.applicationId + ":" + dir,
-      Tables.documents(s, dir)
+      // fanOut: the shingle hashing below is the expensive part and
+      // would otherwise run inside the single-row-group scan task
+      Tables.fanOut(Tables.documents(s, dir), "doc_id")
         .withColumn("words", split(col("text"), " "))
         .select(col("doc_id"),
           transform(wordGramExpr("words", 3), g => xxhash64(g)).as("hs"))
@@ -124,9 +126,18 @@ object SimilarityQueries {
     * contract instead of paying that multiplier blind. */
   private[operators] def lshCandidatePairs(s: SparkSession,
       docs: DataFrame, nHashes: Int, bands: Int, maxBucket: Int,
-      starHotBuckets: Boolean): DataFrame = {
+      starHotBuckets: Boolean, slotKey: Option[String] = None)
+      : DataFrame = {
     graft.functions.MinhashSig.ensureRegistered(s)
     val rows = nHashes / bands
+    val ckpt: DataFrame => DataFrame = slotKey match {
+      // per-invocation callers (ddMinhashLsh) pass a slot key so the
+      // previous generation's banded checkpoint is freed; memoized
+      // callers (computeClusterCc) keep the plain one-time checkpoint
+      case Some(k) => graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":" + k)
+      case None => _.localCheckpoint()
+    }
     val banded = docs
       .withColumn("sig", minhashSig(col("hs"), nHashes))
       .select(col("doc_id"),
@@ -135,7 +146,7 @@ object SimilarityQueries {
             xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
               .as("bhash")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
-      .localCheckpoint()
+      .transform(ckpt)
     val stats = banded.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
     val small = stats.filter(col("n") >= 2 && col("n") <= maxBucket)
@@ -195,7 +206,8 @@ object SimilarityQueries {
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = hashedShingleDocs(s, dir)
     val cand = lshCandidatePairs(s, docs, nHashes = 32, bands = 4,
-      maxBucket = 50, starHotBuckets = false)
+      maxBucket = 50, starHotBuckets = false,
+      slotKey = Some("mh_banded:" + dir))
     jaccardPairs(docs, cand)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)
@@ -423,7 +435,9 @@ object SimilarityQueries {
       .select(col("doc_id"),
         transform(wordGramExpr("words", 3), g => xxhash64(g)).as("g"))
       .withColumn("bucket", array_min(col("g")))
-      .localCheckpoint() // consumed by census + both join sides
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":ngram_docs:" + dir))
+      // consumed by census + both join sides
     val smallBuckets = docs.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2 && col("n") <= maxBucket)
@@ -520,7 +534,9 @@ object SimilarityQueries {
         col("e"))
       .orderBy(col("qsim").desc, col("vec_id"))
       .limit(MmrPool)
-      .localCheckpoint() // feeds the pairwise grid + the pool collect
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":mmr_pool:" + dir))
+      // feeds the pairwise grid + the pool collect
     mmrGreedy(s, pool)
   }
 
@@ -553,7 +569,9 @@ object SimilarityQueries {
          |  FROM e CROSS JOIN q
          |  WHERE vec_id <> 0 AND cell IN (${probes.mkString(", ")})
          |  ORDER BY qsim DESC, vec_id LIMIT $MmrPool)""".stripMargin)
-    mmrGreedy(s, mmrIvfPool(s, dir).localCheckpoint())
+    mmrGreedy(s, graft.core.CkptSlots.checkpoint(
+      s.sparkContext.applicationId + ":mmr_ivf_pool:" + dir)(
+      mmrIvfPool(s, dir)))
   }
 
   /** The IVF-tier MMR candidate pool as a plan (pre-checkpoint), so
@@ -882,7 +900,9 @@ object SimilarityQueries {
     val emb = cleanEmbeddings(s, dir)
       .select(col("vec_id"), col("e"))
       .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
-      .localCheckpoint() // consumed by both self-join sides
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":embnd:" + dir))
+      // consumed by both self-join sides
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
       col("e").as("e_a"))
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
@@ -1061,7 +1081,9 @@ object SimilarityQueries {
     val planes = AnnPlanes
     val emb = cleanEmbeddings(s, dir)
       .withColumn("bucket", expr(s"signlsh_bucket(e, $planes)"))
-      .localCheckpoint() // re-read once per radius level
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":lsh_adapt:" + dir))
+      // re-read once per radius level
     val qRow = emb.filter(col("vec_id") === 0)
       .select(col("bucket"), col("e")).head()
     val qBucket = qRow.getLong(0)
@@ -1671,7 +1693,9 @@ object SimilarityQueries {
     graft.functions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .localCheckpoint() // consumed by both self-join sides
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":exact_pairs:" + dir))
+      // consumed by both self-join sides
     val n = emb.count() // cheap: counts the checkpointed blocks
     require(n <= ExactPairsMaxRows,
       s"sim_exact_pairs is an O(n²) cartesian baseline capped at " +
@@ -1779,7 +1803,8 @@ object SimilarityQueries {
     val members = edJoinKeys(s, dir)
       .withColumn("kid",
         min(col("doc_id")).over(Window.partitionBy(col("k"))))
-      .localCheckpoint()
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":edjoin_members:" + dir))
     val reps = members.filter(col("doc_id") === col("kid"))
       .select(col("doc_id"), col("k"))
     // one candidate row + one banded-levenshtein verify per DISTINCT
@@ -2012,15 +2037,19 @@ object SimilarityQueries {
     * arrays travel once, to decorate the verify join. */
   def ddContainment(s: SparkSession, dir: String): DataFrame = {
     graft.functions.IntersectCount.ensureRegistered(s)
-    val docs = Tables.documents(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      // sort ONCE per doc so the verify can run the native
-      // sorted-merge intersect_count per pair
-      .select(col("doc_id"),
-        sort_array(transform(wordGramExpr("words", 3),
-          g => xxhash64(g))).as("g"))
-      .withColumn("na", size(col("g")).cast("long"))
-      .localCheckpoint() // grams + postings + both verify sides
+    // fanOut: gram hashing + per-doc sort is the dominant cost and
+    // would otherwise serialize inside the single-row-group scan task
+    val docs = graft.core.CkptSlots.checkpoint(
+      s.sparkContext.applicationId + ":cont_docs:" + dir)(
+      Tables.fanOut(Tables.documents(s, dir), "doc_id")
+        .withColumn("words", split(col("text"), " "))
+        // sort ONCE per doc so the verify can run the native
+        // sorted-merge intersect_count per pair
+        .select(col("doc_id"),
+          sort_array(transform(wordGramExpr("words", 3),
+            g => xxhash64(g))).as("g"))
+        .withColumn("na", size(col("g")).cast("long")))
+      // grams + postings + both verify sides
     val grams = docs.select(col("doc_id"), col("na"),
       explode(col("g")).as("gr"))
     val freq = grams.groupBy(col("gr")).agg(count(lit(1)).as("nf"))
@@ -2052,10 +2081,35 @@ object SimilarityQueries {
   /** Stages 2–5 of the containment join, shared by the scan and
     * indexed twins: rare-prefix probes, capped postings, candidate
     * equi-join, intersect_count verify. `docs` must carry
-    * (doc_id, g sorted-array, na); `freq` the global (gr, nf). */
-  private def containmentServe(docs: DataFrame,
+    * (doc_id, g sorted-array, na); `freq` the global (gr, nf).
+    *
+    * Exact-class collapse (r21, the cont_serve GC wall — VERDICT r20
+    * task #2): docs with IDENTICAL gram arrays (exact re-uploads,
+    * the rehearsal's planted dup piles) collapse to their min-id
+    * representative BEFORE the prefix/postings/verify pipeline, and
+    * rep-level verdicts expand back to member pairs at the end.
+    * Containment is a pure function of the two gram sets, so every
+    * member pair inherits its class pair's (n_shared, na,
+    * containment) verbatim, and intra-class ordered pairs are the
+    * constant (na, na, 1.0) — `intersect_count(g, g)` walks two
+    * identical arrays in lockstep, counting every element. The
+    * output is row-identical to the uncollapsed pipeline (the shared
+    * all-pairs oracle certifies it); what changes is that the
+    * array-carrying verify join runs once per CLASS pair instead of
+    * once per DOC pair — at the 150k rehearsal point the doc-pair
+    * verify materialized ~200k gram-array pairs and spent 2/3 of an
+    * 89 s wall in stop-the-world GC; class pairs stay corpus-shaped.
+    * Cost where no duplicates exist: one extra hash exchange of the
+    * doc fingerprints (the window below) and two slim id joins. */
+  private def containmentServe(docs0: DataFrame,
       freq: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val classed = docs0.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(col("g"))))
+    // (doc_id → rep, na): slim expansion map, one row per doc
+    val members = classed.select(col("doc_id"), col("rep"), col("na"))
+    val docs = classed.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("g"), col("na"))
     val grams = docs.select(col("doc_id"), col("na"),
       explode(col("g")).as("gr"))
     val prefix = grams.join(freq, "gr")
@@ -2095,7 +2149,7 @@ object SimilarityQueries {
       .filter(col("id_a") =!= col("id_b")
         && col("nb") * 1000 >= lit(ContainmentTauPm) * col("na"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+    val repPairs = cand
       .join(docs.select(col("doc_id").as("id_a"), col("g").as("ga"),
         col("na")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("g").as("gb")),
@@ -2105,6 +2159,24 @@ object SimilarityQueries {
           .as("n_shared"),
         col("na"))
       .filter(col("n_shared") * 1000 >= lit(ContainmentTauPm) * col("na"))
+    // expand each verified class pair to all member pairs (slim id
+    // joins — the gram arrays never travel again), and add the
+    // intra-class ordered pairs (identical gram sets: n_shared = na,
+    // containment exactly 1.0 ≥ τ by construction)
+    val inter = repPairs
+      .join(members.select(col("rep").as("id_a"), col("doc_id").as("da")),
+        "id_a")
+      .join(members.select(col("rep").as("id_b"), col("doc_id").as("db")),
+        "id_b")
+      .select(col("da").as("id_a"), col("db").as("id_b"),
+        col("n_shared"), col("na"))
+    val intra = members.select(col("rep"), col("doc_id").as("id_a"),
+        col("na"))
+      .join(members.select(col("rep"), col("doc_id").as("id_b")), "rep")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("na").as("n_shared"),
+        col("na"))
+    inter.unionByName(intra)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("na"),
         (col("n_shared").cast("double") / col("na").cast("double"))
           .as("containment"))
@@ -2236,7 +2308,9 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val emb = cleanEmbeddings(s, dir)
       .withColumn("bucket", expr(s"signlsh_bucket(e, $AnnPlanes)"))
-      .localCheckpoint() // consumed by moments + both prune sides
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":sem_emb:" + dir))
+      // consumed by moments + both prune sides
     val qv = emb.select(col("vec_id"), col("bucket"),
       posexplode(expr(
         s"transform(e, x -> cast(round(x * $SemScale) as bigint))"))
@@ -2268,7 +2342,9 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("bucket"))
           .orderBy(col("cosc").desc, col("vec_id"))))
-      .localCheckpoint() // both sides of the prune join + output
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":sem_rnk:" + dir))
+      // both sides of the prune join + output
     val withE = emb.select(col("vec_id"), col("e"))
     // Rank-window prune join, BANDED on rank blocks (r17 — the 150k
     // rehearsal decade showed the former bucket-only equi-join

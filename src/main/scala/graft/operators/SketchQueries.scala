@@ -45,7 +45,9 @@ object SketchQueries {
     * D×W rows. */
   def cmsTable(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    Tables.documents(s, dir)
+    // fanOut: the D-way word scatter + bucket hashing would otherwise
+    // run inside the single-row-group scan task
+    Tables.fanOut(Tables.documents(s, dir), "doc_id")
       .select(explode(split(col("text"), " ")).as("w"))
       .select(explode(sequence(lit(0), lit(D - 1))).as("j"), col("w"))
       .select(col("j"), bucket(col("j"), col("w")).as("bucket"))

@@ -142,7 +142,9 @@ object TemporalQueries {
         graft.core.PortableHash.md5Hash60(col("user_id")).as("h"))
       .groupBy(col("hb"))
       .agg(KmvSketch.sketchOf(col("h")).as("sk"))
-      .localCheckpoint() // feeds the scatter AND the hourly estimate
+      .transform(graft.core.CkptSlots.checkpoint(
+        s.sparkContext.applicationId + ":e6b_hourly:" + dir))
+      // feeds the scatter AND the hourly estimate
     val spine = hourly.select(col("hb").as("win"))
     val rolled = hourly
       .select(explode(sequence(col("hb"),

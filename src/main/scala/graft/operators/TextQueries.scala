@@ -773,7 +773,9 @@ object TextQueries {
     // (and md5-60 digest loop) the winnow fp selection uses, via the
     // native gram_hashes expression (bit-equal to the HOF spelling,
     // WinnowFpsSpec)
-    val grams = Tables.documents(s, dir)
+    // fanOut: gram_hashes over every doc would otherwise run inside
+    // the single-row-group scan task
+    val grams = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"),
         expr("gram_hashes(split(text, ' '))").as("hs"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))

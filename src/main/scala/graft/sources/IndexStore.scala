@@ -236,7 +236,10 @@ object IndexStore {
   def ensureTrgmPostings(s: SparkSession, dir: String): String =
     built(trgmBuilt, dir) {
       val path = indexRoot(dir).resolve("trgm_postings").toString
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def write(d: DataFrame, mode: String): Unit =
         trgmPostingsOf(d)
           // co-locate each bucket before the partitioned write so a
@@ -287,7 +290,10 @@ object IndexStore {
         root.resolve("word_postings").toString,
         root.resolve("word_doclen").toString,
         root.resolve("word_stats").toString)
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def docsSplit(base: Boolean): DataFrame = docs.filter(
         if (base) pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           < TrgmDeltaMod - 1
@@ -443,7 +449,10 @@ object IndexStore {
         root.resolve("mh_bands").toString,
         root.resolve("mh_cbands").toString,
         root.resolve("mh_cstats").toString)
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       val rows = MhHashes / MhBands
       def write(d: DataFrame, mode: String): Unit = {
         val sh = minhashShingles(s, d)
@@ -507,7 +516,10 @@ object IndexStore {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val paths = SimhashPaths(
         indexRoot(dir).resolve("simhash_sigs").toString)
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def write(d: DataFrame, mode: String): Unit =
         d.withColumn("words", split(col("text"), " "))
           .select(col("doc_id"),
@@ -545,7 +557,10 @@ object IndexStore {
     built(gram13Built, dir) {
       val paths = Gram13Paths(
         indexRoot(dir).resolve("decon_grams").toString)
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def write(d: DataFrame, mode: String): Unit =
         gram13Of(d).write.mode(mode).parquet(paths.grams)
       write(docs.filter(
@@ -573,7 +588,10 @@ object IndexStore {
     built(winnowBuilt, dir) {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val paths = WinnowPaths(indexRoot(dir).resolve("winnow_fps").toString)
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def write(d: DataFrame, mode: String): Unit =
         d.select(col("doc_id"),
             expr(s"winnow_fps(split(text, ' '), " +
@@ -610,7 +628,10 @@ object IndexStore {
       val paths = CdcPaths(
         root.resolve("cdc_chunks").toString,
         root.resolve("cdc_census").toString)
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def write(d: DataFrame, mode: String): Unit = {
         val ch = graft.operators.RetrievalQueries.cdcChunkHashes(d)
           .localCheckpoint() // feeds both table writes below
@@ -650,7 +671,10 @@ object IndexStore {
       val paths = ContainmentPaths(
         root.resolve("cont_docs").toString,
         root.resolve("cont_freq").toString)
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def write(d: DataFrame, mode: String): Unit = {
         val fp = d
           .withColumn("words", split(col("text"), " "))
@@ -878,7 +902,10 @@ object IndexStore {
       val paths = CatalogPaths(
         root.resolve("catalog_digests").toString,
         root.resolve("catalog_stats").toString)
-      val docs = Tables.documents(s, dir)
+      // fanOut (r21): every build below runs heavy per-doc compute
+      // (shingling, gram hashing, chunking) that would otherwise
+      // serialize inside the single-row-group scan task
+      val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def write(base: Boolean): Unit = {
         val mode = if (base) "overwrite" else "append"
         val d = docs.filter(
