@@ -78,6 +78,21 @@ object Tables {
     else df.repartition(cores, df(key))
   }
 
+  /** Byte-sized output files at a persisted-index write boundary,
+    * whatever the upstream compute's partitioning (guide §6 file
+    * sizing). [[fanOut]] pins the build compute at `cores` partitions
+    * (an explicit-count repartition AQE may not coalesce), so a
+    * map-only build chain would write `cores` shard files per split —
+    * and every SERVE of that index then pays one scan task per shard
+    * plus the lost clustering, which the r21 mid-round bench measured
+    * as 2-5× serve regressions (t_cdc_chunks_indexed 0.28→1.36 s).
+    * REBALANCE hands the final exchange to AQE's advisory partition
+    * sizing: the write shrinks to as few files as the BYTES need
+    * (tiny at sf0.1, ~128 MB shards at 100 TB) while the wide compute
+    * above the exchange keeps its parallelism. Content is unchanged —
+    * only row placement across output files moves. */
+  def packForWrite(df: DataFrame): DataFrame = df.hint("rebalance")
+
   /** The reverse guard of [[events]]: `orders`/`lineitem` date
     * columns are consumed as timestamps (range joins, date_trunc,
     * SCD2 validity windows), so if a future testdata regen ships

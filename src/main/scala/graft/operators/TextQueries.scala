@@ -769,6 +769,13 @@ object TextQueries {
   def ddDupSpans(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val pairs = ddWinnowPairs(s, dir).select("id_a", "id_b")
+    // NOT a semi-join pre-filter: restricting the gram explode to
+    // pair-participating docs was tried in r21 and MEASURED SLOWER at
+    // sf0.1 (2.3 s vs 1.3 s, same subset context, 5-run medians) —
+    // deriving the participant ids forces the winnow pair search to
+    // run twice (or a blocking checkpoint), which costs more than the
+    // fanned-out gram explode it saves. The match equi-joins below
+    // already drop non-participant grams after one cheap hash pass.
     // ordered positional gram hashes — the SAME gram construction
     // (and md5-60 digest loop) the winnow fp selection uses, via the
     // native gram_hashes expression (bit-equal to the HOF spelling,

@@ -308,6 +308,7 @@ object IndexStore {
         d.select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("dl"),
             col("source"))
+          .transform(Tables.packForWrite)
           .write.mode(mode).parquet(paths.doclen)
       def writeStats(d: DataFrame, mode: String): Unit =
         d.select(size(split(col("text"), " ")).cast("long").as("dl"))
@@ -457,7 +458,7 @@ object IndexStore {
       def write(d: DataFrame, mode: String): Unit = {
         val sh = minhashShingles(s, d)
           .localCheckpoint() // feeds BOTH table writes below
-        sh.select(col("doc_id"), col("hs"))
+        Tables.packForWrite(sh.select(col("doc_id"), col("hs")))
           .write.mode(mode).parquet(paths.shingles)
         sh.select(col("doc_id"),
             explode(transform(sequence(lit(0), lit(MhBands - 1)),
@@ -562,7 +563,8 @@ object IndexStore {
       // serialize inside the single-row-group scan task
       val docs = Tables.fanOut(Tables.documents(s, dir), "doc_id")
       def write(d: DataFrame, mode: String): Unit =
-        gram13Of(d).write.mode(mode).parquet(paths.grams)
+        Tables.packForWrite(gram13Of(d))
+          .write.mode(mode).parquet(paths.grams)
       write(docs.filter(
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
           < TrgmDeltaMod - 1), "overwrite")
@@ -597,6 +599,7 @@ object IndexStore {
             expr(s"winnow_fps(split(text, ' '), " +
               s"${graft.operators.TextQueries.WinnowWindow})").as("fps"))
           .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .transform(Tables.packForWrite)
           .write.mode(mode).parquet(paths.fps)
       write(docs.filter(
         pmod(col("doc_id"), lit(TrgmDeltaMod.toLong))
@@ -635,7 +638,7 @@ object IndexStore {
       def write(d: DataFrame, mode: String): Unit = {
         val ch = graft.operators.RetrievalQueries.cdcChunkHashes(d)
           .localCheckpoint() // feeds both table writes below
-        ch.write.mode(mode).parquet(paths.chunks)
+        Tables.packForWrite(ch).write.mode(mode).parquet(paths.chunks)
         ch.groupBy(col("h")).agg(count(lit(1)).as("occ"))
           .write.mode(mode).parquet(paths.census)
       }
@@ -684,7 +687,7 @@ object IndexStore {
               g => xxhash64(g))).as("g"))
           .withColumn("na", size(col("g")).cast("long"))
           .localCheckpoint() // feeds both table writes below
-        fp.write.mode(mode).parquet(paths.docs)
+        Tables.packForWrite(fp).write.mode(mode).parquet(paths.docs)
         fp.select(explode(col("g")).as("gr"))
           .groupBy(col("gr")).agg(count(lit(1)).as("nf"))
           .write.mode(mode).parquet(paths.freq)
@@ -916,7 +919,8 @@ object IndexStore {
           .select(lit(if (base) "base" else "delta").as("split"),
             col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
           .localCheckpoint() // feeds the digest AND census writes
-        d.write.mode(mode).partitionBy("split").parquet(paths.digests)
+        Tables.packForWrite(d)
+          .write.mode(mode).partitionBy("split").parquet(paths.digests)
         d.groupBy(col("split"), col("source"))
           .agg(count(lit(1)).as("n_docs"))
           .write.mode(mode).parquet(paths.stats)
